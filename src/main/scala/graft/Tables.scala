@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Table loaders for the star-schema test corpus (SURVEY.md §1, FIXTURES.md).
   *
@@ -14,8 +15,26 @@ object Tables {
     "region", "nation", "supplier", "customer", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as a
+    * timestamp at all (inference and explicit schema both fail). Read it as
+    * raw nanos (legacy.parquet.nanosAsLong) and truncate to µs with integer
+    * division — bit-identical to how DuckDB reads the same column
+    * (FIXTURES.md: "both engines read at µs precision").
+    */
+  private val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")

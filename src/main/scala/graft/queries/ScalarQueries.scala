@@ -1,7 +1,252 @@
 package graft.queries
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.functions._
+import Util._
 
+/** Category B — projection, filtering, scalar expressions (SURVEY.md §2.1.B).
+  *
+  * Everything here is a narrow map over a columnar scan: stays inside one
+  * WholeStageCodegen span with zero shuffles (the final orderBy is the only
+  * exchange, and exists purely for the deterministic oracle compare).
+  */
 object ScalarQueries {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  private val derivedExprs = CatalogEntry.ansi(
+    "proj_derived_exprs",
+    """SELECT l_orderkey, l_linenumber,
+      |       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS disc_price,
+      |       CAST(ROUND(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS charge
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, sfDir) =>
+    val one = lit(1).cast(DecT)
+    Tables.lineitem(spark, sfDir)
+      .withColumn("disc_price", dec(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))))
+      .withColumn("charge", dec(col("disc_price") * (one + dec(col("l_tax")))))
+      .select(col("l_orderkey"), col("l_linenumber"), col("disc_price"), col("charge"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val filterCompound = CatalogEntry.ansi(
+    "filter_compound",
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      |FROM orders
+      |WHERE (o_orderstatus IN ('F', 'P') OR o_orderpriority LIKE '1-%')
+      |  AND o_totalprice BETWEEN 50000 AND 200000
+      |  AND NOT (o_orderkey % 10 = 0)
+      |  AND o_orderdate IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .where((col("o_orderstatus").isin("F", "P") || col("o_orderpriority").like("1-%"))
+        && col("o_totalprice").between(50000, 200000)
+        && !(col("o_orderkey") % 10 === 0)
+        && col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val caseWhen = CatalogEntry.ansi(
+    "scalar_case_when",
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+      |            WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+      |            ELSE 'low' END AS urgency
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+          .when(col("o_orderpriority") === "3-MEDIUM", "mid")
+          .otherwise("low").as("urgency"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Cross-type casts. Deliberately avoids double→int (Spark truncates,
+    * DuckDB rounds) and double→string (formatting differs). */
+  private val casts = CatalogEntry.ansi(
+    "scalar_casts",
+    """SELECT l_orderkey, l_linenumber,
+      |       CAST(l_orderkey AS INTEGER) AS okey_i,
+      |       CAST(l_linenumber AS DOUBLE) AS ln_d,
+      |       CAST(l_quantity AS DECIMAL(18,4)) AS qty_dec,
+      |       CAST(l_shipdate AS DATE) AS ship_d,
+      |       CAST(l_orderkey AS VARCHAR) AS okey_s
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, sfDir) =>
+    Tables.lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").cast("int").as("okey_i"),
+        col("l_linenumber").cast("double").as("ln_d"),
+        dec(col("l_quantity")).as("qty_dec"),
+        col("l_shipdate").cast("date").as("ship_d"),
+        col("l_orderkey").cast("string").as("okey_s"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val strBasic = CatalogEntry.dialect(
+    "str_basic",
+    duckdb = """SELECT c_custkey,
+               |       upper(c_name) AS up, lower(c_mktsegment) AS lo,
+               |       trim(c_name) AS tr, substring(c_name, 1, 8) AS sub,
+               |       concat(c_name, '#', c_mktsegment) AS cat,
+               |       CAST(length(c_name) AS INTEGER) AS len,
+               |       replace(c_name, 'Customer', 'Cust') AS repl,
+               |       lpad(c_name, 25, '_') AS pad,
+               |       CAST(strpos(c_name, '0') AS INTEGER) AS pos
+               |FROM customer ORDER BY c_custkey""".stripMargin,
+    spark = """SELECT c_custkey,
+              |       upper(c_name) AS up, lower(c_mktsegment) AS lo,
+              |       trim(c_name) AS tr, substring(c_name, 1, 8) AS sub,
+              |       concat(c_name, '#', c_mktsegment) AS cat,
+              |       length(c_name) AS len,
+              |       replace(c_name, 'Customer', 'Cust') AS repl,
+              |       lpad(c_name, 25, '_') AS pad,
+              |       instr(c_name, '0') AS pos
+              |FROM customer ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        trim(col("c_name")).as("tr"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        concat(col("c_name"), lit("#"), col("c_mktsegment")).as("cat"),
+        length(col("c_name")).as("len"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("repl"),
+        lpad(col("c_name"), 25, "_").as("pad"),
+        instr(col("c_name"), "0").as("pos"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** POSIX-safe regex surface. Note DuckDB regexp_replace needs the 'g'
+    * flag to match Spark's replace-all semantics. */
+  private val strRegex = CatalogEntry.dialect(
+    "str_regex",
+    duckdb = """SELECT p_partkey,
+               |       regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+               |       regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+               |       CASE WHEN regexp_matches(p_type, '^(PROMO|ECONOMY)') THEN 1 ELSE 0 END AS is_cheap
+               |FROM part ORDER BY p_partkey""".stripMargin,
+    spark = """SELECT p_partkey,
+              |       regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+              |       regexp_replace(p_type, '[aeiou]', '_') AS devoweled,
+              |       CASE WHEN p_type RLIKE '^(PROMO|ECONOMY)' THEN 1 ELSE 0 END AS is_cheap
+              |FROM part ORDER BY p_partkey""".stripMargin) { (spark, sfDir) =>
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "#([0-9]+)", 1).as("brand_num"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("devoweled"),
+        when(col("p_type").rlike("^(PROMO|ECONOMY)"), 1).otherwise(0).as("is_cheap"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** EXTRACT/DATE_TRUNC battery. dayofweek deliberately excluded (Spark
+    * 1..7 Sun=1 vs DuckDB 0..6 Sun=0 — SURVEY §2.0.5). */
+  private val dateParts = CatalogEntry.ansi(
+    "date_parts",
+    """SELECT event_id,
+      |       CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS mo,
+      |       CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h,
+      |       CAST(minute(ts) AS INTEGER) AS mi,
+      |       date_trunc('hour', ts) AS hour_start,
+      |       date_trunc('month', ts) AS month_start
+      |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        year(col("ts")).as("y"), month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
+        minute(col("ts")).as("mi"),
+        date_trunc("hour", col("ts")).as("hour_start"),
+        date_trunc("month", col("ts")).as("month_start"))
+      .orderBy(col("event_id"))
+  }
+
+  private val dateArith = CatalogEntry.dialect(
+    "date_arith",
+    duckdb = """SELECT o_orderkey,
+               |       CAST(o_orderdate AS DATE) + 30 AS ship_by,
+               |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_left,
+               |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_q,
+               |       last_day(CAST(o_orderdate AS DATE)) AS month_end
+               |FROM orders ORDER BY o_orderkey""".stripMargin,
+    spark = """SELECT o_orderkey,
+              |       date_add(CAST(o_orderdate AS DATE), 30) AS ship_by,
+              |       datediff(DATE '1999-01-01', CAST(o_orderdate AS DATE)) AS days_left,
+              |       add_months(CAST(o_orderdate AS DATE), 3) AS plus_q,
+              |       last_day(CAST(o_orderdate AS DATE)) AS month_end
+              |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 30).as("ship_by"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_left"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus_q"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Math battery over an integer domain; transcendentals rounded to 6
+    * decimals (libm last-ulp drift — SURVEY §2.0.3 fallback). */
+  private val mathFuncs = CatalogEntry.dialect(
+    "math_funcs",
+    duckdb = """SELECT p_partkey,
+               |       abs(p_size - 25) AS a, CAST(ceil(sqrt(p_size)) AS BIGINT) AS c,
+               |       CAST(floor(sqrt(p_size)) AS BIGINT) AS f, pow(p_size, 2) AS p2,
+               |       sqrt(p_size) AS sq,
+               |       round(ln(p_size), 6) AS lnv, round(log10(p_size), 6) AS lgv,
+               |       p_size % 7 AS md, CAST(sign(p_size - 25) AS INTEGER) AS sg
+               |FROM part ORDER BY p_partkey""".stripMargin,
+    spark = """SELECT p_partkey,
+              |       abs(p_size - 25) AS a, ceil(sqrt(p_size)) AS c,
+              |       floor(sqrt(p_size)) AS f, pow(p_size, 2) AS p2,
+              |       sqrt(p_size) AS sq,
+              |       round(ln(p_size), 6) AS lnv, round(log10(p_size), 6) AS lgv,
+              |       pmod(p_size, 7) AS md, CAST(signum(p_size - 25) AS INT) AS sg
+              |FROM part ORDER BY p_partkey""".stripMargin) { (spark, sfDir) =>
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        abs(col("p_size") - 25).as("a"),
+        ceil(sqrt(col("p_size"))).as("c"),
+        floor(sqrt(col("p_size"))).as("f"),
+        pow(col("p_size"), 2).as("p2"),
+        sqrt(col("p_size")).as("sq"),
+        round(log(col("p_size")), 6).as("lnv"),
+        round(log10(col("p_size")), 6).as("lgv"),
+        pmod(col("p_size"), lit(7)).as("md"),
+        signum(col("p_size") - 25).cast("int").as("sg"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** COALESCE/NULLIF + null-safe equality over a null-extending outer join. */
+  private val nullHandling = CatalogEntry.dialect(
+    "null_handling",
+    duckdb = """SELECT c_custkey, o_orderkey,
+               |       COALESCE(CAST(o_totalprice AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4))) AS price_or_zero,
+               |       NULLIF(o_orderstatus, 'O') AS st_nn,
+               |       CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END AS eq_f
+               |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+               |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    spark = """SELECT c_custkey, o_orderkey,
+              |       COALESCE(CAST(o_totalprice AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4))) AS price_or_zero,
+              |       NULLIF(o_orderstatus, 'O') AS st_nn,
+              |       CASE WHEN o_orderstatus <=> 'F' THEN 1 ELSE 0 END AS eq_f
+              |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+              |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (spark, sfDir) =>
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, col("o_custkey") === col("c_custkey"), "left")
+      .select(
+        col("c_custkey"), col("o_orderkey"),
+        coalesce(dec(col("o_totalprice")), lit(0).cast(DecT)).as("price_or_zero"),
+        nullif(col("o_orderstatus"), lit("O")).as("st_nn"),
+        when(col("o_orderstatus") <=> "F", 1).otherwise(0).as("eq_f"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    derivedExprs, filterCompound, caseWhen, casts, strBasic, strRegex,
+    dateParts, dateArith, mathFuncs, nullHandling)
 }
