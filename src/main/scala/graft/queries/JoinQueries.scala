@@ -1,7 +1,229 @@
 package graft.queries
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Util._
 
+/** Category C — joins (SURVEY.md §2.1.C).
+  *
+  * Scale notes: dimension joins broadcast explicitly (`broadcast()`) — at
+  * 100 TB a star probe must never shuffle the fact table for a 25-row dim.
+  * Fact-fact joins shuffle on their keys (SortMergeJoin) and rely on AQE
+  * for skew splitting. The theta join keeps its small side broadcastable
+  * and bounded by selective predicates so the nested-loop stays O(small).
+  */
 object JoinQueries {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  private val innerEqui = CatalogEntry.ansi(
+    "join_inner_equi",
+    """SELECT o_orderkey, c_custkey, c_name, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        dec(col("o_totalprice")).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Star probe with broadcast dims — physical plan must be
+    * BroadcastHashJoin (asserted in PlanShapeSpec). */
+  private val bhjDims = CatalogEntry.ansi(
+    "join_bhj_dims",
+    """SELECT r_name,
+      |       CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin) { (spark, sfDir) =>
+    val one = lit(1).cast(DecT)
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("rev", dec(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))))
+      .groupBy(col("r_name"))
+      .agg(decOut(sum(col("rev"))).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Fact-fact join — physical plan must be SortMergeJoin (merge hint;
+    * asserted in PlanShapeSpec). */
+  private val smjFacts = CatalogEntry.ansi(
+    "join_smj_facts",
+    """SELECT o_orderpriority,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_price,
+      |       COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, sfDir) =>
+    Tables.lineitem(spark, sfDir).hint("merge")
+      .join(Tables.orders(spark, sfDir).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(decOut(sum(dec(col("l_extendedprice")))).as("total_price"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val leftOuter = CatalogEntry.ansi(
+    "join_left_outer",
+    """SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  private val rightOuter = CatalogEntry.ansi(
+    "join_right_outer",
+    """SELECT c_custkey, o_orderkey, o_orderstatus
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"), "right")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Symmetric difference made visible — the staging-vs-target diff pattern. */
+  private val fullOuter = CatalogEntry.ansi(
+    "join_full_outer",
+    """SELECT a.a_key AS a_key, b.b_key AS b_key, COALESCE(a.a_key, b.b_key) AS merged_key
+      |FROM (SELECT o_orderkey AS a_key FROM orders WHERE o_orderkey % 2 = 0) a
+      |FULL JOIN (SELECT o_orderkey AS b_key FROM orders WHERE o_orderkey % 3 = 0) b
+      |ON a.a_key = b.b_key
+      |ORDER BY merged_key""".stripMargin) { (spark, sfDir) =>
+    val o = Tables.orders(spark, sfDir)
+    val a = o.where(col("o_orderkey") % 2 === 0).select(col("o_orderkey").as("a_key"))
+    val b = o.where(col("o_orderkey") % 3 === 0).select(col("o_orderkey").as("b_key"))
+    a.join(b, col("a_key") === col("b_key"), "full")
+      .select(col("a_key"), col("b_key"), coalesce(col("a_key"), col("b_key")).as("merged_key"))
+      .orderBy(col("merged_key"))
+  }
+
+  private val leftSemi = CatalogEntry.ansi(
+    "join_left_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir)
+      .join(
+        Tables.orders(spark, sfDir).where(col("o_orderpriority") === "1-URGENT"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** NOT EXISTS — the null-safe anti-join workhorse (never NOT IN on
+    * nullable columns). */
+  private val leftAnti = CatalogEntry.ansi(
+    "join_left_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val crossSmall = CatalogEntry.ansi(
+    "join_cross_small",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin) { (spark, sfDir) =>
+    Tables.region(spark, sfDir).crossJoin(Tables.nation(spark, sfDir))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Non-equi (theta) join → BroadcastNestedLoopJoin. Both sides bounded by
+    * selective predicates so the pair count stays O(small) at any sf. */
+  private val thetaRange = CatalogEntry.ansi(
+    "join_theta_range",
+    """SELECT p_partkey, COUNT(*) AS n_close
+      |FROM (SELECT p_partkey, p_size FROM part WHERE p_size <= 10) p
+      |JOIN (SELECT l_quantity FROM lineitem
+      |      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |        AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00') l
+      |ON l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+      |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (spark, sfDir) =>
+    val p = broadcast(Tables.part(spark, sfDir)
+      .where(col("p_size") <= 10).select(col("p_partkey"), col("p_size")))
+    val l = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-02-01 00:00:00").cast("timestamp"))
+      .select(col("l_quantity"))
+    l.join(p, col("l_quantity").between(col("p_size") - 5, col("p_size") + 5))
+      .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_close"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** As-of join: for each error event, the same user's most recent purchase
+    * at-or-before it. Spark has no native as-of — compose equi-join on the
+    * user + predicate + windowed latest-pick (SURVEY §2.1.C). The oracle
+    * uses the identical windowed SQL so both sides share semantics. */
+  private val asofEventOrder = CatalogEntry.ansi(
+    "join_asof_event_order",
+    """SELECT err_id, user_id, purch_id, purch_ts FROM (
+      |  SELECT e.event_id AS err_id, e.user_id AS user_id,
+      |         p.event_id AS purch_id, p.ts AS purch_ts,
+      |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |    ON p.user_id = e.user_id AND p.ts <= e.ts
+      |) WHERE rn = 1
+      |ORDER BY err_id""".stripMargin) { (spark, sfDir) =>
+    val ev = Tables.events(spark, sfDir)
+    val err = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+    val pur = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id").as("p_user"), col("ts").as("purch_ts"))
+    val w = Window.partitionBy(col("err_id"))
+      .orderBy(col("purch_ts").desc, col("purch_id").desc)
+    err.join(pur, col("p_user") === col("user_id") && col("purch_ts") <= col("err_ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("err_id"), col("user_id"), col("purch_id"), col("purch_ts"))
+      .orderBy(col("err_id"))
+  }
+
+  /** 5-way star rollup (TPC-H Q5-shaped): dims broadcast, facts shuffle. */
+  private val starMultiway = CatalogEntry.ansi(
+    "join_star_multiway",
+    """SELECT n_name,
+      |       CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE r_name IN ('AFRICA', 'ASIA')
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (spark, sfDir) =>
+    val one = lit(1).cast(DecT)
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir).where(col("r_name").isin("AFRICA", "ASIA"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .withColumn("rev", dec(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))))
+      .groupBy(col("n_name"))
+      .agg(decOut(sum(col("rev"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    innerEqui, bhjDims, smjFacts, leftOuter, rightOuter, fullOuter,
+    leftSemi, leftAnti, crossSmall, thetaRange, asofEventOrder, starMultiway)
 }
