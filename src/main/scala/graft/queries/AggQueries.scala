@@ -9,7 +9,11 @@ import Util._
   * Scale notes: all group-bys here are low-cardinality keys over the fact
   * tables, i.e. the textbook partial-agg (map-side combine) → shuffle →
   * final-agg shape. At 100 TB the shuffle carries only |groups| × partitions
-  * rows, so these stay cheap regardless of input size.
+  * rows, so these stay cheap regardless of input size. The distinct-agg
+  * entries expand to a two-phase plan (per-key dedup shuffle, then final);
+  * grouping-sets/rollup/cube expand the input once per grouping, which is
+  * fine for low-cardinality keys but would be replaced by partial rollup
+  * at extreme scale.
   */
 object AggQueries {
 
@@ -45,5 +49,243 @@ object AggQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  def entries: Seq[CatalogEntry] = Seq(pricingSummary)
+  /** Exact COUNT(DISTINCT): expands to the two-phase dedup-then-count plan. */
+  private val countDistinctExact = CatalogEntry.ansi(
+    "agg_count_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+  }
+
+  /** Two distinct aggs + a plain agg in one group-by (Expand-based plan). */
+  private val multiDistinct = CatalogEntry.ansi(
+    "agg_multi_distinct",
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_suppkey) AS n_supp,
+      |       COUNT(DISTINCT l_partkey) AS n_part,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          decOut(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+  }
+
+  /** HLL sketch distinct (Redshift APPROXIMATE COUNT DISTINCT analog).
+    * No oracle — sketches differ per engine; property-tested within 5% of
+    * exact in AggSpec. At 100 TB this is the only affordable distinct. */
+  private val approxHll = CatalogEntry.noOracle("agg_approx_hll") { (spark, sfDir) =>
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** GROUPING SETS with grouping() indicators (cast INT both sides so the
+    * physical type matches — Spark grouping() is TINYINT). */
+  private val groupingSets = CatalogEntry.ansi(
+    "agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+      |       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+    (spark, sfDir) =>
+      Tables.registerAll(spark, sfDir)
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+          |       COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  /** ROLLUP subtotal tree over the region→nation dim hierarchy. */
+  private val rollupTree = CatalogEntry.ansi(
+    "agg_rollup",
+    """SELECT r_name, n_name, COUNT(*) AS n_cust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), decOut(sum(dec(col("c_acctbal")))).as("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** CUBE over the two lineitem status dims. */
+  private val cubeFlags = CatalogEntry.ansi(
+    "agg_cube",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), decOut(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Post-aggregation filter (HAVING). */
+  private val havingFilter = CatalogEntry.ansi(
+    "agg_having",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING SUM(CAST(o_totalprice AS DECIMAL(18,4))) > 1500000
+      |ORDER BY o_custkey""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("total_raw"))
+      .where(col("total_raw") > 1500000)
+      .select(col("o_custkey"), col("n_orders"), decOut(col("total_raw")).as("total"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Conditional aggregation — FILTER (WHERE …) ↔ sum(when(p, x)). */
+  private val filteredAgg = CatalogEntry.dialect(
+    "agg_filtered",
+    duckdb = """SELECT l_returnflag,
+               |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_discount > 0.05) AS DECIMAL(18,4)) AS qty_highdisc,
+               |       COUNT(*) FILTER (WHERE l_tax = 0) AS n_notax,
+               |       COUNT(*) AS n
+               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    spark = """SELECT l_returnflag,
+              |       CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS qty_highdisc,
+              |       COUNT(CASE WHEN l_tax = 0 THEN 1 END) AS n_notax,
+              |       COUNT(*) AS n
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          decOut(sum(when(col("l_discount") > 0.05, dec(col("l_quantity"))))).as("qty_highdisc"),
+          count(when(col("l_tax") === 0, 1)).as("n_notax"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+  }
+
+  /** Statistical aggregates. Price scaled /1000 so the variance magnitude
+    * keeps ROUND(…,4) safely above cross-engine float-merge drift. */
+  private val statsAgg = CatalogEntry.ansi(
+    "agg_stats",
+    """SELECT l_returnflag,
+      |       ROUND(stddev_samp(l_extendedprice / 1000), 4) AS sd_price,
+      |       ROUND(var_samp(l_extendedprice / 1000), 4) AS var_price,
+      |       ROUND(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+      |       ROUND(covar_samp(l_extendedprice / 1000, l_quantity), 4) AS cov_pq
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (spark, sfDir) =>
+      val p = col("l_extendedprice") / 1000
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(p), 4).as("sd_price"),
+          round(var_samp(p), 4).as("var_price"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
+          round(covar_samp(p, col("l_quantity")), 4).as("cov_pq"))
+        .orderBy(col("l_returnflag"))
+  }
+
+  /** Deterministic list agg: per-nation sorted supplier roster, joined to a
+    * string so the compare sees a flat column (array hashing is
+    * engine-specific). */
+  private val collectSorted = CatalogEntry.dialect(
+    "agg_collect_sorted",
+    duckdb = """SELECT n_name, array_to_string(list_sort(list(s_name)), ',') AS suppliers
+               |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+               |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    spark = """SELECT n_name, array_join(sort_array(collect_list(s_name)), ',') AS suppliers
+              |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              |GROUP BY n_name ORDER BY n_name""".stripMargin) { (spark, sfDir) =>
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Exact interpolating percentiles (not approx — approx sketches differ
+    * per engine). Both engines linear-interpolate over sorted doubles. */
+  private val percentileExact = CatalogEntry.dialect(
+    "agg_percentile_exact",
+    duckdb = """SELECT o_orderstatus,
+               |       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS median_price,
+               |       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90_price
+               |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    spark = """SELECT o_orderstatus,
+              |       ROUND(percentile(o_totalprice, 0.5), 4) AS median_price,
+              |       ROUND(percentile(o_totalprice, 0.9), 4) AS p90_price
+              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"))
+        .orderBy(col("o_orderstatus"))
+  }
+
+  /** Argmax/argmin — highest/lowest-value event per user, tie-broken to the
+    * smallest event_id. Duplicate values DO occur per user, and neither
+    * engine's arg_min/max_by defines a tie order — so ties are collapsed
+    * first (one row per (user, value), keeping min event_id), which makes
+    * the comparand unique within each user and the pick total. */
+  private val minMaxBy = CatalogEntry.dialect(
+    "agg_min_max_by",
+    duckdb = """WITH c AS (
+               |  SELECT user_id, value, min(event_id) AS eid
+               |  FROM events GROUP BY user_id, value
+               |)
+               |SELECT user_id,
+               |       arg_max(eid, value) AS top_event,
+               |       arg_min(eid, value) AS bottom_event,
+               |       ROUND(max(value), 4) AS max_val
+               |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    spark = """WITH c AS (
+              |  SELECT user_id, value, min(event_id) AS eid
+              |  FROM events GROUP BY user_id, value
+              |)
+              |SELECT user_id,
+              |       max_by(eid, value) AS top_event,
+              |       min_by(eid, value) AS bottom_event,
+              |       ROUND(max(value), 4) AS max_val
+              |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, sfDir) =>
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("value"))
+      .agg(min(col("event_id")).as("eid"))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("eid"), col("value")).as("top_event"),
+        min_by(col("eid"), col("value")).as("bottom_event"),
+        round(max(col("value")), 4).as("max_val"))
+      .orderBy(col("user_id"))
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
+    rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
+    percentileExact, minMaxBy)
 }

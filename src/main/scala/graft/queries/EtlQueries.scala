@@ -1,7 +1,229 @@
 package graft.queries
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
 
+/** Category H — ETL patterns as operators (SURVEY.md §2.1.H).
+  *
+  * These are the reference genre's raison d'être: staged load → dedup →
+  * merge/upsert → derived dims → audit. Each pattern is one shuffle on its
+  * natural key (dedup/merge keys), which is exactly how it scales — the
+  * 100-TB version of `etl_merge_upsert` is the same full-outer join,
+  * hash-partitioned on the merge key across executors.
+  */
 object EtlQueries {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  private val dedupExact = CatalogEntry.ansi(
+    "etl_dedup_exact",
+    """SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_returnflag, l_linestatus""".stripMargin) { (spark, sfDir) =>
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_suppkey"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Keep-latest-per-key — the Redshift staged-upsert dedup. One window
+    * shuffle on the key; ties broken by event_id so the pick is total. */
+  private val dedupLatest = CatalogEntry.ansi(
+    "etl_dedup_latest",
+    """SELECT user_id, event_id, ts, event_type FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** MERGE: target = per-user profile from January's first half; staging =
+    * second half. Matched keys take the staging values (update), unmatched
+    * staging keys insert, unmatched target keys persist — expressed as a
+    * full-outer join + per-column COALESCE(staging, target). */
+  private val mergeUpsert = CatalogEntry.ansi(
+    "etl_merge_upsert",
+    """WITH target AS (
+      |  SELECT user_id, COUNT(*) AS n_events, max(ts) AS last_seen
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id
+      |), staging AS (
+      |  SELECT user_id, COUNT(*) AS n_events, max(ts) AS last_seen
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id
+      |)
+      |SELECT COALESCE(s.user_id, t.user_id) AS user_id,
+      |       COALESCE(s.n_events, t.n_events) AS n_events,
+      |       COALESCE(s.last_seen, t.last_seen) AS last_seen,
+      |       CASE WHEN s.user_id IS NULL THEN 'kept'
+      |            WHEN t.user_id IS NULL THEN 'inserted'
+      |            ELSE 'updated' END AS merge_action
+      |FROM staging s FULL JOIN target t ON s.user_id = t.user_id
+      |ORDER BY user_id""".stripMargin) { (spark, sfDir) =>
+    val ev = Tables.events(spark, sfDir)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    def profile(df: DataFrame) = df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_seen"))
+    val target  = profile(ev.where(col("ts") < cut))
+      .select(col("user_id").as("t_user"), col("n_events").as("t_n"), col("last_seen").as("t_ls"))
+    val staging = profile(ev.where(col("ts") >= cut))
+      .select(col("user_id").as("s_user"), col("n_events").as("s_n"), col("last_seen").as("s_ls"))
+    staging.join(target, col("s_user") === col("t_user"), "full")
+      .select(
+        coalesce(col("s_user"), col("t_user")).as("user_id"),
+        coalesce(col("s_n"), col("t_n")).as("n_events"),
+        coalesce(col("s_ls"), col("t_ls")).as("last_seen"),
+        when(col("s_user").isNull, "kept")
+          .when(col("t_user").isNull, "inserted")
+          .otherwise("updated").as("merge_action"))
+      .orderBy(col("user_id"))
+  }
+
+  /** SCD-2 validity intervals: each (user, event) version is valid from its
+    * ts until the next one (NULL = current). */
+  private val scd2Intervals = CatalogEntry.ansi(
+    "etl_scd2_intervals",
+    """SELECT user_id, event_id, event_type,
+      |       ts AS valid_from,
+      |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |       CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |            THEN 1 ELSE 0 END AS is_current
+      |FROM events
+      |ORDER BY user_id, valid_from, event_id""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        when(lead(col("ts"), 1).over(w).isNull, 1).otherwise(0).as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  /** The five event types, pinned (FIXTURES.md) — pivot columns are stable
+    * without a discovery pass (at 100 TB the discovery scan is the thing
+    * to avoid; Redshift pivots hard-code columns the same way). */
+  private val pivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private val pivotWide = CatalogEntry.dialect(
+    "etl_pivot",
+    duckdb = """SELECT user_id,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS DECIMAL(18,4)) AS click,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS DECIMAL(18,4)) AS error,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS DECIMAL(18,4)) AS purchase,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'signup') AS DECIMAL(18,4)) AS signup,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'view') AS DECIMAL(18,4)) AS view
+               |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    spark = """SELECT user_id,
+              |       CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS click,
+              |       CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS error,
+              |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS purchase,
+              |       CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS signup,
+              |       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS view
+              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, sfDir) =>
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", pivotTypes)
+      .agg(decOut(sum(dec(col("value")))))
+      .orderBy(col("user_id"))
+  }
+
+  /** Melt the pivot back to long form via the Dataset unpivot API. Null
+    * cells (user never produced the type) are dropped on both sides. */
+  private val unpivotLong = CatalogEntry.dialect(
+    "etl_unpivot",
+    duckdb = """WITH p AS (
+               |  SELECT user_id,
+               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS DECIMAL(18,4)) AS click,
+               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS DECIMAL(18,4)) AS error,
+               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS DECIMAL(18,4)) AS purchase,
+               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'signup') AS DECIMAL(18,4)) AS signup,
+               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'view') AS DECIMAL(18,4)) AS view
+               |  FROM events GROUP BY user_id
+               |)
+               |SELECT user_id, event_type, total FROM (
+               |  SELECT user_id, 'click' AS event_type, click AS total FROM p
+               |  UNION ALL SELECT user_id, 'error', error FROM p
+               |  UNION ALL SELECT user_id, 'purchase', purchase FROM p
+               |  UNION ALL SELECT user_id, 'signup', signup FROM p
+               |  UNION ALL SELECT user_id, 'view', view FROM p
+               |) WHERE total IS NOT NULL
+               |ORDER BY user_id, event_type""".stripMargin,
+    spark = """SELECT user_id, event_type,
+              |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+              |FROM events GROUP BY user_id, event_type
+              |ORDER BY user_id, event_type""".stripMargin) { (spark, sfDir) =>
+    val wide = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", pivotTypes)
+      .agg(decOut(sum(dec(col("value")))))
+    wide.unpivot(
+        Array(col("user_id")),
+        pivotTypes.map(col).toArray,
+        "event_type", "total")
+      .where(col("total").isNotNull)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Calendar dimension derived from distinct order dates. Week-of-year is
+    * deliberately absent (ISO week numbering differs across engines). */
+  private val timeDim = CatalogEntry.ansi(
+    "etl_time_dim",
+    """SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+      |       CAST(year(o_orderdate) AS INTEGER) AS y,
+      |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+      |       CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |       CAST(day(o_orderdate) AS INTEGER) AS dom
+      |FROM orders ORDER BY d""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderdate").cast("date").as("d"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"))
+      .distinct()
+      .orderBy(col("d"))
+  }
+
+  /** Data-quality audit: row counts, domain violations, orphaned FKs (the
+    * anti-join counts). Each check is one small agg; the union is the
+    * report. */
+  private val qualityAudit = CatalogEntry.ansi(
+    "etl_quality_audit",
+    """SELECT 'lineitem_rows' AS check_name, COUNT(*) AS n FROM lineitem
+      |UNION ALL SELECT 'orders_rows', COUNT(*) FROM orders
+      |UNION ALL SELECT 'orders_null_custkey', COUNT(*) FROM orders WHERE o_custkey IS NULL
+      |UNION ALL SELECT 'lineitem_bad_discount', COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+      |UNION ALL SELECT 'lineitem_orphan_orders', COUNT(*) FROM lineitem
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |UNION ALL SELECT 'orders_orphan_customer', COUNT(*) FROM orders
+      |          WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |ORDER BY check_name""".stripMargin) { (spark, sfDir) =>
+    val li = Tables.lineitem(spark, sfDir)
+    val o  = Tables.orders(spark, sfDir)
+    val c  = Tables.customer(spark, sfDir)
+    def chk(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("check_name"), col("n"))
+    chk("lineitem_rows", li)
+      .unionByName(chk("orders_rows", o))
+      .unionByName(chk("orders_null_custkey", o.where(col("o_custkey").isNull)))
+      .unionByName(chk("lineitem_bad_discount",
+        li.where(col("l_discount") < 0 || col("l_discount") > 1)))
+      .unionByName(chk("lineitem_orphan_orders",
+        li.join(o, col("o_orderkey") === col("l_orderkey"), "left_anti")))
+      .unionByName(chk("orders_orphan_customer",
+        o.join(c, col("c_custkey") === col("o_custkey"), "left_anti")))
+      .orderBy(col("check_name"))
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
+    unpivotLong, timeDim, qualityAudit)
 }

@@ -1,7 +1,88 @@
 package graft.queries
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.functions._
+import Util._
 
+/** Category F — sort / limit / set operations (SURVEY.md §2.1.F).
+  *
+  * `sort_multi_limit` exercises TakeOrderedAndProject — the top-k plan that
+  * never materializes a global sort (each partition keeps k, driver merges),
+  * which is exactly the 100-TB-safe shape. Set ops are hash-based
+  * (union+distinct / semi / anti under the hood) and shuffle on the full
+  * row — projected down to narrow columns first.
+  */
 object SetSortQueries {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  /** Both sides order by the projected decimal alias (not the raw double)
+    * so the sort key is bit-identical across engines. */
+  private val sortMultiLimit = CatalogEntry.ansi(
+    "sort_multi_limit",
+    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price, o_orderdate
+      |FROM orders
+      |ORDER BY price DESC, o_orderkey
+      |LIMIT 100""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"), col("o_orderdate"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Bag union of two order slices, tagged by origin. */
+  private val unionAll = CatalogEntry.ansi(
+    "set_union_all",
+    """SELECT * FROM (
+      |  SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderkey, 'big' AS src FROM orders WHERE o_totalprice > 400000
+      |) ORDER BY o_orderkey, src""".stripMargin) { (spark, sfDir) =>
+    val o = Tables.orders(spark, sfDir)
+    o.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), lit("urgent").as("src"))
+      .unionByName(
+        o.where(col("o_totalprice") > 400000)
+          .select(col("o_orderkey"), lit("big").as("src")))
+      .orderBy(col("o_orderkey"), col("src"))
+  }
+
+  /** Set union — the distinct collapses duplicates across both branches. */
+  private val unionDistinct = CatalogEntry.ansi(
+    "set_union_distinct",
+    """SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |UNION
+      |SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+      |ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
+    val o = Tables.orders(spark, sfDir)
+    o.where(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      .union(o.where(col("o_totalprice") > 400000).select(col("o_orderkey")))
+      .distinct()
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val intersectSegs = CatalogEntry.ansi(
+    "set_intersect",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 0
+      |ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    val c = Tables.customer(spark, sfDir)
+    c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .intersect(c.where(col("c_acctbal") > 0).select(col("c_custkey")))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val exceptSegs = CatalogEntry.ansi(
+    "set_except",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 0
+      |ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    val c = Tables.customer(spark, sfDir)
+    c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .except(c.where(col("c_acctbal") > 0).select(col("c_custkey")))
+      .orderBy(col("c_custkey"))
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    sortMultiLimit, unionAll, unionDistinct, intersectSegs, exceptSegs)
 }

@@ -1,7 +1,217 @@
 package graft.queries
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import Util._
 
+/** Category K — streaming (SURVEY.md §2.1.K).
+  *
+  * Strategy: every oracle-checked entry is the *batch equivalent* of the
+  * stream (event-time windows are deterministic functions of `ts`); the
+  * genuine Structured Streaming paths (watermark dedup, late data,
+  * foreachBatch upsert) run file-source → Trigger.AvailableNow → sink and
+  * are no-oracle (tier E). At 100 TB the batch and stream entries share
+  * the same logical plan — that is Structured Streaming's whole point.
+  */
 object StreamQueries {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  /** Per-hour tumbling counts/sums — batch `window()` twin; the window
+    * struct is flattened to its start so the output is a flat column. */
+  private val tumblingAgg = CatalogEntry.ansi(
+    "stream_tumbling_agg",
+    """SELECT date_trunc('hour', ts) AS win_start, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_val
+      |FROM events
+      |GROUP BY win_start
+      |ORDER BY win_start""".stripMargin) { (spark, sfDir) =>
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("n"), decOut(sum(dec(col("value")))).as("sum_val"))
+      .select(col("win.start").as("win_start"), col("n"), col("sum_val"))
+      .orderBy(col("win_start"))
+  }
+
+  /** 1-hour windows sliding every 30 min — each event lands in exactly two
+    * windows; the oracle reproduces the hop algebra with time_bucket. */
+  private val slidingAgg = CatalogEntry.dialect(
+    "stream_sliding_agg",
+    duckdb = """SELECT win_start, COUNT(*) AS n,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_val
+               |FROM (
+               |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, value FROM events
+               |  UNION ALL
+               |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS win_start, value FROM events
+               |)
+               |GROUP BY win_start
+               |ORDER BY win_start""".stripMargin,
+    spark = """SELECT win_start, COUNT(*) AS n,
+              |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_val
+              |FROM (
+              |  SELECT window(ts, '1 hour', '30 minutes').start AS win_start, value FROM events
+              |)
+              |GROUP BY win_start
+              |ORDER BY win_start""".stripMargin) { (spark, sfDir) =>
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n"), decOut(sum(dec(col("value")))).as("sum_val"))
+      .select(col("win.start").as("win_start"), col("n"), col("sum_val"))
+      .orderBy(col("win_start"))
+  }
+
+  /** Sessionization with a 30-min inactivity gap — gaps-and-islands: flag
+    * gap starts with lag(ts), number sessions with a running sum. Both
+    * sides run the identical window algebra on µs timestamps. */
+  private val sessionGaps = CatalogEntry.dialect(
+    "stream_session_gaps",
+    duckdb = """WITH flagged AS (
+               |  SELECT user_id, event_id, ts,
+               |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               |                   > INTERVAL '30 minutes'
+               |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               |              THEN 1 ELSE 0 END AS new_session
+               |  FROM events
+               |), numbered AS (
+               |  SELECT user_id, event_id, ts,
+               |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               |  FROM flagged
+               |)
+               |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               |       min(ts) AS session_start, max(ts) AS session_end, COUNT(*) AS n_events
+               |FROM numbered
+               |GROUP BY user_id, session_id
+               |ORDER BY user_id, session_id""".stripMargin,
+    spark = """WITH flagged AS (
+              |  SELECT user_id, event_id, ts,
+              |         CASE WHEN unix_micros(ts) - unix_micros(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              |                   > 1800000000
+              |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              |              THEN 1 ELSE 0 END AS new_session
+              |  FROM events
+              |), numbered AS (
+              |  SELECT user_id, event_id, ts,
+              |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              |  FROM flagged
+              |)
+              |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              |       min(ts) AS session_start, max(ts) AS session_end, COUNT(*) AS n_events
+              |FROM numbered
+              |GROUP BY user_id, session_id
+              |ORDER BY user_id, session_id""".stripMargin) { (spark, sfDir) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(byUser)
+    Tables.events(spark, sfDir)
+      .withColumn("new_session",
+        when(prev.isNull
+          || unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  // ---------------------------------------------------------------- tier E
+  // Genuine Structured Streaming paths. Each stages the events table into a
+  // tmp dir (the "incoming" directory a real pipeline would watch), runs a
+  // readStream → transform → writeStream with Trigger.AvailableNow, and
+  // returns the sink contents as the result DataFrame.
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Stage events (with µs ts) as the streaming source dir; returns path. */
+  private def stageSource(spark: SparkSession, sfDir: String, name: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_src_$name"
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def runStream(spark: SparkSession, name: String, src: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val sink = s"${sys.props("java.io.tmpdir")}/graft_stream_sink_$name"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_$name"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // fresh checkpoint AND sink every run — a stale sink would accumulate
+    // duplicate appends once its checkpoint is gone
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+    val in = spark.readStream.schema(eventsSchema).parquet(src)
+    val q = transform(in).writeStream
+      .format("parquet").option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
+  /** Streaming exactly-once dedup: watermark + dropDuplicates on event_id.
+    * Batch-equivalence is asserted in StreamSpec. */
+  private val dedupWatermark = CatalogEntry.noOracle("stream_dedup_watermark") {
+    (spark, sfDir) =>
+      val src = stageSource(spark, sfDir, "dedup")
+      runStream(spark, "dedup", src) { in =>
+        in.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+      }.orderBy(col("event_id"))
+  }
+
+  /** Late-data accounting: watermarked tumbling counts in append mode —
+    * only windows the watermark has passed are final; comparing to the
+    * batch result exposes which windows were still open. */
+  private val lateData = CatalogEntry.noOracle("stream_late_data") { (spark, sfDir) =>
+    val src = stageSource(spark, sfDir, "late")
+    runStream(spark, "late", src) { in =>
+      in.withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("win"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("win.start").as("win_start"), col("n"))
+    }.orderBy(col("win_start"))
+  }
+
+  /** foreachBatch incremental MERGE into a parquet target — the streaming
+    * twin of etl_merge_upsert (staged micro-batch COPY analog). */
+  private val foreachBatchUpsert = CatalogEntry.noOracle("stream_foreachbatch_upsert") {
+    (spark, sfDir) =>
+      val src = stageSource(spark, sfDir, "upsert")
+      val target = s"${sys.props("java.io.tmpdir")}/graft_stream_target_upsert"
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_upsert"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      fs.delete(new org.apache.hadoop.fs.Path(target), true)
+      val in = spark.readStream.schema(eventsSchema).parquet(src)
+      val q = in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val incoming = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_seen"))
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(target))) {
+            val cur = batch.sparkSession.read.parquet(target)
+              .select(col("user_id").as("t_user"), col("n_events").as("t_n"),
+                col("last_seen").as("t_ls"))
+            incoming.join(cur, col("user_id") === col("t_user"), "full")
+              .select(
+                coalesce(col("user_id"), col("t_user")).as("user_id"),
+                (coalesce(col("n_events"), lit(0L)) + coalesce(col("t_n"), lit(0L))).as("n_events"),
+                greatest(coalesce(col("last_seen"), col("t_ls")),
+                  coalesce(col("t_ls"), col("last_seen"))).as("last_seen"))
+          } else incoming
+        val tmpOut = target + "_next"
+        merged.write.mode("overwrite").parquet(tmpOut)
+        val next = new org.apache.hadoop.fs.Path(tmpOut)
+        val tgt = new org.apache.hadoop.fs.Path(target)
+        fs.delete(tgt, true); fs.rename(next, tgt); ()
+      }.option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(target).orderBy(col("user_id"))
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    tumblingAgg, slidingAgg, sessionGaps, dedupWatermark, lateData, foreachBatchUpsert)
 }

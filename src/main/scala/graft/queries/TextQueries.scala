@@ -1,7 +1,185 @@
 package graft.queries
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Category I — text / LLM-data-pipeline operators (SURVEY.md §2.1.I).
+  *
+  * `documents.text` is space-delimited lowercase tokens by construction, so
+  * a literal single-space split is a faithful tokenizer in both engines.
+  *
+  * Scale design: the O(n²) near-dup entries are *blocked* self-joins —
+  * same-lang + length-band blocking bounds candidate pairs to a constant
+  * fraction; at 100 TB the same predicates become the LSH banding of
+  * `dedup_minhash_lsh`, which is the O(n) path (each doc shuffles to
+  * band-bucket keys instead of pairing with everything).
+  */
 object TextQueries {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  private val tokenizeWordcount = CatalogEntry.dialect(
+    "text_tokenize_wordcount",
+    duckdb = """SELECT token, COUNT(*) AS n FROM (
+               |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+               |) GROUP BY token
+               |ORDER BY n DESC, token
+               |LIMIT 20""".stripMargin,
+    spark = """SELECT token, COUNT(*) AS n FROM (
+              |  SELECT explode(split(text, ' ')) AS token FROM documents
+              |) GROUP BY token
+              |ORDER BY n DESC, token
+              |LIMIT 20""".stripMargin) { (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+  }
+
+  /** Per-language corpus profile. avg computed as SUM*1.0/COUNT with the
+    * identical operand order both sides → identical double → safe ROUND. */
+  private val corpusStats = CatalogEntry.ansi(
+    "text_corpus_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       COUNT(DISTINCT source) AS n_sources,
+      |       ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        round(sum(col("n_chars")) * 1.0 / count(lit(1)), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Edit-distance near-dup candidates over a blocked self-join: same lang,
+    * length band ±20, prefix-40 Levenshtein ≤ 10.
+    *
+    * The physical join key is (lang, floor(n_chars/20)) with the probe side
+    * exploded to its three adjacent buckets — bucket width = band width
+    * guarantees every |Δn_chars| ≤ 20 pair meets in some bucket, while the
+    * ~27 buckets × 5 langs spread the quadratic work across the cluster
+    * (joining on lang alone puts each language on one task and compares
+    * ALL intra-lang pairs). The oracle states only the logical predicate —
+    * blocking is plan, not semantics. */
+  private val levenshteinBlock = CatalogEntry.ansi(
+    "text_levenshtein_block",
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS BIGINT) AS dist
+      |FROM documents a JOIN documents b
+      |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+      | AND b.n_chars BETWEEN a.n_chars - 20 AND a.n_chars + 20
+      |WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 10
+      |ORDER BY doc_a, doc_b""".stripMargin) { (spark, sfDir) =>
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"),
+        col("lang"), col("n_chars"), floor(col("n_chars") / 20).as("bucket"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("prefix").as("pre_a"),
+      col("lang"), col("n_chars").as("nc_a"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("prefix").as("pre_b"),
+      col("lang"), col("n_chars").as("nc_b"), col("bucket"))
+    a.join(b, Seq("lang", "bucket"))
+      .where(col("doc_a") < col("doc_b")
+        && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
+      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")).cast("long"))
+      .where(col("dist") <= 10)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact token-set Jaccard on the blocked candidate pairs.
+    * |A∪B| = |A| + |B| − |A∩B| (no list_union in DuckDB 1.0). */
+  private val jaccardTokens = CatalogEntry.dialect(
+    "text_jaccard_tokens",
+    duckdb = """WITH t AS (
+               |  SELECT doc_id, lang, n_chars, list_distinct(string_split(text, ' ')) AS toks
+               |  FROM documents
+               |)
+               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               |       ROUND(len(list_intersect(a.toks, b.toks)) * 1.0 /
+               |             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+               |FROM t a JOIN t b
+               |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+               | AND b.n_chars BETWEEN a.n_chars - 20 AND a.n_chars + 20
+               |ORDER BY doc_a, doc_b""".stripMargin,
+    spark = """WITH t AS (
+              |  SELECT doc_id, lang, n_chars, array_distinct(split(text, ' ')) AS toks
+              |  FROM documents
+              |)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |       ROUND(size(array_intersect(a.toks, b.toks)) * 1.0 /
+              |             (size(a.toks) + size(b.toks) - size(array_intersect(a.toks, b.toks))), 4) AS jaccard
+              |FROM t a JOIN t b
+              |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+              | AND b.n_chars BETWEEN a.n_chars - 20 AND a.n_chars + 20
+              |ORDER BY doc_a, doc_b""".stripMargin) { (spark, sfDir) =>
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val a = t.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("n_chars").as("nc_a"), col("toks").as("toks_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("n_chars").as("nc_b"), col("toks").as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    a.join(b,
+        col("lang_a") === col("lang_b") && col("doc_a") < col("doc_b")
+          && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
+      .select(col("doc_a"), col("doc_b"),
+        round(inter * 1.0 / (size(col("toks_a")) + size(col("toks_b")) - inter), 4)
+          .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash + LSH banding — the O(n) near-dup path for 100 TB.
+    *
+    * Pipeline (all built-in expressions, codegen'd, fully deterministic):
+    *   1. tokens → 32 minhash values: min over tokens of xxhash64(seed, token)
+    *   2. 4 bands × 8 rows: hash each band's signature slice to a bucket
+    *   3. docs sharing (band, bucket) → candidate pairs — a shuffle on the
+    *      bucket key, never an all-pairs join; slim (id, id) pairs only
+    *   4. re-attach token sets and verify with exact Jaccard, keep ≥ 0.9
+    *
+    * r=8 rows/band tunes the S-curve for this corpus (74% of pairs exceed
+    * 0.5 Jaccard — a lower threshold would emit the quadratic mass):
+    * P(candidate) = 1-(1-j⁸)⁴ ≈ 0.02 at j=0.5, 0.89 at j=0.9.
+    *
+    * No oracle (xxhash64 minhash isn't reproducible in DuckDB); recall vs
+    * exact Jaccard is property-tested in TextSpec. */
+  private val minhashLsh = CatalogEntry.noOracle("dedup_minhash_lsh") { (spark, sfDir) =>
+    val nHashes = 32
+    val bands = 4
+    val rowsPerBand = nHashes / bands
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    // minhash_i = min over tokens of xxhash64(i, token)
+    val sig = docs.withColumn("sig", array(
+      (0 until nHashes).map(i =>
+        array_min(transform(col("toks"), t => xxhash64(lit(i), t)))): _*))
+    // band b = hash of its rowsPerBand signature slice
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+          col("sig").getItem(b * rowsPerBand + r))): _*)): _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct() // the same pair can collide in several bands
+    val ta = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    candidates.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("jaccard",
+        round(inter * 1.0 / (size(col("toks_a")) + size(col("toks_b")) - inter), 4))
+      .where(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh)
 }

@@ -1,7 +1,99 @@
 package graft.queries
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+import Util._
 
+/** Category L — UDF / UDAF / UDTF extension surface (SURVEY.md §2.1.L).
+  *
+  * One oracle-checked exemplar per extension point. Everywhere else the
+  * engine uses built-ins: a Scala UDF is codegen-opaque (breaks the
+  * WholeStageCodegen span and forces ser/de per row), so the rule at 100 TB
+  * is built-ins > custom Catalyst Expression > UDF — these exemplars grade
+  * the machinery, not a recommendation.
+  */
 object UdfQueries {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  /** Scalar UDF: discounted-price band label. Semantics chosen to be
+    * CASE-expressible so the oracle can mirror it exactly. */
+  private val scalarUdf = CatalogEntry.ansi(
+    "udf_scalar_expr",
+    """SELECT l_orderkey, l_linenumber,
+      |       CASE WHEN l_extendedprice * (1 - l_discount) < 20000 THEN 'low'
+      |            WHEN l_extendedprice * (1 - l_discount) < 60000 THEN 'mid'
+      |            ELSE 'high' END AS band
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, sfDir) =>
+    val band = udf { (price: Double, disc: Double) =>
+      val p = price * (1 - disc)
+      if (p < 20000) "low" else if (p < 60000) "mid" else "high"
+    }
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        band(col("l_extendedprice"), col("l_discount")).as("band"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Typed UDAF via the public Aggregator API: weighted average price over
+    * (extendedprice, quantity). Exact BigDecimal sums in the buffer —
+    * merge order cannot perturb the result — final division pinned to
+    * scale 4 HALF_UP to match the oracle's decimal arithmetic. */
+  private object WeightedAvg
+      extends Aggregator[(java.math.BigDecimal, java.math.BigDecimal),
+                         (java.math.BigDecimal, java.math.BigDecimal),
+                         java.math.BigDecimal] {
+    private val Z = java.math.BigDecimal.ZERO
+    def zero = (Z, Z)
+    def reduce(b: (java.math.BigDecimal, java.math.BigDecimal),
+               a: (java.math.BigDecimal, java.math.BigDecimal)) =
+      (b._1.add(a._1.multiply(a._2)), b._2.add(a._2))
+    def merge(x: (java.math.BigDecimal, java.math.BigDecimal),
+              y: (java.math.BigDecimal, java.math.BigDecimal)) =
+      (x._1.add(y._1), x._2.add(y._2))
+    def finish(r: (java.math.BigDecimal, java.math.BigDecimal)) =
+      if (r._2.signum == 0) null
+      else r._1.divide(r._2, 4, java.math.RoundingMode.HALF_UP)
+    def bufferEncoder: Encoder[(java.math.BigDecimal, java.math.BigDecimal)] =
+      Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
+    def outputEncoder: Encoder[java.math.BigDecimal] = Encoders.DECIMAL
+  }
+
+  private val typedUdaf = CatalogEntry.ansi(
+    "udaf_typed_aggregator",
+    """SELECT l_returnflag,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) /
+      |            SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS wavg_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (spark, sfDir) =>
+      val wavg = udaf(WeightedAvg)
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"))
+        .agg(wavg(dec(col("l_extendedprice")), dec(col("l_quantity")))
+          .cast("decimal(38,4)").as("wavg_price"))
+        .orderBy(col("l_returnflag"))
+  }
+
+  /** Table-generating exemplar: positional token explode (the built-in
+    * Generator path — a custom Generator subclass would slot in the same
+    * way, but posexplode covers the semantics). */
+  private val udtfGenerator = CatalogEntry.dialect(
+    "udtf_generator",
+    duckdb = """SELECT doc_id, pos, token FROM (
+               |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+               |         unnest(string_split(text, ' ')) AS token
+               |  FROM documents
+               |) WHERE doc_id < 100
+               |ORDER BY doc_id, pos""".stripMargin,
+    spark = """SELECT doc_id, pos, token
+              |FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, token) FROM documents)
+              |WHERE doc_id < 100
+              |ORDER BY doc_id, pos""".stripMargin) { (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(scalarUdf, typedUdaf, udtfGenerator)
 }

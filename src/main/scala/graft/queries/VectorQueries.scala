@@ -1,7 +1,170 @@
 package graft.queries
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Category J — vector / similarity operators (SURVEY.md §2.1.J).
+  *
+  * All math in double over `CAST(embedding AS ARRAY<DOUBLE>)`, via
+  * higher-order functions (`zip_with`/`aggregate`/`transform`) — codegen'd
+  * loops, no UDFs. Both engines fold the 64-element arrays left-to-right,
+  * so dot products agree bit-for-bit; ROUND(…,4) guards the residual ulp.
+  *
+  * Scale design: `vec_cosine_knn` broadcasts the query vector (the 100-TB
+  * ANN baseline: one pass, map-side top-k via TakeOrderedAndProject);
+  * `vec_pairwise_topk` blocks the O(n²) self-join by label — the same move
+  * an IVF index makes with centroids-as-labels.
+  */
 object VectorQueries {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  private def vdouble(c: Column): Column = c.cast("array<double>")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** L2 norm per vector (the corpus is unit-norm by construction, so this
+    * doubles as a sanity probe — everything rounds to 1.0). */
+  private val normProject = CatalogEntry.dialect(
+    "vec_norm_project",
+    duckdb = """SELECT vec_id,
+               |       ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2
+               |FROM embeddings ORDER BY vec_id""".stripMargin,
+    spark = """SELECT vec_id,
+              |       ROUND(sqrt(aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)), 4) AS l2
+              |FROM embeddings ORDER BY vec_id""".stripMargin) { (spark, sfDir) =>
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), round(norm(vdouble(col("embedding"))), 4).as("l2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Brute-force cosine top-10 for one query vector — the ANN baseline.
+    * The query vector is a literal (broadcast by construction); ordering on
+    * the rounded sim + vec_id tie-break keeps the cut deterministic. */
+  private val cosineKnn = CatalogEntry.dialect(
+    "vec_cosine_knn",
+    duckdb = """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+               |SELECT e.vec_id,
+               |       ROUND(list_sum(list_transform(range(1, 65), i -> qv[i] * CAST(embedding AS DOUBLE[])[i])) /
+               |             (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+               |              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS sim
+               |FROM embeddings e, q
+               |WHERE e.vec_id <> 0
+               |ORDER BY sim DESC, vec_id
+               |LIMIT 10""".stripMargin,
+    spark = """WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv FROM embeddings WHERE vec_id = 0)
+              |SELECT e.vec_id,
+              |       ROUND(aggregate(zip_with(qv, CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) /
+              |             (sqrt(aggregate(transform(qv, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) *
+              |              sqrt(aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))), 4) AS sim
+              |FROM embeddings e CROSS JOIN q
+              |WHERE e.vec_id <> 0
+              |ORDER BY sim DESC, vec_id
+              |LIMIT 10""".stripMargin) { (spark, sfDir) =>
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") === 0)
+      .select(vdouble(col("embedding")).as("qv"))
+    emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("v", vdouble(col("embedding")))
+      .select(col("vec_id"),
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Top-20 most-similar pairs within each label block (IVF-shaped
+    * blocking: n²/|labels| pairs instead of n²). */
+  private val pairwiseTopk = CatalogEntry.dialect(
+    "vec_pairwise_topk",
+    duckdb = """WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               |p AS (
+               |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               |         ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+               |               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               |                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS sim
+               |  FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+               |)
+               |SELECT label, vec_a, vec_b, sim FROM (
+               |  SELECT label, vec_a, vec_b, sim,
+               |         ROW_NUMBER() OVER (PARTITION BY label ORDER BY sim DESC, vec_a, vec_b) AS rn
+               |  FROM p
+               |) WHERE rn <= 20
+               |ORDER BY label, sim DESC, vec_a, vec_b""".stripMargin,
+    spark = """WITH t AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+              |p AS (
+              |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |         ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) /
+              |               (sqrt(aggregate(transform(a.v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) *
+              |                sqrt(aggregate(transform(b.v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))), 4) AS sim
+              |  FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+              |)
+              |SELECT label, vec_a, vec_b, sim FROM (
+              |  SELECT label, vec_a, vec_b, sim,
+              |         ROW_NUMBER() OVER (PARTITION BY label ORDER BY sim DESC, vec_a, vec_b) AS rn
+              |  FROM p
+              |) WHERE rn <= 20
+              |ORDER BY label, sim DESC, vec_a, vec_b""".stripMargin) { (spark, sfDir) =>
+    val t = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), vdouble(col("embedding")).as("v"))
+    val a = t.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = t.select(col("label").as("label_b"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("sim",
+        round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 20)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("label"), col("sim").desc, col("vec_a"), col("vec_b"))
+  }
+
+  /** Element-wise mean vector per label, emitted long-form (label, pos,
+    * value) so the compare sees flat columns. posexplode ↔ zipped
+    * unnest/generate_subscripts. */
+  private val centroidPerLabel = CatalogEntry.dialect(
+    "vec_centroid_per_label",
+    duckdb = """SELECT label, pos, ROUND(AVG(v), 4) AS c_val FROM (
+               |  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+               |         CAST(unnest(embedding) AS DOUBLE) AS v
+               |  FROM embeddings
+               |)
+               |GROUP BY label, pos
+               |ORDER BY label, pos""".stripMargin,
+    spark = """SELECT label, pos, ROUND(AVG(v), 4) AS c_val
+              |FROM (SELECT label, posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos, v) FROM embeddings)
+              |GROUP BY label, pos
+              |ORDER BY label, pos""".stripMargin) { (spark, sfDir) =>
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(vdouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 4).as("c_val"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  /** Text ⋈ vectors (doc_id = vec_id): per-(label, lang) doc counts + avg
+    * length — the multimodal-columns join pattern. */
+  private val multimodalJoin = CatalogEntry.ansi(
+    "multimodal_join",
+    """SELECT label, lang, COUNT(*) AS n_docs,
+      |       ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |GROUP BY label, lang
+      |ORDER BY label, lang""".stripMargin) { (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir), col("doc_id") === col("vec_id"))
+      .groupBy(col("label"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")) * 1.0 / count(lit(1)), 4).as("avg_chars"))
+      .orderBy(col("label"), col("lang"))
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    normProject, cosineKnn, pairwiseTopk, centroidPerLabel, multimodalJoin)
 }

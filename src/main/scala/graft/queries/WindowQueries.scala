@@ -1,7 +1,173 @@
 package graft.queries
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
 
+/** Category E — window functions (SURVEY.md §2.1.E).
+  *
+  * Every window partitions by a real key (user/customer/nation) so the
+  * single shuffle it costs is hash-distributed across executors; no window
+  * here is ORDER BY over the whole table except `win_range_frame`, whose
+  * global order is the operator's semantics (and which Spark executes as a
+  * single-partition sort — at 100 TB that one becomes a range-partitioned
+  * sort, same API). Rank ties are always broken by a unique key (§2.0.1).
+  */
 object WindowQueries {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  private def byUser = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  private val rowNumber = CatalogEntry.ansi(
+    "win_row_number",
+    """SELECT event_id, user_id,
+      |       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        row_number().over(byUser).cast("long").as("rn"))
+      .orderBy(col("event_id"))
+  }
+
+  /** rank vs dense_rank under real ties (acctbal duplicates exist). Tie rows
+    * get equal ranks in both engines, so no tie-break is needed inside the
+    * window — only in the output order. */
+  private val rankDense = CatalogEntry.ansi(
+    "win_rank_dense",
+    """SELECT c_custkey, c_nationkey,
+      |       RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rk,
+      |       DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drk
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        rank().over(w).cast("long").as("rk"), dense_rank().over(w).cast("long").as("drk"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Gap/delta analysis — previous & next value with defaults. Values pass
+    * through un-arithmetic'd, so raw doubles compare exactly. */
+  private val lagLead = CatalogEntry.ansi(
+    "win_lag_lead",
+    """SELECT event_id, user_id, value,
+      |       LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val,
+      |       LEAD(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_val
+      |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1, 0.0).over(byUser).as("prev_val"),
+        lead(col("value"), 1, 0.0).over(byUser).as("next_val"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Cumulative revenue per customer — decimal running sum, exact. */
+  private val runningSum = CatalogEntry.ansi(
+    "win_running_sum",
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_total
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        decOut(sum(dec(col("o_totalprice"))).over(w)).as("running_total"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** 3-row moving average. Both engines sum the ≤3 frame rows left-to-right
+    * in the frame order; ROUND(…,4) absorbs last-ulp drift. */
+  private val movingAvg = CatalogEntry.ansi(
+    "win_moving_avg",
+    """SELECT event_id, user_id,
+      |       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+      |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    val w = byUser.rowsBetween(-2, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        round(avg(col("value")).over(w), 4).as("ma3"))
+      .orderBy(col("event_id"))
+  }
+
+  /** RANGE frame — peers-inclusive running count by price (ties counted
+    * together, identically in both engines). */
+  private val rangeFrame = CatalogEntry.ansi(
+    "win_range_frame",
+    """SELECT o_orderkey,
+      |       COUNT(*) OVER (ORDER BY o_totalprice
+      |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_or_below
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
+    val w = Window.orderBy(col("o_totalprice"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), count(lit(1)).over(w).as("n_at_or_below"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Quartiles — NTILE needs a total order, so the tie-break on custkey is
+    * load-bearing for determinism. */
+  private val ntileQuartiles = CatalogEntry.ansi(
+    "win_ntile",
+    """SELECT c_custkey,
+      |       NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))).cast("long").as("quartile"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** first/last over the full partition — frame must be explicit (default
+    * frame stops at CURRENT ROW and would make last_value = self). */
+  private val firstLast = CatalogEntry.dialect(
+    "win_first_last",
+    duckdb = """SELECT event_id, user_id,
+               |       first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+               |       last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+               |FROM events ORDER BY event_id""".stripMargin,
+    spark = """SELECT event_id, user_id,
+              |       first(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+              |       last(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+              |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    val w = byUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Top-k per group — the canonical dedup/top pattern: row_number over a
+    * desc window, filter rn ≤ k. At 100 TB this is one hash shuffle on the
+    * group key + per-partition sort; never a global sort. */
+  private val topkPerGroup = CatalogEntry.ansi(
+    "win_topk_per_group",
+    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders
+      |) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("price"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    rowNumber, rankDense, lagLead, runningSum, movingAvg, rangeFrame,
+    ntileQuartiles, firstLast, topkPerGroup)
 }
