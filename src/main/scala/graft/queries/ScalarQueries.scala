@@ -63,15 +63,22 @@ object ScalarQueries {
 
   /** Cross-type casts. Deliberately avoids double→int (Spark truncates,
     * DuckDB rounds) and double→string (formatting differs). */
-  private val casts = CatalogEntry.ansi(
+  private val casts = CatalogEntry.dialect(
     "scalar_casts",
-    """SELECT l_orderkey, l_linenumber,
-      |       CAST(l_orderkey AS INTEGER) AS okey_i,
-      |       CAST(l_linenumber AS DOUBLE) AS ln_d,
-      |       CAST(l_quantity AS DECIMAL(18,4)) AS qty_dec,
-      |       CAST(l_shipdate AS DATE) AS ship_d,
-      |       CAST(l_orderkey AS VARCHAR) AS okey_s
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, sfDir) =>
+    duckdb = """SELECT l_orderkey, l_linenumber,
+               |       CAST(l_orderkey AS INTEGER) AS okey_i,
+               |       CAST(l_linenumber AS DOUBLE) AS ln_d,
+               |       CAST(l_quantity AS DECIMAL(18,4)) AS qty_dec,
+               |       CAST(l_shipdate AS DATE) AS ship_d,
+               |       CAST(l_orderkey AS VARCHAR) AS okey_s
+               |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    spark = """SELECT l_orderkey, l_linenumber,
+              |       CAST(l_orderkey AS INT) AS okey_i,
+              |       CAST(l_linenumber AS DOUBLE) AS ln_d,
+              |       CAST(l_quantity AS DECIMAL(18,4)) AS qty_dec,
+              |       CAST(l_shipdate AS DATE) AS ship_d,
+              |       CAST(l_orderkey AS STRING) AS okey_s
+              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, sfDir) =>
     Tables.lineitem(spark, sfDir)
       .select(
         col("l_orderkey"), col("l_linenumber"),

@@ -42,7 +42,7 @@ object TextQueries {
     "text_corpus_stats",
     """SELECT lang, COUNT(*) AS n_docs,
       |       COUNT(DISTINCT source) AS n_sources,
-      |       ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars
+      |       ROUND(SUM(n_chars) * CAST(1.0 AS DOUBLE) / COUNT(*), 4) AS avg_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (spark, sfDir) =>
     Tables.documents(spark, sfDir)
       .groupBy(col("lang"))
@@ -98,7 +98,7 @@ object TextQueries {
                |  FROM documents
                |)
                |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               |       ROUND(len(list_intersect(a.toks, b.toks)) * 1.0 /
+               |       ROUND(len(list_intersect(a.toks, b.toks)) * CAST(1.0 AS DOUBLE) /
                |             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
                |FROM t a JOIN t b
                |  ON a.lang = b.lang AND a.doc_id < b.doc_id
@@ -109,7 +109,7 @@ object TextQueries {
               |  FROM documents
               |)
               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |       ROUND(size(array_intersect(a.toks, b.toks)) * 1.0 /
+              |       ROUND(size(array_intersect(a.toks, b.toks)) * CAST(1.0 AS DOUBLE) /
               |             (size(a.toks) + size(b.toks) - size(array_intersect(a.toks, b.toks))), 4) AS jaccard
               |FROM t a JOIN t b
               |  ON a.lang = b.lang AND a.doc_id < b.doc_id
@@ -135,21 +135,21 @@ object TextQueries {
   /** MinHash + LSH banding — the O(n) near-dup path for 100 TB.
     *
     * Pipeline (all built-in expressions, codegen'd, fully deterministic):
-    *   1. tokens → 32 minhash values: min over tokens of xxhash64(seed, token)
-    *   2. 4 bands × 8 rows: hash each band's signature slice to a bucket
+    *   1. tokens → 40 minhash values: min over tokens of xxhash64(seed, token)
+    *   2. 5 bands × 8 rows: hash each band's signature slice to a bucket
     *   3. docs sharing (band, bucket) → candidate pairs — a shuffle on the
     *      bucket key, never an all-pairs join; slim (id, id) pairs only
     *   4. re-attach token sets and verify with exact Jaccard, keep ≥ 0.9
     *
     * r=8 rows/band tunes the S-curve for this corpus (74% of pairs exceed
     * 0.5 Jaccard — a lower threshold would emit the quadratic mass):
-    * P(candidate) = 1-(1-j⁸)⁴ ≈ 0.02 at j=0.5, 0.89 at j=0.9.
+    * P(candidate) = 1-(1-j⁸)⁵ ≈ 0.02 at j=0.5, 0.94 at j=0.9.
     *
     * No oracle (xxhash64 minhash isn't reproducible in DuckDB); recall vs
     * exact Jaccard is property-tested in TextSpec. */
   private val minhashLsh = CatalogEntry.noOracle("dedup_minhash_lsh") { (spark, sfDir) =>
-    val nHashes = 32
-    val bands = 4
+    val nHashes = 40
+    val bands = 5
     val rowsPerBand = nHashes / bands
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))

@@ -152,7 +152,7 @@ object VectorQueries {
   private val multimodalJoin = CatalogEntry.ansi(
     "multimodal_join",
     """SELECT label, lang, COUNT(*) AS n_docs,
-      |       ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars
+      |       ROUND(SUM(n_chars) * CAST(1.0 AS DOUBLE) / COUNT(*), 4) AS avg_chars
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |GROUP BY label, lang
       |ORDER BY label, lang""".stripMargin) { (spark, sfDir) =>

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5.3.3 — property tests for the sketch/no-oracle operators and
+  * algebraic invariants. */
+class PropertySpec extends SparkSpecBase {
+
+  test("agg_approx_hll within 5% of exact distinct counts") {
+    val approx = Catalog.byKey("agg_approx_hll").run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"HLL for $k: approx=$a exact=$n (>5% off)")
+    }
+  }
+
+  test("dedup_minhash_lsh recall >= 0.9 against exact Jaccard >= 0.9 pairs") {
+    val lsh = Catalog.byKey("dedup_minhash_lsh").run(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact >= 0.9 pairs over ALL pairs (no blocking — ground truth)
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val a = t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val exact = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("j", inter * 1.0 / (size(col("toks_a")) + size(col("toks_b")) - inter))
+      .where(col("j") >= 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "ground truth unexpectedly empty")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (|exact|=${exact.size}, |lsh|=${lsh.size})")
+    // precision is 1.0 by construction (candidates are verified exactly)
+    assert((lsh -- exact).isEmpty, "LSH emitted a pair below the threshold")
+  }
+
+  test("etl_dedup_latest is idempotent (f(f(x)) == f(x))") {
+    val once = Catalog.byKey("etl_dedup_latest").run(spark, sfDir)
+    once.createOrReplaceTempView("events_deduped")
+    // re-apply the same keep-latest over the already-deduped view
+    val twice = spark.sql(
+      """SELECT user_id, event_id, ts, event_type FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events_deduped
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin)
+    assert(rowsOf(once) == rowsOf(twice))
+  }
+
+  test("FK join preserves fact cardinality (orders ⋈ customer)") {
+    val o = Tables.orders(spark, sfDir)
+    val joined = o.join(Tables.customer(spark, sfDir),
+      col("o_custkey") === col("c_custkey"))
+    assert(joined.count() == o.count())
+  }
+
+  test("win_running_sum final row per partition equals the group sum") {
+    val rs = Catalog.byKey("win_running_sum").run(spark, sfDir)
+    val lastPerCust = rs.groupBy(col("o_custkey"))
+      .agg(max(col("running_total")).as("final_total"))
+    val direct = Tables.orders(spark, sfDir).groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("decimal(18,4)").as("direct_total"))
+    val mismatches = lastPerCust.join(direct, "o_custkey")
+      .where(col("final_total") =!= col("direct_total")).count()
+    assert(mismatches == 0)
+  }
+
+  test("set-op algebra: A union A distinct = A; A except A = empty") {
+    val a = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    assert(a.union(a).distinct().count() == a.count())
+    assert(a.except(a).count() == 0)
+  }
+
+  test("etl_quality_audit reports zero violations on the clean corpus") {
+    val audit = Catalog.byKey("etl_quality_audit").run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit("orders_null_custkey") == 0)
+    assert(audit("lineitem_bad_discount") == 0)
+    assert(audit("lineitem_orphan_orders") == 0)
+    assert(audit("orders_orphan_customer") == 0)
+    assert(audit("lineitem_rows") > 0 && audit("orders_rows") > 0)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5.3.5 — streaming/batch equivalence: the Structured Streaming
+  * paths under Trigger.AvailableNow must equal their batch twins. */
+class StreamSpec extends SparkSpecBase {
+
+  test("stream_dedup_watermark equals batch dropDuplicates") {
+    val streamed = Catalog.byKey("stream_dedup_watermark").run(spark, sfDir)
+      .select("event_id").orderBy("event_id")
+    val batch = Tables.events(spark, sfDir)
+      .dropDuplicates("event_id")
+      .select("event_id").orderBy("event_id")
+    assert(rowsOf(streamed) == rowsOf(batch))
+  }
+
+  test("stream_late_data final windows match batch for closed windows") {
+    // with AvailableNow over a static source, append mode emits exactly the
+    // windows the final watermark passed; every emitted window must agree
+    // with the batch aggregation
+    val streamed = Catalog.byKey("stream_late_data").run(spark, sfDir)
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (w, n) =>
+      assert(batch.get(w).contains(n), s"window $w: streamed=$n batch=${batch.get(w)}")
+    }
+  }
+
+  test("stream_foreachbatch_upsert target equals whole-input profile") {
+    val merged = Catalog.byKey("stream_foreachbatch_upsert").run(spark, sfDir)
+      .select("user_id", "n_events", "last_seen").orderBy("user_id")
+    // AvailableNow may process in one or more micro-batches; the additive
+    // merge must converge to the global per-user profile either way
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_seen"))
+      .orderBy("user_id")
+    assert(rowsOf(merged) == rowsOf(batch))
+  }
+
+  test("stream_tumbling_agg batch twin equals a streaming run of same logic") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_streamspec_src"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_streamspec_ckpt"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(tmp)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val q = spark.readStream.schema(schema).parquet(tmp)
+      .groupBy(window(col("ts"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("n"))
+      .writeStream.format("memory").queryName("tumbling_twin")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("tumbling_twin").orderBy("win_start")
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toSeq
+    val batch = Catalog.byKey("stream_tumbling_agg").run(spark, sfDir)
+      .select("win_start", "n")
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toSeq
+    assert(streamed == batch)
+  }
+}
