@@ -48,7 +48,8 @@ object Catalog {
     graft.queries.TextQueries.entries ++
     graft.queries.VectorQueries.entries ++
     graft.queries.StreamQueries.entries ++
-    graft.queries.UdfQueries.entries
+    graft.queries.UdfQueries.entries ++
+    graft.queries.MultimodalQueries.entries
 
   lazy val byKey: Map[String, CatalogEntry] = {
     val m = all.map(e => e.key -> e).toMap

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * The built-in route (`zip_with` + `aggregate` + `transform`) is correct
+  * but each higher-order function materializes an intermediate array and
+  * evaluates its lambda through interpreted variable binding — three array
+  * traversals and per-element overhead per pair. For the O(n²/blocks)
+  * pairwise operators that overhead IS the runtime, so this is the one
+  * place the engine drops to a custom `Expression` with `doGenCode`
+  * (SURVEY.md §7.2): a single fused loop computing dot product and both
+  * norms in one pass, fully inside whole-stage codegen.
+  *
+  * Determinism: the loop accumulates left-to-right in double, exactly like
+  * the sequential fold of `aggregate(zip_with(...))` — swapping one for the
+  * other cannot change a single bit of output.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // callers guarantee ARRAY<DOUBLE> inputs (ExpectsInputTypes is
+  // private[sql] in Spark 4, so coercion is the caller's job)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused dot product — same single-pass shape as [[CosineSimilarity]]. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Runtime registration — works on ANY session handed to us (the driver
+  * builds its own SparkSession, so a spark.sql.extensions config line is
+  * not guaranteed; imperative registry insertion is). Idempotent. */
+object VectorFunctions {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val cosId = FunctionIdentifier("cosine_sim")
+    if (!reg.functionExists(cosId)) {
+      reg.registerFunction(cosId,
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+        (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+    }
+    val dotId = FunctionIdentifier("dot_product")
+    if (!reg.functionExists(dotId)) {
+      reg.registerFunction(dotId,
+        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    }
+  }
+}

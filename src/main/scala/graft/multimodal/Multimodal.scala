@@ -1,0 +1,146 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a large-scale training-data pipeline.
+  *
+  * Design: image/audio/video payloads are opaque `BINARY` columns riding
+  * next to typed metadata — the table schema below is the contract. All
+  * per-asset compute (decode, feature-extract, resize, frame-sample) runs
+  * as `mapPartitions` over the binary column: one task per partition, zero
+  * shuffles, which is exactly how this scales to 100 TB of media (the
+  * bytes never leave the executor that scanned them; only small features /
+  * metadata flow onward).
+  *
+  * The actual codec step is STUBBED (this container ships no image/audio
+  * libraries): `StubDecoder` parses the deterministic fake header produced
+  * by `synthesizeAssets` and emits byte-level features. The Spark-side
+  * plumbing — schema, binary encoding, partition-wise batch loop, feature
+  * schema — is real and is what the tests exercise; swapping `StubDecoder`
+  * for javacv/ffmpeg is a one-object change.
+  */
+object Multimodal {
+
+  /** The multimodal table contract: opaque payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image | audio | video
+    StructField("content", BinaryType, nullable = false),    // opaque payload
+    StructField("meta", StructType(Seq(                      // typed metadata
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("sample_rate", IntegerType))), nullable = false)))
+
+  /** Deterministic synthetic assets derived from the documents corpus (no
+    * media files ship with the testdata): payload = 16-byte fake header
+    * (magic, width, height, n_frames) + the document text bytes. Every
+    * field is a pure function of (doc_id, text), so the corpus is stable
+    * across runs and engines. */
+  def synthesizeAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    docs.select(
+        col("doc_id").as("asset_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text"), col("n_chars"))
+      .withColumn("width",  (col("asset_id") % 64 + 16).cast("int"))
+      .withColumn("height", (col("asset_id") % 48 + 16).cast("int"))
+      .withColumn("n_frames", (col("asset_id") % 8 + 1).cast("int"))
+      .withColumn("sample_rate", lit(16000))
+      .withColumn("content", concat(
+        // 16-byte header: 'GRFT' ++ 3 × int32 (big-endian via overflow-free
+        // small domains)
+        encode(lit("GRFT"), "UTF-8"),
+        encode(lpad(col("width").cast("string"), 4, "0"), "UTF-8"),
+        encode(lpad(col("height").cast("string"), 4, "0"), "UTF-8"),
+        encode(lpad(col("n_frames").cast("string"), 4, "0"), "UTF-8"),
+        encode(col("text"), "UTF-8")))
+      .select(col("asset_id"), col("media_type"), col("content"),
+        struct(col("width"), col("height"), col("n_frames"), col("sample_rate")).as("meta"))
+  }
+
+  /** The stubbed codec: parses the fake header and derives features from
+    * raw bytes. Swap this object for a real decoder (javacv, soundfile)
+    * to process genuine media — the pipeline around it is unchanged. */
+  object StubDecoder {
+    final case class Decoded(
+        width: Int, height: Int, nFrames: Int,
+        byteHistogram: Array[Long], payloadBytes: Int)
+
+    def decode(content: Array[Byte]): Decoded = {
+      require(content.length >= 16, "truncated header")
+      require(new String(content, 0, 4, "UTF-8") == "GRFT", "bad magic")
+      def intAt(off: Int) = new String(content, off, 4, "UTF-8").toInt
+      val hist = new Array[Long](8) // 8 coarse bins over byte values
+      var i = 16
+      while (i < content.length) {
+        hist((content(i) & 0xFF) >> 5) += 1
+        i += 1
+      }
+      Decoded(intAt(4), intAt(8), intAt(12), hist, content.length - 16)
+    }
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("payload_bytes", IntegerType, nullable = false),
+    StructField("byte_hist", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** Decode + feature-extract, partition-wise (the mapInPandas analog):
+    * each task iterates its partition's binary payloads once and emits the
+    * small feature rows. */
+  def decodeFeatures(assets: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    assets.select("asset_id", "media_type", "content")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = StubDecoder.decode(r.getAs[Array[Byte]]("content"))
+          Row(r.getLong(0), r.getString(1), d.width, d.height, d.nFrames,
+            d.payloadBytes, d.byteHistogram.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Frame-sampling analog: chop the payload into fixed 64-byte frames and
+    * keep every `stride`-th — emitted long-form (asset_id, frame_idx,
+    * frame_bytes). At scale this is the shape that feeds a training
+    * shard-writer. */
+  def sampleFrames(assets: DataFrame, frameSize: Int = 64, stride: Int = 2): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_bytes", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    assets.select("asset_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val content = r.getAs[Array[Byte]]("content")
+        val payload = content.length - 16
+        val nFrames = (payload + frameSize - 1) / frameSize
+        (0 until nFrames by stride).iterator.map { f =>
+          val sz = math.min(frameSize, payload - f * frameSize)
+          Row(r.getLong(0), f, sz)
+        }
+      }
+    }(enc)
+  }
+
+  /** "Resize" analog on the stub: recompute target dims preserving aspect
+    * ratio — pure metadata math, the real version would transcode bytes in
+    * the same mapPartitions slot. */
+  def resizeMeta(assets: DataFrame, maxDim: Int = 32): DataFrame =
+    assets.select(col("asset_id"),
+        col("meta.width").as("w"), col("meta.height").as("h"))
+      .withColumn("scale",
+        least(lit(1.0), lit(maxDim) / greatest(col("w"), col("h"))))
+      .select(col("asset_id"),
+        floor(col("w") * col("scale")).cast("int").as("new_w"),
+        floor(col("h") * col("scale")).cast("int").as("new_h"))
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.{CatalogEntry, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Category M — multimodal binary columns (SURVEY.md §2.1.I north-star
+  * extension; see [[graft.multimodal.Multimodal]] for the design).
+  *
+  * The two oracle-checked entries exercise the binary column type end to
+  * end in SQL terms (encode → BLOB → octet_length; metadata arithmetic);
+  * the mapPartitions decode/frame paths are no-oracle (binary features are
+  * not DuckDB-expressible) and are property-tested in MultimodalSpec.
+  */
+object MultimodalQueries {
+
+  /** Binary payload stats per media type — the payload is synthesized
+    * identically in both engines (UTF-8 bytes of the document text), so
+    * BLOB lengths are comparable. */
+  private val binaryStats = CatalogEntry.dialect(
+    "mm_binary_stats",
+    duckdb = """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+               |            WHEN doc_id % 3 = 1 THEN 'audio'
+               |            ELSE 'video' END AS media_type,
+               |       COUNT(*) AS n_assets,
+               |       CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
+               |       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+               |FROM documents
+               |GROUP BY media_type ORDER BY media_type""".stripMargin,
+    spark = """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              |            WHEN doc_id % 3 = 1 THEN 'audio'
+              |            ELSE 'video' END AS media_type,
+              |       COUNT(*) AS n_assets,
+              |       SUM(CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT)) AS total_bytes,
+              |       CAST(MAX(octet_length(encode(text, 'UTF-8'))) AS BIGINT) AS max_bytes
+              |FROM documents
+              |GROUP BY media_type ORDER BY media_type""".stripMargin) { (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("media_type",
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video"))
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(octet_length(col("payload")).cast("long")).as("total_bytes"),
+        max(octet_length(col("payload"))).cast("long").as("max_bytes"))
+      .orderBy(col("media_type"))
+  }
+
+  /** Resize metadata math (aspect-preserving fit into 32px) — pure typed
+    * arithmetic over the asset metadata, oracle-checked; the byte-level
+    * transcode would ride the same mapPartitions slot as the decoder. */
+  private val resizeMeta = CatalogEntry.ansi(
+    "mm_resize_meta",
+    """SELECT doc_id AS asset_id,
+      |       CAST(floor((doc_id % 64 + 16) * least(CAST(1.0 AS DOUBLE),
+      |            32 / CAST(greatest(doc_id % 64 + 16, doc_id % 48 + 16) AS DOUBLE))) AS INTEGER) AS new_w,
+      |       CAST(floor((doc_id % 48 + 16) * least(CAST(1.0 AS DOUBLE),
+      |            32 / CAST(greatest(doc_id % 64 + 16, doc_id % 48 + 16) AS DOUBLE))) AS INTEGER) AS new_h
+      |FROM documents ORDER BY asset_id""".stripMargin) { (spark, sfDir) =>
+    Multimodal.resizeMeta(Multimodal.synthesizeAssets(spark, sfDir), maxDim = 32)
+      .orderBy(col("asset_id"))
+  }
+
+  /** mapPartitions decode + feature extraction over the binary payloads
+    * (stubbed codec, real plumbing). Emits flattened features; the array
+    * histogram is stringified for a flat, stable output. */
+  private val decodeFeatures = CatalogEntry.noOracle("mm_decode_features") {
+    (spark, sfDir) =>
+      Multimodal.decodeFeatures(Multimodal.synthesizeAssets(spark, sfDir))
+        .withColumn("byte_hist", array_join(col("byte_hist"), ","))
+        .orderBy(col("asset_id"))
+  }
+
+  /** Frame sampling (every 2nd 64-byte frame) — the shard-feeder shape. */
+  private val frameSample = CatalogEntry.noOracle("mm_frame_sample") { (spark, sfDir) =>
+    Multimodal.sampleFrames(Multimodal.synthesizeAssets(spark, sfDir))
+      .orderBy(col("asset_id"), col("frame_idx"))
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(binaryStats, resizeMeta, decodeFeatures, frameSample)
+}

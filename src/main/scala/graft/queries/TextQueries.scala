@@ -180,6 +180,165 @@ object TextQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** n-gram-profile language ID: build a top-20-token profile per lang from
+    * the corpus itself, score each doc by profile overlap, pick the
+    * best-scoring lang (ties broken by lang asc so the pick is total).
+    * Two shuffles: token counts, then the profile semi-join — no per-doc
+    * profile scan, so the shape holds at corpus scale. */
+  private val langId = CatalogEntry.dialect(
+    "text_lang_id",
+    duckdb = """WITH tok AS (
+               |  SELECT doc_id, lang AS true_lang, unnest(list_distinct(string_split(text, ' '))) AS token
+               |  FROM documents
+               |), prof AS (
+               |  SELECT lang, token FROM (
+               |    SELECT lang, token, COUNT(*) AS cnt,
+               |           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, token) AS rn
+               |    FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+               |    GROUP BY lang, token
+               |  ) WHERE rn <= 20
+               |), score AS (
+               |  SELECT t.doc_id, p.lang, COUNT(*) AS overlap
+               |  FROM tok t JOIN prof p ON t.token = p.token
+               |  GROUP BY t.doc_id, p.lang
+               |)
+               |SELECT doc_id, lang AS pred_lang FROM (
+               |  SELECT doc_id, lang,
+               |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, lang) AS rn
+               |  FROM score
+               |) WHERE rn = 1
+               |ORDER BY doc_id""".stripMargin,
+    spark = """WITH tok AS (
+              |  SELECT doc_id, lang AS true_lang, explode(array_distinct(split(text, ' '))) AS token
+              |  FROM documents
+              |), prof AS (
+              |  SELECT lang, token FROM (
+              |    SELECT lang, token, COUNT(*) AS cnt,
+              |           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, token) AS rn
+              |    FROM (SELECT lang, explode(split(text, ' ')) AS token FROM documents)
+              |    GROUP BY lang, token
+              |  ) WHERE rn <= 20
+              |), score AS (
+              |  SELECT t.doc_id, p.lang, COUNT(*) AS overlap
+              |  FROM tok t JOIN prof p ON t.token = p.token
+              |  GROUP BY t.doc_id, p.lang
+              |)
+              |SELECT doc_id, lang AS pred_lang FROM (
+              |  SELECT doc_id, lang,
+              |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, lang) AS rn
+              |  FROM score
+              |) WHERE rn = 1
+              |ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val prof = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("token"))))
+      .where(col("rn") <= 20)
+      .select(col("lang"), col("token"))
+    val score = tok.join(prof, "token")
+      .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("overlap"))
+    score
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("overlap").desc, col("lang"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic quality score: token count, vocabulary richness (distinct
+    * ratio), mean token length — the classic pre-training-corpus filters.
+    * Integer-derived doubles with identical operand order on both sides. */
+  private val qualityScore = CatalogEntry.dialect(
+    "text_quality_score",
+    duckdb = """SELECT doc_id,
+               |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               |       ROUND(len(list_distinct(string_split(text, ' '))) * CAST(1.0 AS DOUBLE)
+               |             / len(string_split(text, ' ')), 4) AS distinct_ratio,
+               |       ROUND((n_chars - len(string_split(text, ' ')) + 1) * CAST(1.0 AS DOUBLE)
+               |             / len(string_split(text, ' ')), 4) AS avg_token_len,
+               |       CASE WHEN len(string_split(text, ' ')) >= 20
+               |             AND len(list_distinct(string_split(text, ' '))) * CAST(1.0 AS DOUBLE)
+               |                 / len(string_split(text, ' ')) >= 0.3
+               |            THEN 1 ELSE 0 END AS keep_flag
+               |FROM documents ORDER BY doc_id""".stripMargin,
+    spark = """SELECT doc_id,
+              |       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+              |       ROUND(size(array_distinct(split(text, ' '))) * CAST(1.0 AS DOUBLE)
+              |             / size(split(text, ' ')), 4) AS distinct_ratio,
+              |       ROUND((n_chars - size(split(text, ' ')) + 1) * CAST(1.0 AS DOUBLE)
+              |             / size(split(text, ' ')), 4) AS avg_token_len,
+              |       CASE WHEN size(split(text, ' ')) >= 20
+              |             AND size(array_distinct(split(text, ' '))) * CAST(1.0 AS DOUBLE)
+              |                 / size(split(text, ' ')) >= 0.3
+              |            THEN 1 ELSE 0 END AS keep_flag
+              |FROM documents ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val distinctRatio = size(array_distinct(toks)) * lit(1.0) / nTok
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        round(distinctRatio, 4).as("distinct_ratio"),
+        round((col("n_chars") - nTok + 1) * lit(1.0) / nTok, 4).as("avg_token_len"),
+        when(nTok >= 20 && distinctRatio >= 0.3, 1).otherwise(0).as("keep_flag"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting two ways: whitespace words and a BPE-ish greedy regex
+    * chunking (≤4 lowercase chars per piece) — the cheap proxy for "how
+    * many subword tokens will this doc cost". */
+  private val tokenCount = CatalogEntry.dialect(
+    "text_token_count",
+    duckdb = """SELECT doc_id,
+               |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               |       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_pieces
+               |FROM documents ORDER BY doc_id""".stripMargin,
+    spark = """SELECT doc_id,
+              |       CAST(size(split(text, ' ')) AS BIGINT) AS n_words,
+              |       CAST(size(regexp_extract_all(text, '[a-z]{1,4}', 0)) AS BIGINT) AS n_bpe_pieces
+              |FROM documents ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+          .cast("long").as("n_bpe_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprinting: md5 of the raw text (exact-dup key) and md5 of
+    * the sorted distinct token set (order/multiplicity-insensitive near-dup
+    * key), plus each fingerprint's duplicate-group size. At 100 TB this is
+    * the first-pass dedup: one hash per doc, one shuffle per fingerprint. */
+  private val fingerprint = CatalogEntry.dialect(
+    "text_fingerprint",
+    duckdb = """SELECT doc_id,
+               |       md5(text) AS content_fp,
+               |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS shingle_fp,
+               |       COUNT(*) OVER (PARTITION BY md5(text)) AS exact_dups,
+               |       COUNT(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS shingle_dups
+               |FROM documents ORDER BY doc_id""".stripMargin,
+    spark = """SELECT doc_id,
+              |       md5(text) AS content_fp,
+              |       md5(array_join(sort_array(array_distinct(split(text, ' '))), ' ')) AS shingle_fp,
+              |       COUNT(*) OVER (PARTITION BY md5(text)) AS exact_dups,
+              |       COUNT(*) OVER (PARTITION BY md5(array_join(sort_array(array_distinct(split(text, ' '))), ' '))) AS shingle_dups
+              |FROM documents ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    val contentFp = md5(col("text"))
+    val shingleFp = md5(array_join(sort_array(array_distinct(split(col("text"), " "))), " "))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        contentFp.as("content_fp"),
+        shingleFp.as("shingle_fp"),
+        count(lit(1)).over(Window.partitionBy(contentFp)).as("exact_dups"),
+        count(lit(1)).over(Window.partitionBy(shingleFp)).as("shingle_dups"))
+      .orderBy(col("doc_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh)
+    tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
+    langId, qualityScore, tokenCount, fingerprint)
 }

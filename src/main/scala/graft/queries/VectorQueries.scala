@@ -1,16 +1,19 @@
 package graft.queries
 
 import graft.{CatalogEntry, Tables}
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Category J — vector / similarity operators (SURVEY.md §2.1.J).
   *
-  * All math in double over `CAST(embedding AS ARRAY<DOUBLE>)`, via
-  * higher-order functions (`zip_with`/`aggregate`/`transform`) — codegen'd
-  * loops, no UDFs. Both engines fold the 64-element arrays left-to-right,
-  * so dot products agree bit-for-bit; ROUND(…,4) guards the residual ulp.
+  * All math in double over `CAST(embedding AS ARRAY<DOUBLE>)`. The hot
+  * pairwise paths use the native codegen'd [[graft.functions.CosineSimilarity]]
+  * expression (one fused loop per pair); `vec_norm_project` keeps the
+  * higher-order-function formulation to exercise that surface too. Both
+  * engines fold the 64-element arrays left-to-right, so dot products agree
+  * bit-for-bit; ROUND(…,4) guards the residual ulp.
   *
   * Scale design: `vec_cosine_knn` broadcasts the query vector (the 100-TB
   * ANN baseline: one pass, map-side top-k via TakeOrderedAndProject);
@@ -65,14 +68,14 @@ object VectorQueries {
               |WHERE e.vec_id <> 0
               |ORDER BY sim DESC, vec_id
               |LIMIT 10""".stripMargin) { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.where(col("vec_id") === 0)
       .select(vdouble(col("embedding")).as("qv"))
     emb.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .withColumn("v", vdouble(col("embedding")))
-      .select(col("vec_id"),
-        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 4).as("sim"))
+      .select(col("vec_id"), round(expr("cosine_sim(qv, v)"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -109,6 +112,7 @@ object VectorQueries {
               |  FROM p
               |) WHERE rn <= 20
               |ORDER BY label, sim DESC, vec_a, vec_b""".stripMargin) { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
     val t = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), vdouble(col("embedding")).as("v"))
     val a = t.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
@@ -116,8 +120,7 @@ object VectorQueries {
     val w = Window.partitionBy(col("label"))
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
     a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
-      .withColumn("sim",
-        round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 4))
+      .withColumn("sim", round(expr("cosine_sim(va, vb)"), 4))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 20)
       .select(col("label"), col("vec_a"), col("vec_b"), col("sim"))
@@ -165,6 +168,73 @@ object VectorQueries {
       .orderBy(col("label"), col("lang"))
   }
 
+  /** Embedding-cosine near-duplicate detection: pairs with rounded cosine
+    * ≥ 0.995 inside label blocks — the vector-space twin of the text
+    * near-dup operators, same blocked-join scale shape. */
+  private val dedupEmbedding = CatalogEntry.dialect(
+    "dedup_embedding_cosine",
+    duckdb = """WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+               |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               |       ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+               |             (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               |              sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS sim
+               |FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+               |WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+               |            (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               |             sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) >= 0.995
+               |ORDER BY vec_a, vec_b""".stripMargin,
+    spark = """WITH t AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+              |p AS (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |         ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) /
+              |               (sqrt(aggregate(transform(a.v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) *
+              |                sqrt(aggregate(transform(b.v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))), 4) AS sim
+              |  FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+              |)
+              |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.995
+              |ORDER BY vec_a, vec_b""".stripMargin) { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
+    val t = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), vdouble(col("embedding")).as("v"))
+    val a = t.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = t.select(col("label").as("label_b"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(expr("cosine_sim(va, vb)"), 4))
+      .where(col("sim") >= 0.995)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** IVF-style ANN: labels act as the coarse quantizer (the real system
+    * would k-means its own centroids — same plan shape). Probe order:
+    * 1. per-label centroids (tiny — collected to the driver),
+    * 2. rank centroids against the query, keep nprobe=3,
+    * 3. scan ONLY those labels' vectors for the top-10.
+    * At 100 TB the label partitioning prunes ~70% of the scan here, and
+    * more with more cells; recall vs brute force is property-tested. */
+  private val ivfKnn = CatalogEntry.noOracle("vec_ivf_knn") { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), vdouble(col("embedding")).as("v"))
+    val centroids = emb.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), expr("transform(pc, p -> p.c)").as("cv"))
+    val q = emb.where(col("vec_id") === 0).select(col("v").as("qv"))
+    val probeLabels = centroids.crossJoin(broadcast(q))
+      .select(col("label"), expr("cosine_sim(cv, qv)").as("csim"))
+      .orderBy(col("csim").desc, col("label"))
+      .limit(3)
+      .collect().map(_.getInt(0)).toSeq
+    emb.where(col("vec_id") =!= 0 && col("label").isin(probeLabels: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(expr("cosine_sim(v, qv)"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    normProject, cosineKnn, pairwiseTopk, centroidPerLabel, multimodalJoin)
+    normProject, cosineKnn, pairwiseTopk, centroidPerLabel, multimodalJoin,
+    dedupEmbedding, ivfKnn)
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** The native codegen'd vector expressions must agree bit-for-bit with the
+  * built-in higher-order-function formulation they replace. */
+class FunctionSpec extends SparkSpecBase {
+
+  private def emb = {
+    VectorFunctions.ensureRegistered(spark)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
+
+  test("cosine_sim matches the zip_with/aggregate formulation exactly") {
+    val hofDot = aggregate(zip_with(col("v"), col("v2"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    def hofNorm(c: org.apache.spark.sql.Column) =
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val pairs = emb.limit(50)
+      .crossJoin(emb.limit(50).select(col("vec_id").as("vec_id2"), col("v").as("v2")))
+    val diff = pairs
+      .withColumn("native", expr("cosine_sim(v, v2)"))
+      .withColumn("hof", hofDot / (hofNorm(col("v")) * hofNorm(col("v2"))))
+      .where(col("native") =!= col("hof")) // bit-exact, not approximate
+      .count()
+    assert(diff == 0)
+  }
+
+  test("dot_product matches zip_with/aggregate exactly") {
+    val pairs = emb.limit(50)
+      .crossJoin(emb.limit(50).select(col("vec_id").as("vec_id2"), col("v").as("v2")))
+    val diff = pairs
+      .withColumn("native", expr("dot_product(v, v2)"))
+      .withColumn("hof", aggregate(zip_with(col("v"), col("v2"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x))
+      .where(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("cosine_sim propagates nulls") {
+    VectorFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d, 2.0d)) AS s").collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("cosine_sim of a unit vector with itself is 1.0") {
+    val r = emb.withColumn("s", expr("cosine_sim(v, v)"))
+      .where(abs(col("s") - 1.0) > 1e-9).count()
+    assert(r == 0)
+  }
+}

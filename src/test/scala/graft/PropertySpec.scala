@@ -80,6 +80,19 @@ class PropertySpec extends SparkSpecBase {
     assert(a.except(a).count() == 0)
   }
 
+  test("vec_ivf_knn recall vs brute-force top-10") {
+    val ivf = Catalog.byKey("vec_ivf_knn").run(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = Catalog.byKey("vec_cosine_knn").run(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 10 && brute.size == 10)
+    val recall = (ivf & brute).size.toDouble / brute.size
+    // labels-as-cells with nprobe 3/10: the true neighbours concentrate in
+    // the query's own cell; anything under half overlap means the probe
+    // ranking or the in-cell scan is broken
+    assert(recall >= 0.5, s"IVF recall $recall too low (ivf=$ivf, brute=$brute)")
+  }
+
   test("etl_quality_audit reports zero violations on the clean corpus") {
     val audit = Catalog.byKey("etl_quality_audit").run(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
