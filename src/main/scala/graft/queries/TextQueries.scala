@@ -134,49 +134,173 @@ object TextQueries {
 
   /** MinHash + LSH banding — the O(n) near-dup path for 100 TB.
     *
-    * Pipeline (all built-in expressions, codegen'd, fully deterministic):
-    *   1. tokens → 40 minhash values: min over tokens of xxhash64(seed, token)
-    *   2. 5 bands × 8 rows: hash each band's signature slice to a bucket
-    *   3. docs sharing (band, bucket) → candidate pairs — a shuffle on the
-    *      bucket key, never an all-pairs join; slim (id, id) pairs only
-    *   4. re-attach token sets and verify with exact Jaccard, keep ≥ 0.9
+    * Canonicalize-first: the corpus carries large exact-clone groups (248
+    * docs share one token set at sf0.1), and clone groups hit the same LSH
+    * bucket in every band, re-deriving the same quadratic pairs five
+    * times. So the pipeline dedups to one representative per distinct
+    * token set (md5 shingle fingerprint), runs MinHash+LSH over the
+    * representatives only, and expands verified representative pairs back
+    * to member pairs with plain joins:
     *
-    * r=8 rows/band tunes the S-curve for this corpus (74% of pairs exceed
-    * 0.5 Jaccard — a lower threshold would emit the quadratic mass):
-    * P(candidate) = 1-(1-j⁸)⁵ ≈ 0.02 at j=0.5, 0.94 at j=0.9.
+    *   1. fp = md5(sorted distinct tokens); rep = min(doc_id) per fp
+    *   2. reps → 40 minhashes (min over tokens of xxhash64(seed, token)),
+    *      5 bands × 8 rows → bucket join → rep candidate pairs
+    *   3. verify reps with exact Jaccard, keep ≥ 0.9
+    *   4. output = intra-group pairs (Jaccard exactly 1.0, recall 1.0 by
+    *      construction) ∪ cross-group expansion of verified rep pairs
     *
-    * No oracle (xxhash64 minhash isn't reproducible in DuckDB); recall vs
-    * exact Jaccard is property-tested in TextSpec. */
+    * P(rep-pair candidate) = 1-(1-j⁸)⁵ ≈ 0.02 at j=0.5, 0.94 at j=0.9.
+    * No oracle (xxhash64 minhash isn't reproducible in DuckDB); recall and
+    * precision are property-tested in PropertySpec.
+    */
   private val minhashLsh = CatalogEntry.noOracle("dedup_minhash_lsh") { (spark, sfDir) =>
     val nHashes = 40
     val bands = 5
     val rowsPerBand = nHashes / bands
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-    // minhash_i = min over tokens of xxhash64(i, token)
-    val sig = docs.withColumn("sig", array(
+      .withColumn("fp", md5(array_join(sort_array(col("toks")), " ")))
+    // members and reps feed several joins below; they are tiny relative to
+    // the corpus (one row per doc / per distinct token set), so caching
+    // them is the at-scale move too — without it Spark re-derives the
+    // canonicalization once per consumer subtree.
+    val members = docs.select(col("fp"), col("doc_id")).cache()
+    val reps = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
+      .join(docs.select(col("doc_id").as("rep_id"), col("toks")), "rep_id")
+      .cache()
+    // minhash signature per representative
+    val sig = reps.withColumn("sig", array(
       (0 until nHashes).map(i =>
         array_min(transform(col("toks"), t => xxhash64(lit(i), t)))): _*))
-    // band b = hash of its rowsPerBand signature slice
     val banded = sig.select(
-      col("doc_id"),
+      col("fp"),
       posexplode(array((0 until bands).map(b =>
         xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
           col("sig").getItem(b * rowsPerBand + r))): _*)): _*)).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val l = banded.select(col("band"), col("bucket"), col("fp").as("fp_a"))
+    val r = banded.select(col("band"), col("bucket"), col("fp").as("fp_b"))
     val candidates = l.join(r, Seq("band", "bucket"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct() // the same pair can collide in several bands
-    val ta = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val tb = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      .where(col("fp_a") < col("fp_b"))
+      .select(col("fp_a"), col("fp_b"))
+      .distinct()
+    val ta = reps.select(col("fp").as("fp_a"), col("toks").as("toks_a"))
+    val tb = reps.select(col("fp").as("fp_b"), col("toks").as("toks_b"))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-    candidates.join(ta, "doc_a").join(tb, "doc_b")
+    val repPairs = candidates.join(ta, "fp_a").join(tb, "fp_b")
       .withColumn("jaccard",
         round(inter * 1.0 / (size(col("toks_a")) + size(col("toks_b")) - inter), 4))
       .where(col("jaccard") >= 0.9)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("fp_a"), col("fp_b"), col("jaccard"))
+    // intra-group: identical token sets, Jaccard exactly 1.0
+    val ma = members.select(col("fp"), col("doc_id").as("doc_a"))
+    val mb = members.select(col("fp"), col("doc_id").as("doc_b"))
+    val intra = ma.join(mb, "fp").where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    // cross-group: every member combination inherits the set-level Jaccard
+    val cross = repPairs
+      .join(members.select(col("fp").as("fp_a"), col("doc_id").as("id_a")), "fp_a")
+      .join(members.select(col("fp").as("fp_b"), col("doc_id").as("id_b")), "fp_b")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
+    intra.unionByName(cross).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup: 64-bit sign-of-sums fingerprint over token hashes.
+    * The bit sums come from ONE explode + groupBy pass (64 conditional
+    * sums in a single aggregation — not 64 array traversals); candidates
+    * from 16-bit block collisions (a pair within Hamming distance 3 must
+    * agree on at least one of the 4 blocks), verified by bit_count(xor).
+    * Fully deterministic; no oracle (xxhash64). Identical token sets ⇒
+    * identical fingerprints ⇒ Hamming 0, so exact dups are found with
+    * recall 1.0 (property-tested). */
+  private val simhash = CatalogEntry.noOracle("dedup_simhash") { (spark, sfDir) =>
+    val bits = 64
+    val tokenHashes = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSumExprs = (0 until bits).map(k =>
+      sum(shiftright(col("h"), k).bitwiseAND(1) * 2 - 1).as(s"b$k"))
+    val bitSums = tokenHashes.groupBy(col("doc_id"))
+      .agg(bitSumExprs.head, bitSumExprs.tail: _*)
+    val sim = bitSums.select(col("doc_id"),
+      (0 until bits).map { k =>
+        when(col(s"b$k") >= 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _).as("simhash"))
+    val blocked = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF)): _*)).as(Seq("block", "key")))
+    val l = blocked.select(col("block"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val r = blocked.select(col("block"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("block", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** n-gram (token-bigram) Jaccard — shingle-level near-dup: word-order
+    * sensitive where the unigram variant is not. Same length/lang blocking
+    * (and the same salted-bucket physical join) as the other pair ops. */
+  private val ngramJaccard = CatalogEntry.dialect(
+    "dedup_ngram_jaccard",
+    duckdb = """WITH tok AS (
+               |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents
+               |), t AS (
+               |  SELECT doc_id, lang, n_chars,
+               |         list_distinct(list_transform(range(1, len(toks)),
+               |                       i -> toks[i] || '_' || toks[i+1])) AS grams
+               |  FROM tok
+               |)
+               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               |       ROUND(len(list_intersect(a.grams, b.grams)) * CAST(1.0 AS DOUBLE) /
+               |             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard2
+               |FROM t a JOIN t b
+               |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+               | AND b.n_chars BETWEEN a.n_chars - 20 AND a.n_chars + 20
+               |WHERE ROUND(len(list_intersect(a.grams, b.grams)) * CAST(1.0 AS DOUBLE) /
+               |            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= 0.2
+               |ORDER BY doc_a, doc_b""".stripMargin,
+    spark = """WITH tok AS (
+              |  SELECT doc_id, lang, n_chars, split(text, ' ') AS toks FROM documents
+              |), t AS (
+              |  SELECT doc_id, lang, n_chars,
+              |         array_distinct(transform(sequence(0, size(toks) - 2),
+              |                       i -> concat(toks[i], '_', toks[i+1]))) AS grams
+              |  FROM tok
+              |)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |       ROUND(size(array_intersect(a.grams, b.grams)) * CAST(1.0 AS DOUBLE) /
+              |             (size(a.grams) + size(b.grams) - size(array_intersect(a.grams, b.grams))), 4) AS jaccard2
+              |FROM t a JOIN t b
+              |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+              | AND b.n_chars BETWEEN a.n_chars - 20 AND a.n_chars + 20
+              |WHERE ROUND(size(array_intersect(a.grams, b.grams)) * CAST(1.0 AS DOUBLE) /
+              |            (size(a.grams) + size(b.grams) - size(array_intersect(a.grams, b.grams))), 4) >= 0.2
+              |ORDER BY doc_a, doc_b""".stripMargin) { (spark, sfDir) =>
+    val t = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], '_', toks[i+1]))"))
+          .as("grams"),
+        floor(col("n_chars") / 20).as("bucket"))
+    val a = t.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"),
+      col("lang"), col("n_chars").as("nc_a"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    val b = t.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"),
+      col("lang"), col("n_chars").as("nc_b"), col("bucket"))
+    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+    a.join(b, Seq("lang", "bucket"))
+      .where(col("doc_a") < col("doc_b")
+        && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
+      .withColumn("jaccard2",
+        round(inter * 1.0 / (size(col("grams_a")) + size(col("grams_b")) - inter), 4))
+      .where(col("jaccard2") >= 0.2)
+      .select(col("doc_a"), col("doc_b"), col("jaccard2"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -340,5 +464,5 @@ object TextQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
-    langId, qualityScore, tokenCount, fingerprint)
+    simhash, ngramJaccard, langId, qualityScore, tokenCount, fingerprint)
 }

@@ -93,6 +93,23 @@ class PropertySpec extends SparkSpecBase {
     assert(recall >= 0.5, s"IVF recall $recall too low (ivf=$ivf, brute=$brute)")
   }
 
+  test("dedup_simhash finds every exact-duplicate pair at Hamming 0") {
+    val sim = Catalog.byKey("dedup_simhash").run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ground truth: docs sharing an identical distinct token set
+    val fp = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(array_join(sort_array(array_distinct(split(col("text"), " "))), " ")).as("fp"))
+    val a = fp.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = fp.select(col("fp"), col("doc_id").as("doc_b"))
+    val clones = a.join(b, "fp").where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clones.nonEmpty, "corpus unexpectedly has no exact dups")
+    clones.foreach { p =>
+      assert(sim.get(p).contains(0L), s"clone pair $p missing or hamming != 0")
+    }
+  }
+
   test("etl_quality_audit reports zero violations on the clean corpus") {
     val audit = Catalog.byKey("etl_quality_audit").run(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
