@@ -212,6 +212,109 @@ object StreamQueries {
       spark.read.parquet(target).orderBy(col("user_id"))
   }
 
+  /** Native session_window aggregation — Spark's built-in sessionization
+    * operator (window end = last event + gap). The oracle reproduces the
+    * merge with gaps-and-islands algebra, so the built-in is oracle-checked
+    * against first principles. */
+  private val sessionWindowAgg = CatalogEntry.dialect(
+    "stream_session_window",
+    duckdb = """WITH flagged AS (
+               |  SELECT user_id, event_id, ts,
+               |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               |                   > INTERVAL '30 minutes'
+               |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               |              THEN 1 ELSE 0 END AS new_session
+               |  FROM events
+               |), numbered AS (
+               |  SELECT user_id, ts,
+               |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               |  FROM flagged
+               |)
+               |SELECT user_id, min(ts) AS win_start,
+               |       max(ts) + INTERVAL '30 minutes' AS win_end,
+               |       COUNT(*) AS n_events
+               |FROM numbered GROUP BY user_id, sid
+               |ORDER BY user_id, win_start""".stripMargin,
+    spark = """WITH flagged AS (
+              |  SELECT user_id, event_id, ts,
+              |         CASE WHEN unix_micros(ts) - unix_micros(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              |                   > 1800000000
+              |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              |              THEN 1 ELSE 0 END AS new_session
+              |  FROM events
+              |), numbered AS (
+              |  SELECT user_id, ts,
+              |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |  FROM flagged
+              |)
+              |SELECT user_id, min(ts) AS win_start,
+              |       max(ts) + INTERVAL 30 MINUTE AS win_end,
+              |       COUNT(*) AS n_events
+              |FROM numbered GROUP BY user_id, sid
+              |ORDER BY user_id, win_start""".stripMargin) { (spark, sfDir) =>
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("win.start").as("win_start"),
+        col("win.end").as("win_end"), col("n_events"))
+      .orderBy(col("user_id"), col("win_start"))
+  }
+
+  /** Custom-state streaming: flatMapGroupsWithState sessionizer over the
+    * KeyValueGroupedDataset API — the extension point for state Spark's
+    * built-ins can't express. Under Trigger.AvailableNow the single batch
+    * carries each user's full history, so the sessionizer emits every
+    * session at batch end; StreamSpec asserts it equals the SQL
+    * gaps-and-islands twin. In a live stream the GroupState would carry
+    * the open session across micro-batches (same function body). */
+  private val statefulSessions = CatalogEntry.noOracle("stream_stateful_sessions") {
+    (spark, sfDir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val src = stageSource(spark, sfDir, "stateful")
+      val sink = s"${sys.props("java.io.tmpdir")}/graft_stream_sink_stateful"
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_stateful"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+      val in = spark.readStream.schema(eventsSchema).parquet(src)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val gapMicros = 1800000000L
+      val sessions = in
+        .as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Long, (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, evs: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[Long]) =>
+            // sort this batch's events, split on >30min inactivity gaps
+            val sorted = evs.toSeq.sortBy(e => (e._3.getTime * 1000, e._2))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+              var start = sorted.head._3; var last = sorted.head._3; var n = 1L
+              sorted.tail.foreach { e =>
+                if ((e._3.getTime - last.getTime) * 1000 > gapMicros) {
+                  out += ((uid, start, last, n)); start = e._3; n = 0
+                }
+                last = e._3; n += 1
+              }
+              out += ((uid, start, last, n))
+              out.iterator
+            }
+        }
+        .toDF("user_id", "session_start", "session_end", "n_events")
+      val q = sessions.writeStream
+        .format("parquet").option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(sink).orderBy(col("user_id"), col("session_start"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    tumblingAgg, slidingAgg, sessionGaps, dedupWatermark, lateData, foreachBatchUpsert)
+    tumblingAgg, slidingAgg, sessionGaps, sessionWindowAgg, statefulSessions,
+    dedupWatermark, lateData, foreachBatchUpsert)
 }

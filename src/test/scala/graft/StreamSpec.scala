@@ -44,6 +44,25 @@ class StreamSpec extends SparkSpecBase {
     assert(rowsOf(merged) == rowsOf(batch))
   }
 
+  test("flatMapGroupsWithState sessionizer equals SQL gaps-and-islands") {
+    val stateful = Catalog.byKey("stream_stateful_sessions").run(spark, sfDir)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+    val sql = Catalog.byKey("stream_session_gaps").run(spark, sfDir)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+    assert(rowsOf(stateful) == rowsOf(sql))
+  }
+
+  test("native session_window agrees with gaps-and-islands on start/count") {
+    val native = Catalog.byKey("stream_session_window").run(spark, sfDir)
+      .select("user_id", "win_start", "n_events").orderBy("user_id", "win_start")
+    val manual = Catalog.byKey("stream_session_gaps").run(spark, sfDir)
+      .select(col("user_id"), col("session_start").as("win_start"), col("n_events"))
+      .orderBy("user_id", "win_start")
+    assert(rowsOf(native) == rowsOf(manual))
+  }
+
   test("stream_tumbling_agg batch twin equals a streaming run of same logic") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
