@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{CatalogEntry, Tables}
-import graft.sources.{CsvSource, ParquetSource}
+import graft.sources.{CsvSource, JsonSource, ParquetSource}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Util._
@@ -102,6 +102,63 @@ object ScanQueries {
     ParquetSource(s"$sfDir/nation.parquet").load(spark).orderBy(col("n_nationkey"))
   }
 
+  /** JSON write→read fidelity — the JsonSource leg of the COPY surface.
+    * Kept to integer/string columns: JSON has no timestamp type, so a
+    * round-trip through it would re-parse strings (a different operator). */
+  private val jsonRoundtrip = CatalogEntry.ansi(
+    "src_json_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") {
+    (spark, sfDir) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip"
+      Tables.nation(spark, sfDir)
+        .write.mode("overwrite").json(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      JsonSource(tmp, schema).load(spark)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+  }
+
+  /** Bucketed co-located join — the Redshift DISTKEY analog. Both sides
+    * are written bucketed by the join key into the same bucket count, so
+    * the sort-merge join runs with NO shuffle exchange on either side
+    * (asserted in PlanShapeSpec): at 100 TB this turns the nightly
+    * fact-dim reconciliation from a full two-sided shuffle into a local
+    * merge per bucket. The aggregation after the join still shuffles —
+    * that is the cheap |groups|-sized exchange. */
+  private val bucketedJoin = CatalogEntry.ansi(
+    "sink_bucketed_join",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (spark, sfDir) =>
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
+    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite")
+      .option("path", s"$base/orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_bkt")
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite")
+      .option("path", s"$base/customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_bkt")
+    spark.table("graft_orders_bkt").hint("merge")
+      .join(spark.table("graft_customer_bkt").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        decOut(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    scanProject, schemaEnforce, jsonExtract, csvRoundtrip, partitionedWrite, jdbcSurface)
+    scanProject, schemaEnforce, jsonExtract, csvRoundtrip, jsonRoundtrip,
+    partitionedWrite, bucketedJoin, jdbcSurface)
 }

@@ -61,6 +61,19 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(planOf("sort_multi_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("sink_bucketed_join sort-merge-joins without a shuffle on either side") {
+    // textual walk (the plan sits inside AdaptiveSparkPlan, which collect()
+    // does not descend into): everything printed after the SortMergeJoin
+    // line is its subtree — the bucketed scans — and must hold no Exchange
+    val plan = Catalog.byKey("sink_bucketed_join").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val atJoin = plan.indexOf("SortMergeJoin")
+    assert(atJoin >= 0, s"expected SortMergeJoin in:\n$plan")
+    val subtree = plan.substring(atJoin)
+    assert(subtree.contains("Bucketed: true"), s"scan not bucketed:\n$subtree")
+    assert(!subtree.contains("Exchange"), s"bucketed join still shuffles:\n$subtree")
+  }
+
   test("agg_pricing_summary runs a partial (map-side) aggregate") {
     val p = planOf("agg_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
