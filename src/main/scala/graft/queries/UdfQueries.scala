@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoder, Encoders}
 import Util._
 
+/** Typed row model for the Dataset[T] exemplar. */
+case class TypedOrder(
+    o_orderkey: Long, o_custkey: Long, o_orderstatus: String, o_totalprice: Double)
+
 /** Category L — UDF / UDAF / UDTF extension surface (SURVEY.md §2.1.L).
   *
   * One oracle-checked exemplar per extension point. Everywhere else the
@@ -95,5 +99,29 @@ object UdfQueries {
       .orderBy(col("doc_id"), col("pos"))
   }
 
-  def entries: Seq[CatalogEntry] = Seq(scalarUdf, typedUdaf, udtfGenerator)
+  /** Typed Dataset exemplar: case-class Encoders give compile-time field
+    * checks; the filter/select here stays fully Catalyst-optimizable
+    * because it uses Column expressions on the typed view (typed lambdas
+    * would be codegen-opaque — same rule as UDFs). */
+  private val typedDataset = CatalogEntry.ansi(
+    "typed_dataset_ops",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      |FROM orders
+      |WHERE o_totalprice > 300000 AND o_orderstatus = 'O'
+      |ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
+    import spark.implicits._
+    val typed: org.apache.spark.sql.Dataset[TypedOrder] =
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .as[TypedOrder]
+    typed
+      .filter(col("o_totalprice") > 300000 && col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(scalarUdf, typedUdaf, udtfGenerator, typedDataset)
 }
