@@ -284,8 +284,30 @@ object AggQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Salted two-phase aggregation — the hot-key mitigation. Phase 1
+    * groups on (key, salt) so a skewed key's rows spread over 16 reducers;
+    * phase 2 merges the 16 partials. Decimal addition is associative, so
+    * the result is bit-identical to the direct group-by — which is exactly
+    * what the oracle states (the salt is plan, not semantics). AQE's
+    * skew handling does this automatically for joins; for extreme
+    * aggregation skew the explicit salt is still the portable answer. */
+  private val saltedSkewAgg = CatalogEntry.ansi(
+    "agg_salted_skew",
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_val
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("psum"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), decOut(sum(col("psum"))).as("sum_val"))
+        .orderBy(col("event_type"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
-    percentileExact, minMaxBy)
+    percentileExact, minMaxBy, saltedSkewAgg)
 }
