@@ -253,7 +253,32 @@ object ScalarQueries {
       .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
   }
 
+  /** The rest of the warehouse string battery — split_part is the
+    * Redshift ETL workhorse (key extraction from delimited ids). */
+  private val strAdvanced = CatalogEntry.ansi(
+    "str_advanced",
+    """SELECT c_custkey,
+      |       split_part(c_name, '#', 2) AS id_part,
+      |       reverse(c_mktsegment) AS rev,
+      |       translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowered_vowels,
+      |       repeat('-', 3) AS dashes,
+      |       left(c_name, 8) AS l8,
+      |       right(c_name, 4) AS r4,
+      |       CAST(position('0' IN c_name) AS INTEGER) AS pos0
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("id_part"),
+        reverse(col("c_mktsegment")).as("rev"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("lowered_vowels"),
+        expr("repeat('-', 3)").as("dashes"),
+        expr("left(c_name, 8)").as("l8"),
+        expr("right(c_name, 4)").as("r4"),
+        expr("CAST(position('0' IN c_name) AS INT)").as("pos0"))
+      .orderBy(col("c_custkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    derivedExprs, filterCompound, caseWhen, casts, strBasic, strRegex,
-    dateParts, dateArith, mathFuncs, nullHandling)
+    derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
+    strRegex, dateParts, dateArith, mathFuncs, nullHandling)
 }

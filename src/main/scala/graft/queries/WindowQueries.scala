@@ -167,7 +167,31 @@ object WindowQueries {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Distribution functions + ratio-to-report (the Redshift
+    * RATIO_TO_REPORT analog): each value's share of its partition. The
+    * tie-broken total order makes the rational ranks identical across
+    * engines; the ratio's double division rounds at 4. */
+  private val distributionFns = CatalogEntry.ansi(
+    "win_percent_rank",
+    """SELECT c_custkey,
+      |       ROUND(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 4) AS pr,
+      |       ROUND(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 4) AS cd,
+      |       ROUND(c_acctbal / SUM(c_acctbal) OVER (PARTITION BY c_nationkey), 4) AS share
+      |FROM customer
+      |WHERE c_acctbal > 0
+      |ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    val ord = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    val byNation = Window.partitionBy(col("c_nationkey"))
+    Tables.customer(spark, sfDir)
+      .where(col("c_acctbal") > 0)
+      .select(col("c_custkey"),
+        round(percent_rank().over(ord), 4).as("pr"),
+        round(cume_dist().over(ord), 4).as("cd"),
+        round(col("c_acctbal") / sum(col("c_acctbal")).over(byNation), 4).as("share"))
+      .orderBy(col("c_custkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     rowNumber, rankDense, lagLead, runningSum, movingAvg, rangeFrame,
-    ntileQuartiles, firstLast, topkPerGroup)
+    ntileQuartiles, firstLast, topkPerGroup, distributionFns)
 }
