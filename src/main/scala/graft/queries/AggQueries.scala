@@ -306,8 +306,24 @@ object AggQueries {
         .orderBy(col("event_type"))
   }
 
+  /** Mergeable HLL sketches (Redshift HLLSKETCH analog, Spark's
+    * DataSketches functions): build one sketch per (flag, status) cell,
+    * then union the cells per flag — the two-level rollup a 100 TB
+    * pipeline does when per-partition sketches are merged downstream
+    * without rescanning data. No oracle (sketch bytes are
+    * engine-specific); accuracy property-tested in PropertySpec. */
+  private val hllSketchMerge = CatalogEntry.noOracle("agg_hll_sketch_merge") {
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sketch"))
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
-    percentileExact, minMaxBy, saltedSkewAgg)
+    percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge)
 }

@@ -314,7 +314,32 @@ object StreamQueries {
       spark.read.parquet(sink).orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Stream-stream interval join: each error event joined to the same
+    * user's purchases in the preceding hour. Both sides carry watermarks
+    * so state is bounded (the 100-TB requirement: without the time bound
+    * + watermark, stream-stream join state grows forever). Under
+    * AvailableNow the single batch yields the full deterministic result;
+    * StreamSpec asserts equality with the batch interval join. */
+  private val streamStreamJoin = CatalogEntry.noOracle("stream_stream_join") {
+    (spark, sfDir) =>
+      val src = stageSource(spark, sfDir, "ssjoin")
+      runStream(spark, "ssjoin", src) { in =>
+        val errors = in.where(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+            col("ts").as("err_ts"))
+          .withWatermark("err_ts", "2 hours")
+        val purchases = in.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purch_id"), col("user_id").as("purch_user"),
+            col("ts").as("purch_ts"))
+          .withWatermark("purch_ts", "2 hours")
+        errors.join(purchases,
+          col("err_user") === col("purch_user")
+            && col("purch_ts") >= col("err_ts") - expr("INTERVAL 1 HOUR")
+            && col("purch_ts") <= col("err_ts"))
+      }.orderBy(col("err_id"), col("purch_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tumblingAgg, slidingAgg, sessionGaps, sessionWindowAgg, statefulSessions,
-    dedupWatermark, lateData, foreachBatchUpsert)
+    dedupWatermark, lateData, foreachBatchUpsert, streamStreamJoin)
 }

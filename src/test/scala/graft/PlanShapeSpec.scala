@@ -74,6 +74,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!subtree.contains("Exchange"), s"bucketed join still shuffles:\n$subtree")
   }
 
+  test("partitioned sink readback prunes partitions on the year predicate") {
+    // the sink entry lays out /o_year=YYYY/ dirs; a year-filtered read
+    // must show the predicate as a PartitionFilter (directory pruning),
+    // not a data filter
+    Catalog.byKey("sink_partitioned_write").run(spark, sfDir).collect()
+    val sink = s"${sys.props("java.io.tmpdir")}/graft_partitioned_sink"
+    val pruned = spark.read.parquet(sink)
+      .where(org.apache.spark.sql.functions.col("o_year") === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"),
+      s"no partition pruning in:\n$plan")
+    val pf = plan.linesIterator.mkString
+    assert(pf.indexOf("1997") > pf.indexOf("PartitionFilters"),
+      s"year predicate not in PartitionFilters:\n$plan")
+  }
+
   test("agg_pricing_summary runs a partial (map-side) aggregate") {
     val p = planOf("agg_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"),

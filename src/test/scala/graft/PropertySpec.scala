@@ -110,6 +110,19 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("agg_hll_sketch_merge within 5% of exact after the union") {
+    val merged = Catalog.byKey("agg_hll_sketch_merge").run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(merged(k) - n).toDouble / n <= 0.05,
+        s"merged sketch for $k: ${merged(k)} vs exact $n")
+    }
+  }
+
   test("etl_quality_audit reports zero violations on the clean corpus") {
     val audit = Catalog.byKey("etl_quality_audit").run(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

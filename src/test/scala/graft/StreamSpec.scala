@@ -63,6 +63,22 @@ class StreamSpec extends SparkSpecBase {
     assert(rowsOf(native) == rowsOf(manual))
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = Catalog.byKey("stream_stream_join").run(spark, sfDir)
+      .select("err_id", "purch_id").orderBy("err_id", "purch_id")
+    val ev = Tables.events(spark, sfDir)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"), col("ts").as("err_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id").as("purch_user"), col("ts").as("purch_ts"))
+    val batch = errors.join(purchases,
+        col("err_user") === col("purch_user")
+          && col("purch_ts") >= col("err_ts") - expr("INTERVAL 1 HOUR")
+          && col("purch_ts") <= col("err_ts"))
+      .select("err_id", "purch_id").orderBy("err_id", "purch_id")
+    assert(rowsOf(streamed) == rowsOf(batch))
+  }
+
   test("stream_tumbling_agg batch twin equals a streaming run of same logic") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
