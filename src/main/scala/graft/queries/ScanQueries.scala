@@ -158,7 +158,42 @@ object ScanQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Error-tolerant staged load (Redshift COPY MAXERROR analog): a CSV
+    * batch containing malformed rows loads in PERMISSIVE mode with a
+    * corrupt-record column; bad rows are quarantined (nulls + raw line)
+    * instead of failing the load, and the clean rows flow on. The oracle
+    * checks the clean output; ScanSpec asserts the quarantine count. */
+  private val csvBadRecords = CatalogEntry.ansi(
+    "src_csv_badrecords",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") {
+    (spark, sfDir) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_badrecords"
+      Tables.nation(spark, sfDir)
+        .write.mode("overwrite").option("header", "false").csv(tmp)
+      // inject a malformed part-file alongside the clean ones
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "part-corrupt.csv"),
+        "notanint,BROKENLAND\nalso,not,valid,row,extra\n".getBytes("UTF-8"))
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType),
+        StructField("_corrupt", StringType)))
+      // filter on parse success via the key column, NOT the corrupt
+      // column: a plan whose scan would reference only _corrupt is
+      // rejected by Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
+      // .count()-style pruning would reduce a _corrupt-filter plan to
+      // exactly that
+      spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(tmp)
+        .where(col("n_nationkey").isNotNull)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     scanProject, schemaEnforce, jsonExtract, csvRoundtrip, jsonRoundtrip,
-    partitionedWrite, bucketedJoin, jdbcSurface)
+    csvBadRecords, partitionedWrite, bucketedJoin, jdbcSurface)
 }

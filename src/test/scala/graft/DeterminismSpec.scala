@@ -8,10 +8,7 @@ package graft
   */
 class DeterminismSpec extends SparkSpecBase {
 
-  private val skip = Set(
-    // xxhash-based candidates are deterministic, but the 2× run cost is the
-    // highest in the catalog; covered by its own recall test in TextSpec.
-    "dedup_minhash_lsh")
+  private val skip = Set.empty[String]
 
   for (entry <- Catalog.all if !skip(entry.key)) {
     test(s"deterministic: ${entry.key}") {
