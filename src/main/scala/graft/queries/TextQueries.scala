@@ -462,7 +462,54 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Polynomial (Karp-Rabin-style) rolling hash over the token stream —
+    * order-SENSITIVE where the md5 shingle fingerprint is order-blind.
+    * Token values are engine-portable (length·256 + first-char code);
+    * the fold takes the first value as seed then (acc·31 + v) mod 1e9+7
+    * per step — list_reduce semantics, mirrored exactly in Spark with
+    * aggregate over the tail. Explicit mod keeps DuckDB's checked BIGINT
+    * arithmetic from overflowing. */
+  private val rollingHash = CatalogEntry.dialect(
+    "text_rolling_hash",
+    duckdb = """WITH h AS (
+               |  SELECT doc_id,
+               |         list_reduce(
+               |           list_transform(string_split(text, ' '),
+               |                          t -> CAST(length(t) AS BIGINT) * 256 + ascii(t)),
+               |           (a, b) -> (a * 31 + b) % 1000000007) AS fp
+               |  FROM documents
+               |)
+               |SELECT doc_id, fp,
+               |       COUNT(*) OVER (PARTITION BY fp) AS dup_group
+               |FROM h ORDER BY doc_id""".stripMargin,
+    spark = """WITH h AS (
+              |  SELECT doc_id,
+              |         aggregate(
+              |           slice(vals, 2, size(vals) - 1), element_at(vals, 1),
+              |           (a, b) -> (a * 31 + b) % 1000000007) AS fp
+              |  FROM (
+              |    SELECT doc_id,
+              |           transform(split(text, ' '),
+              |                     t -> CAST(length(t) AS BIGINT) * 256 + ascii(t)) AS vals
+              |    FROM documents
+              |  )
+              |)
+              |SELECT doc_id, fp,
+              |       COUNT(*) OVER (PARTITION BY fp) AS dup_group
+              |FROM h ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    val vals = transform(split(col("text"), " "),
+      t => length(t).cast("long") * 256 + ascii(t))
+    val fp = aggregate(
+      slice(vals, lit(2), size(vals) - 1), element_at(vals, 1),
+      (a, b) => (a * 31 + b) % 1000000007L)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fp.as("fp"))
+      .withColumn("dup_group", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .orderBy(col("doc_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
-    simhash, ngramJaccard, langId, qualityScore, tokenCount, fingerprint)
+    simhash, ngramJaccard, langId, qualityScore, tokenCount, fingerprint,
+    rollingHash)
 }

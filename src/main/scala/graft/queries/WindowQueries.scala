@@ -191,7 +191,22 @@ object WindowQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** nth_value over the full partition frame (needs the explicit frame
+    * like first/last — the default frame would truncate at CURRENT ROW). */
+  private val nthValue = CatalogEntry.ansi(
+    "win_nth_value",
+    """SELECT event_id, user_id,
+      |       nth_value(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_type
+      |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    val w = byUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"))
+      .orderBy(col("event_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     rowNumber, rankDense, lagLead, runningSum, movingAvg, rangeFrame,
-    ntileQuartiles, firstLast, topkPerGroup, distributionFns)
+    ntileQuartiles, firstLast, topkPerGroup, distributionFns, nthValue)
 }
