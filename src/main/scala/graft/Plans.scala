@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: dump formatted physical plans of representative catalog
+  * entries (the `.explain("formatted")` review loop, captured as an
+  * artifact — see PLANS.md). Usage: runMain graft.Plans <sfDir> <outFile> */
+object Plans {
+  val representative: Seq[String] = Seq(
+    "src_scan_project", "agg_pricing_summary", "join_bhj_dims",
+    "join_smj_facts", "join_star_multiway", "subq_correlated_exists",
+    "win_topk_per_group", "sink_bucketed_join", "vec_pairwise_topk",
+    "dedup_minhash_lsh", "stream_tumbling_agg", "mm_decode_features")
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outFile) = args
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    representative.foreach { key =>
+      val df = Catalog.byKey(key).run(spark, sfDir)
+      sb.append(s"\n## $key\n\n```\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("```\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
+    spark.stop()
+  }
+}
