@@ -186,6 +186,11 @@ object TextQueries {
     val ta = reps.select(col("fp").as("fp_a"), col("toks").as("toks_a"))
     val tb = reps.select(col("fp").as("fp_b"), col("toks").as("toks_b"))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    // NOTE (round-1 measurement): a minhash-agreement prefilter before the
+    // exact intersection was tried and reverted — the "cheap" estimate
+    // (zip_with+aggregate over the 40-long signatures) runs as interpreted
+    // lambdas while array_intersect is a native codegen'd collection op,
+    // so the filter cost exceeded what it saved.
     val repPairs = candidates.join(ta, "fp_a").join(tb, "fp_b")
       .withColumn("jaccard",
         round(inter * 1.0 / (size(col("toks_a")) + size(col("toks_b")) - inter), 4))
