@@ -157,14 +157,16 @@ object TextQueries {
     val nHashes = 40
     val bands = 5
     val rowsPerBand = nHashes / bands
+    // docs feeds members AND both legs of the reps derivation; cached, the
+    // tokenize+fingerprint pass over the corpus runs once (profiled: the
+    // double derivation was the largest single cost in this operator).
+    // Same at scale: the canonicalized (id, token-set, fingerprint) frame
+    // is the working set every downstream stage keys off.
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
       .withColumn("fp", md5(array_join(sort_array(col("toks")), " ")))
-    // members and reps feed several joins below; they are tiny relative to
-    // the corpus (one row per doc / per distinct token set), so caching
-    // them is the at-scale move too — without it Spark re-derives the
-    // canonicalization once per consumer subtree.
-    val members = docs.select(col("fp"), col("doc_id")).cache()
+      .cache()
+    val members = docs.select(col("fp"), col("doc_id"))
     val reps = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
       .join(docs.select(col("doc_id").as("rep_id"), col("toks")), "rep_id")
       .cache()
