@@ -223,7 +223,56 @@ object EtlQueries {
       .orderBy(col("check_name"))
   }
 
+  /** Gap-filled daily revenue: a dense date spine (data-driven bounds)
+    * left-joined to the daily aggregate, missing days zero-filled — the
+    * time-series densification every reporting ETL needs. The spine is
+    * generated, not scanned (sequence+explode ↔ generate_series), and the
+    * daily aggregate is the only pass over the fact table. */
+  private val dateSpineFill = CatalogEntry.dialect(
+    "etl_date_spine_fill",
+    duckdb = """WITH bounds AS (
+               |  SELECT min(CAST(o_orderdate AS DATE)) AS lo, max(CAST(o_orderdate AS DATE)) AS hi FROM orders
+               |), spine AS (
+               |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds
+               |), daily AS (
+               |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n,
+               |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+               |  FROM orders GROUP BY 1
+               |)
+               |SELECT spine.d AS d, COALESCE(n, 0) AS n,
+               |       COALESCE(rev, CAST(0 AS DECIMAL(18,4))) AS rev
+               |FROM spine LEFT JOIN daily ON spine.d = daily.d
+               |ORDER BY d""".stripMargin,
+    spark = """WITH bounds AS (
+              |  SELECT min(CAST(o_orderdate AS DATE)) AS lo, max(CAST(o_orderdate AS DATE)) AS hi FROM orders
+              |), spine AS (
+              |  SELECT explode(sequence(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+              |), daily AS (
+              |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n,
+              |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+              |  FROM orders GROUP BY 1
+              |)
+              |SELECT spine.d AS d, COALESCE(n, 0) AS n,
+              |       COALESCE(rev, CAST(0 AS DECIMAL(18,4))) AS rev
+              |FROM spine LEFT JOIN daily ON spine.d = daily.d
+              |ORDER BY d""".stripMargin) { (spark, sfDir) =>
+    val o = Tables.orders(spark, sfDir)
+    val bounds = o.agg(
+      min(col("o_orderdate").cast("date")).as("lo"),
+      max(col("o_orderdate").cast("date")).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("d"))
+    val daily = o.groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("n"), decOut(sum(dec(col("o_totalprice")))).as("rev"))
+      .select(col("d").as("dd"), col("n"), col("rev"))
+    spine.join(daily, col("d") === col("dd"), "left")
+      .select(col("d"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("rev"), lit(0).cast(DecT)).as("rev"))
+      .orderBy(col("d"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
-    unpivotLong, timeDim, qualityAudit)
+    unpivotLong, timeDim, qualityAudit, dateSpineFill)
 }
