@@ -193,7 +193,21 @@ object ScanQueries {
         .orderBy(col("n_nationkey"))
   }
 
+  /** ORC write→read fidelity — the third columnar staging format (ORC is
+    * Spark-native; same vectorized reader + pushdown machinery as
+    * parquet). Identity oracle, like the CSV/JSON roundtrips. */
+  private val orcRoundtrip = CatalogEntry.ansi(
+    "src_orc_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") {
+    (spark, sfDir) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_roundtrip"
+      Tables.nation(spark, sfDir).write.mode("overwrite").orc(tmp)
+      spark.read.orc(tmp)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     scanProject, schemaEnforce, jsonExtract, csvRoundtrip, jsonRoundtrip,
-    csvBadRecords, partitionedWrite, bucketedJoin, jdbcSurface)
+    orcRoundtrip, csvBadRecords, partitionedWrite, bucketedJoin, jdbcSurface)
 }
