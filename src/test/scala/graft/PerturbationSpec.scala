@@ -8,16 +8,9 @@ package graft
   */
 class PerturbationSpec extends SparkSpecBase {
 
-  // order-sensitive and shuffle-heavy representatives from every category
-  private val sample = Seq(
-    "agg_pricing_summary", "agg_rollup", "agg_min_max_by", "agg_percentile_exact",
-    "join_star_multiway", "join_asof_event_order", "join_full_outer",
-    "win_topk_per_group", "win_ntile", "win_running_sum",
-    "sort_multi_limit", "set_union_distinct", "subq_scalar_uncorr",
-    "etl_dedup_latest", "etl_pivot", "stream_session_gaps",
-    "stream_session_window", "text_tokenize_wordcount", "text_fingerprint",
-    "vec_cosine_knn", "vec_pairwise_topk", "dedup_embedding_cosine",
-    "mm_binary_stats", "udaf_typed_aggregator")
+  // every catalog entry — partition-count invariance is the property that
+  // makes sf-scale correctness transfer to a 1000-executor cluster
+  private val sample = Catalog.all.map(_.key)
 
   private lazy val perturbed = {
     val s = spark.newSession()
