@@ -322,8 +322,26 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
   }
 
+  /** Deterministic hash-sampled quantiles: exact percentile over a ~1/8
+    * hash-selected subset of rows. At 100 TB you cannot sort the column;
+    * you CAN hash-sample it reproducibly (no rand(), so reruns and
+    * retried tasks agree) and take exact quantiles of the sample. Error
+    * vs the full-data percentile is property-tested. No oracle (xxhash64
+    * sampling isn't DuckDB-reproducible). */
+  private val sampledQuantiles = CatalogEntry.noOracle("agg_sampled_quantiles") {
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .where(pmod(xxhash64(col("o_orderkey")), lit(8)) === 0)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_est"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_est"))
+        .orderBy(col("o_orderstatus"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
-    percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge)
+    percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles)
 }

@@ -90,6 +90,14 @@ class PlanShapeSpec extends SparkSpecBase {
       s"year predicate not in PartitionFilters:\n$plan")
   }
 
+  test("flagship pipeline stays inside WholeStageCodegen spans") {
+    // codegen subtrees are only visible in CodegenMode (the pre-AQE
+    // formatted plan hides them behind AdaptiveSparkPlan)
+    val cg = Catalog.byKey("agg_pricing_summary").run(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(cg.contains("WholeStageCodegen"), s"no codegen span in:\n$cg")
+  }
+
   test("agg_pricing_summary runs a partial (map-side) aggregate") {
     val p = planOf("agg_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"),

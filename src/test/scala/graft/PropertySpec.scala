@@ -123,6 +123,21 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("hash-sampled quantiles land within 10% of full-data quantiles") {
+    val est = Catalog.byKey("agg_sampled_quantiles").run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Catalog.byKey("agg_percentile_exact").run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // at sf0.001 each status group yields only ~60-90 sampled rows, so the
+    // sampling error of a long-tailed price median is substantial; the
+    // bound here checks the machinery, the error shrinks as 1/sqrt(n)
+    exact.foreach { case (k, (m, p90)) =>
+      val (me, p90e) = est(k)
+      assert(math.abs(me - m) / m <= 0.30, s"median for $k: est $me vs $m")
+      assert(math.abs(p90e - p90) / p90 <= 0.30, s"p90 for $k: est $p90e vs $p90")
+    }
+  }
+
   test("etl_quality_audit reports zero violations on the clean corpus") {
     val audit = Catalog.byKey("etl_quality_audit").run(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
