@@ -278,7 +278,47 @@ object ScalarQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Epoch extraction — the ETL join key between event time and external
+    * systems. Only the exact µs integer is shared ground: DuckDB's
+    * epoch() ROUNDS to the nearest second while Spark truncates, so the
+    * seconds column is floor-divided from µs identically on both sides. */
+  private val epochExtract = CatalogEntry.dialect(
+    "date_epoch",
+    duckdb = """SELECT event_id,
+               |       epoch_us(ts) AS e_us,
+               |       epoch_us(ts) // 1000000 AS e_sec
+               |FROM events ORDER BY event_id""".stripMargin,
+    spark = """SELECT event_id,
+              |       unix_micros(ts) AS e_us,
+              |       CAST(floor(unix_micros(ts) / 1000000) AS BIGINT) AS e_sec
+              |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        unix_micros(col("ts")).as("e_us"),
+        floor(unix_micros(col("ts")) / 1000000).cast("long").as("e_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  /** GREATEST/LEAST across columns — both engines skip NULLs (verified),
+    * which the outer-join null makes observable. */
+  private val greatestLeast = CatalogEntry.ansi(
+    "scalar_greatest_least",
+    """SELECT c_custkey,
+      |       CAST(greatest(CAST(c_acctbal AS DECIMAL(18,4)), CAST(o_totalprice AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS hi,
+      |       CAST(least(CAST(c_acctbal AS DECIMAL(18,4)), CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS lo
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |ORDER BY c_custkey, hi, lo NULLS FIRST""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_custkey"),
+        greatest(dec(col("c_acctbal")), dec(col("o_totalprice")), lit(0).cast(DecT))
+          .cast(DecT).as("hi"),
+        least(dec(col("c_acctbal")), dec(col("o_totalprice"))).cast(DecT).as("lo"))
+      .orderBy(col("c_custkey"), col("hi"), col("lo").asc_nulls_first)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
-    strRegex, dateParts, dateArith, mathFuncs, nullHandling)
+    strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
+    greatestLeast)
 }
