@@ -27,7 +27,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The JSON travels three redundant ways (VERDICT.md r1 #5: the driver
+    // parsed nothing from round 1's single println buried in sbt noise):
+    // (1) a file the driver can read directly, (2) an early stdout line,
+    // (3) the absolute last stdout line, after spark.stop(), so truncated
+    // or interleaved log capture cannot lose it.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile), (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
+    println(json)
   }
 }

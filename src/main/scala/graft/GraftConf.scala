@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Runtime-tunable knobs for the scale-sensitive operators, read from
+  * `spark.conf` (settable per session / per job, no recompile) with the
+  * round-1-profiled values as defaults.
+  *
+  * Why these are config and not constants (VERDICT.md r1, "Performance"):
+  * LSH banding (`P(candidate) = 1-(1-j^r)^b`), SimHash block count, IVF
+  * nprobe, and the pair-verifier blocking width are all corpus-dependent —
+  * the right values at 100 TB depend on the dup-rate and length
+  * distribution of THAT corpus, so a deployment must be able to retune
+  * them without patching the engine.
+  */
+object GraftConf {
+  private def get(spark: SparkSession, key: String, default: String): String =
+    spark.conf.getOption(key).getOrElse(default)
+
+  /** MinHash signature length. More hashes → tighter Jaccard estimate. */
+  def minhashHashes(spark: SparkSession): Int =
+    get(spark, "graft.dedup.minhash.hashes", "40").toInt
+
+  /** LSH band count b (rows per band r = hashes/b). The (b, r) pair sets
+    * the S-curve: candidate probability 1-(1-j^r)^b. Defaults (5, 8)
+    * target threshold ~0.9: P≈0.94 at j=0.9, P≈0.02 at j=0.5. */
+  def minhashBands(spark: SparkSession): Int =
+    get(spark, "graft.dedup.minhash.bands", "5").toInt
+
+  /** Exact-Jaccard verification threshold applied to LSH candidates. */
+  def minhashThreshold(spark: SparkSession): Double =
+    get(spark, "graft.dedup.minhash.threshold", "0.9").toDouble
+
+  /** SimHash: max Hamming distance accepted as near-dup. Block count for
+    * candidate generation is derived: maxHamming+1 blocks (pigeonhole —
+    * a pair within the bound must agree on at least one block). */
+  def simhashMaxHamming(spark: SparkSession): Int =
+    get(spark, "graft.dedup.simhash.maxHamming", "3").toInt
+
+  /** IVF probe width: how many coarse cells the query scans. */
+  def ivfNprobe(spark: SparkSession): Int =
+    get(spark, "graft.ann.ivf.nprobe", "3").toInt
+
+  /** Pair-verifier blocking: char-length band half-width (docs pair only
+    * within ±width chars) and the derived bucket width. At 100 TB this is
+    * the knob that bounds intra-bucket quadratic cost — narrow it as the
+    * corpus grows, or skip blocking entirely and feed LSH candidates
+    * (see TextQueries.verifyCandidates, the compose-with-LSH path). */
+  def pairLengthBand(spark: SparkSession): Int =
+    get(spark, "graft.dedup.pair.lengthBand", "20").toInt
+}

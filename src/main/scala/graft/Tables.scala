@@ -20,6 +20,13 @@ object Tables {
     * raw nanos (legacy.parquet.nanosAsLong) and truncate to µs with integer
     * division — bit-identical to how DuckDB reads the same column
     * (FIXTURES.md: "both engines read at µs precision").
+    *
+    * The rebuilt column is TIMESTAMP_NTZ (round-2 fix, VERDICT.md r1 #2):
+    * session-tz TimestampType writes parquet as isAdjustedToUTC=true, which
+    * DuckDB's naive TIMESTAMP schema-mismatches. Building from the NTZ epoch
+    * via timestampadd is timezone-independent by construction, so every
+    * derived timestamp (window bounds, date_trunc, lag) stays naive
+    * end-to-end and matches DuckDB's epoch_ms-style reading.
     */
   private val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -33,7 +40,8 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")

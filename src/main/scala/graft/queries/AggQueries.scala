@@ -21,10 +21,10 @@ object AggQueries {
   val pricingSummary: CatalogEntry = CatalogEntry.ansi(
     "agg_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-      |       CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-      |       CAST(SUM(CAST(ROUND(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))), 4) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_charge,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |       CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(SUM(CAST(ROUND(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
       |       COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -67,7 +67,7 @@ object AggQueries {
     """SELECT l_returnflag,
       |       COUNT(DISTINCT l_suppkey) AS n_supp,
       |       COUNT(DISTINCT l_partkey) AS n_part,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
     (spark, sfDir) =>
       Tables.lineitem(spark, sfDir)
@@ -96,7 +96,7 @@ object AggQueries {
     """SELECT l_returnflag, l_linestatus,
       |       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
       |       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |       COUNT(*) AS n
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -107,7 +107,7 @@ object AggQueries {
         """SELECT l_returnflag, l_linestatus,
           |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
           |       CAST(grouping(l_linestatus) AS INT) AS g_status,
-          |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           |       COUNT(*) AS n
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -118,7 +118,7 @@ object AggQueries {
   private val rollupTree = CatalogEntry.ansi(
     "agg_rollup",
     """SELECT r_name, n_name, COUNT(*) AS n_cust,
-      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -136,7 +136,7 @@ object AggQueries {
   private val cubeFlags = CatalogEntry.ansi(
     "agg_cube",
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
@@ -151,7 +151,7 @@ object AggQueries {
   private val havingFilter = CatalogEntry.ansi(
     "agg_having",
     """SELECT o_custkey, COUNT(*) AS n_orders,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY o_custkey
       |HAVING SUM(CAST(o_totalprice AS DECIMAL(18,4))) > 1500000
@@ -168,12 +168,12 @@ object AggQueries {
   private val filteredAgg = CatalogEntry.dialect(
     "agg_filtered",
     duckdb = """SELECT l_returnflag,
-               |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_discount > 0.05) AS DECIMAL(18,4)) AS qty_highdisc,
+               |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_highdisc,
                |       COUNT(*) FILTER (WHERE l_tax = 0) AS n_notax,
                |       COUNT(*) AS n
                |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     spark = """SELECT l_returnflag,
-              |       CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS qty_highdisc,
+              |       CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_highdisc,
               |       COUNT(CASE WHEN l_tax = 0 THEN 1 END) AS n_notax,
               |       COUNT(*) AS n
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
@@ -294,7 +294,7 @@ object AggQueries {
   private val saltedSkewAgg = CatalogEntry.ansi(
     "agg_salted_skew",
     """SELECT event_type, COUNT(*) AS n,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_val
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
     (spark, sfDir) =>
       Tables.events(spark, sfDir)

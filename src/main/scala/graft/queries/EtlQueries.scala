@@ -68,7 +68,7 @@ object EtlQueries {
       |FROM staging s FULL JOIN target t ON s.user_id = t.user_id
       |ORDER BY user_id""".stripMargin) { (spark, sfDir) =>
     val ev = Tables.events(spark, sfDir)
-    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
     def profile(df: DataFrame) = df.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_seen"))
     val target  = profile(ev.where(col("ts") < cut))
@@ -114,18 +114,18 @@ object EtlQueries {
   private val pivotWide = CatalogEntry.dialect(
     "etl_pivot",
     duckdb = """SELECT user_id,
-               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS DECIMAL(18,4)) AS click,
-               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS DECIMAL(18,4)) AS error,
-               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS DECIMAL(18,4)) AS purchase,
-               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'signup') AS DECIMAL(18,4)) AS signup,
-               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'view') AS DECIMAL(18,4)) AS view
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view
                |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     spark = """SELECT user_id,
-              |       CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS click,
-              |       CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS error,
-              |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS purchase,
-              |       CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS signup,
-              |       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS view
+              |       CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click,
+              |       CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS error,
+              |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase,
+              |       CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS signup,
+              |       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS view
               |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, sfDir) =>
     Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
@@ -140,11 +140,11 @@ object EtlQueries {
     "etl_unpivot",
     duckdb = """WITH p AS (
                |  SELECT user_id,
-               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS DECIMAL(18,4)) AS click,
-               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS DECIMAL(18,4)) AS error,
-               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS DECIMAL(18,4)) AS purchase,
-               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'signup') AS DECIMAL(18,4)) AS signup,
-               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'view') AS DECIMAL(18,4)) AS view
+               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
+               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error,
+               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup,
+               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view
                |  FROM events GROUP BY user_id
                |)
                |SELECT user_id, event_type, total FROM (
@@ -156,7 +156,7 @@ object EtlQueries {
                |) WHERE total IS NOT NULL
                |ORDER BY user_id, event_type""".stripMargin,
     spark = """SELECT user_id, event_type,
-              |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+              |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
               |FROM events GROUP BY user_id, event_type
               |ORDER BY user_id, event_type""".stripMargin) { (spark, sfDir) =>
     val wide = Tables.events(spark, sfDir)
@@ -236,11 +236,11 @@ object EtlQueries {
                |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds
                |), daily AS (
                |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n,
-               |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+               |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
                |  FROM orders GROUP BY 1
                |)
                |SELECT spine.d AS d, COALESCE(n, 0) AS n,
-               |       COALESCE(rev, CAST(0 AS DECIMAL(18,4))) AS rev
+               |       COALESCE(rev, CAST(0 AS DOUBLE)) AS rev
                |FROM spine LEFT JOIN daily ON spine.d = daily.d
                |ORDER BY d""".stripMargin,
     spark = """WITH bounds AS (
@@ -249,11 +249,11 @@ object EtlQueries {
               |  SELECT explode(sequence(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
               |), daily AS (
               |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n,
-              |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+              |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
               |  FROM orders GROUP BY 1
               |)
               |SELECT spine.d AS d, COALESCE(n, 0) AS n,
-              |       COALESCE(rev, CAST(0 AS DECIMAL(18,4))) AS rev
+              |       COALESCE(rev, CAST(0 AS DOUBLE)) AS rev
               |FROM spine LEFT JOIN daily ON spine.d = daily.d
               |ORDER BY d""".stripMargin) { (spark, sfDir) =>
     val o = Tables.orders(spark, sfDir)
@@ -268,7 +268,7 @@ object EtlQueries {
     spine.join(daily, col("d") === col("dd"), "left")
       .select(col("d"),
         coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("rev"), lit(0).cast(DecT)).as("rev"))
+        coalesce(col("rev"), lit(0).cast("double")).as("rev"))
       .orderBy(col("d"))
   }
 

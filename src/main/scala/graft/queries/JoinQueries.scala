@@ -17,13 +17,13 @@ object JoinQueries {
 
   private val innerEqui = CatalogEntry.ansi(
     "join_inner_equi",
-    """SELECT o_orderkey, c_custkey, c_name, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+    """SELECT o_orderkey, c_custkey, c_name, o_totalprice AS price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
     Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"), "inner")
       .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
-        dec(col("o_totalprice")).as("price"))
+        col("o_totalprice").as("price"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -32,7 +32,7 @@ object JoinQueries {
   private val bhjDims = CatalogEntry.ansi(
     "join_bhj_dims",
     """SELECT r_name,
-      |       CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+      |       CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       |       COUNT(*) AS n
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -55,7 +55,7 @@ object JoinQueries {
   private val smjFacts = CatalogEntry.ansi(
     "join_smj_facts",
     """SELECT o_orderpriority,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_price,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
       |       COUNT(*) AS n
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, sfDir) =>
@@ -68,12 +68,12 @@ object JoinQueries {
 
   private val leftOuter = CatalogEntry.ansi(
     "join_left_outer",
-    """SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+    """SELECT c_custkey, o_orderkey, o_totalprice AS price
       |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
       |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (spark, sfDir) =>
     Tables.customer(spark, sfDir)
       .join(Tables.orders(spark, sfDir), col("o_custkey") === col("c_custkey"), "left")
-      .select(col("c_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice").as("price"))
       .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
   }
 
@@ -196,7 +196,7 @@ object JoinQueries {
   private val starMultiway = CatalogEntry.ansi(
     "join_star_multiway",
     """SELECT n_name,
-      |       CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+      |       CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM region
       |JOIN nation ON n_regionkey = r_regionkey
       |JOIN customer ON c_nationkey = n_nationkey

@@ -15,15 +15,16 @@ object ScalarQueries {
   private val derivedExprs = CatalogEntry.ansi(
     "proj_derived_exprs",
     """SELECT l_orderkey, l_linenumber,
-      |       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS disc_price,
-      |       CAST(ROUND(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS charge
+      |       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS disc_price,
+      |       CAST(ROUND(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))), 4) AS DOUBLE) AS charge
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, sfDir) =>
     val one = lit(1).cast(DecT)
     Tables.lineitem(spark, sfDir)
       .withColumn("disc_price", dec(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))))
       .withColumn("charge", dec(col("disc_price") * (one + dec(col("l_tax")))))
-      .select(col("l_orderkey"), col("l_linenumber"), col("disc_price"), col("charge"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        decOut(col("disc_price")).as("disc_price"), decOut(col("charge")).as("charge"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
@@ -68,14 +69,14 @@ object ScalarQueries {
     duckdb = """SELECT l_orderkey, l_linenumber,
                |       CAST(l_orderkey AS INTEGER) AS okey_i,
                |       CAST(l_linenumber AS DOUBLE) AS ln_d,
-               |       CAST(l_quantity AS DECIMAL(18,4)) AS qty_dec,
+               |       CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DOUBLE) AS qty_dec,
                |       CAST(l_shipdate AS DATE) AS ship_d,
                |       CAST(l_orderkey AS VARCHAR) AS okey_s
                |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     spark = """SELECT l_orderkey, l_linenumber,
               |       CAST(l_orderkey AS INT) AS okey_i,
               |       CAST(l_linenumber AS DOUBLE) AS ln_d,
-              |       CAST(l_quantity AS DECIMAL(18,4)) AS qty_dec,
+              |       CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DOUBLE) AS qty_dec,
               |       CAST(l_shipdate AS DATE) AS ship_d,
               |       CAST(l_orderkey AS STRING) AS okey_s
               |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, sfDir) =>
@@ -84,7 +85,7 @@ object ScalarQueries {
         col("l_orderkey"), col("l_linenumber"),
         col("l_orderkey").cast("int").as("okey_i"),
         col("l_linenumber").cast("double").as("ln_d"),
-        dec(col("l_quantity")).as("qty_dec"),
+        decOut(dec(col("l_quantity"))).as("qty_dec"),
         col("l_shipdate").cast("date").as("ship_d"),
         col("l_orderkey").cast("string").as("okey_s"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -150,23 +151,35 @@ object ScalarQueries {
 
   /** EXTRACT/DATE_TRUNC battery. dayofweek deliberately excluded (Spark
     * 1..7 Sun=1 vs DuckDB 0..6 Sun=0 — SURVEY §2.0.5). */
-  private val dateParts = CatalogEntry.ansi(
+  private val dateParts = CatalogEntry.dialect(
     "date_parts",
-    """SELECT event_id,
-      |       CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS mo,
-      |       CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h,
-      |       CAST(minute(ts) AS INTEGER) AS mi,
-      |       date_trunc('hour', ts) AS hour_start,
-      |       date_trunc('month', ts) AS month_start
-      |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    duckdb = """SELECT event_id,
+               |       CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS mo,
+               |       CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h,
+               |       CAST(minute(ts) AS INTEGER) AS mi,
+               |       date_trunc('hour', ts) AS hour_start,
+               |       CAST(date_trunc('month', ts) AS DATE) AS month_start
+               |FROM events ORDER BY event_id""".stripMargin,
+    // Spark's date_trunc coerces NTZ input back to session-tz TIMESTAMP;
+    // DuckDB's TIMESTAMP is naive — cast the Spark side back to NTZ so the
+    // twin matches the impl (and the written parquet stays naive).
+    spark = """SELECT event_id,
+              |       CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS mo,
+              |       CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h,
+              |       CAST(minute(ts) AS INTEGER) AS mi,
+              |       CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ) AS hour_start,
+              |       CAST(date_trunc('month', ts) AS DATE) AS month_start
+              |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
     Tables.events(spark, sfDir)
       .select(
         col("event_id"),
         year(col("ts")).as("y"), month(col("ts")).as("mo"),
         dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
         minute(col("ts")).as("mi"),
-        date_trunc("hour", col("ts")).as("hour_start"),
-        date_trunc("month", col("ts")).as("month_start"))
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"),
+        // Spark date_trunc returns TIMESTAMP, DuckDB returns DATE for
+        // month granularity — pin both sides to DATE (VERDICT.md r1 #3).
+        date_trunc("month", col("ts")).cast("date").as("month_start"))
       .orderBy(col("event_id"))
   }
 
@@ -231,13 +244,13 @@ object ScalarQueries {
   private val nullHandling = CatalogEntry.dialect(
     "null_handling",
     duckdb = """SELECT c_custkey, o_orderkey,
-               |       COALESCE(CAST(o_totalprice AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4))) AS price_or_zero,
+               |       COALESCE(o_totalprice, CAST(0 AS DOUBLE)) AS price_or_zero,
                |       NULLIF(o_orderstatus, 'O') AS st_nn,
                |       CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END AS eq_f
                |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
                |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
     spark = """SELECT c_custkey, o_orderkey,
-              |       COALESCE(CAST(o_totalprice AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4))) AS price_or_zero,
+              |       COALESCE(o_totalprice, CAST(0 AS DOUBLE)) AS price_or_zero,
               |       NULLIF(o_orderstatus, 'O') AS st_nn,
               |       CASE WHEN o_orderstatus <=> 'F' THEN 1 ELSE 0 END AS eq_f
               |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
@@ -247,7 +260,7 @@ object ScalarQueries {
     c.join(o, col("o_custkey") === col("c_custkey"), "left")
       .select(
         col("c_custkey"), col("o_orderkey"),
-        coalesce(dec(col("o_totalprice")), lit(0).cast(DecT)).as("price_or_zero"),
+        coalesce(col("o_totalprice"), lit(0).cast("double")).as("price_or_zero"),
         nullif(col("o_orderstatus"), lit("O")).as("st_nn"),
         when(col("o_orderstatus") <=> "F", 1).otherwise(0).as("eq_f"))
       .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
@@ -289,13 +302,13 @@ object ScalarQueries {
                |       epoch_us(ts) // 1000000 AS e_sec
                |FROM events ORDER BY event_id""".stripMargin,
     spark = """SELECT event_id,
-              |       unix_micros(ts) AS e_us,
-              |       CAST(floor(unix_micros(ts) / 1000000) AS BIGINT) AS e_sec
+              |       unix_micros(CAST(ts AS TIMESTAMP)) AS e_us,
+              |       CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000) AS BIGINT) AS e_sec
               |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
     Tables.events(spark, sfDir)
       .select(col("event_id"),
-        unix_micros(col("ts")).as("e_us"),
-        floor(unix_micros(col("ts")) / 1000000).cast("long").as("e_sec"))
+        unix_micros(col("ts").cast("timestamp")).as("e_us"),
+        floor(unix_micros(col("ts").cast("timestamp")) / 1000000).cast("long").as("e_sec"))
       .orderBy(col("event_id"))
   }
 
@@ -304,16 +317,15 @@ object ScalarQueries {
   private val greatestLeast = CatalogEntry.ansi(
     "scalar_greatest_least",
     """SELECT c_custkey,
-      |       CAST(greatest(CAST(c_acctbal AS DECIMAL(18,4)), CAST(o_totalprice AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS hi,
-      |       CAST(least(CAST(c_acctbal AS DECIMAL(18,4)), CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS lo
+      |       greatest(c_acctbal, o_totalprice, CAST(0 AS DOUBLE)) AS hi,
+      |       least(c_acctbal, o_totalprice) AS lo
       |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
       |ORDER BY c_custkey, hi, lo NULLS FIRST""".stripMargin) { (spark, sfDir) =>
     Tables.customer(spark, sfDir)
       .join(Tables.orders(spark, sfDir), col("o_custkey") === col("c_custkey"), "left")
       .select(col("c_custkey"),
-        greatest(dec(col("c_acctbal")), dec(col("o_totalprice")), lit(0).cast(DecT))
-          .cast(DecT).as("hi"),
-        least(dec(col("c_acctbal")), dec(col("o_totalprice"))).cast(DecT).as("lo"))
+        greatest(col("c_acctbal"), col("o_totalprice"), lit(0).cast("double")).as("hi"),
+        least(col("c_acctbal"), col("o_totalprice")).as("lo"))
       .orderBy(col("c_custkey"), col("hi"), col("lo").asc_nulls_first)
   }
 

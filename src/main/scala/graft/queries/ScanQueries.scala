@@ -31,11 +31,11 @@ object ScanQueries {
   private val schemaEnforce = CatalogEntry.ansi(
     "src_schema_enforce",
     """SELECT event_id AS id, CAST(user_id AS INTEGER) AS uid,
-      |       event_type AS etype, CAST(value AS DECIMAL(18,4)) AS val_dec
+      |       event_type AS etype, CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS val_dec
       |FROM events ORDER BY id""".stripMargin) { (spark, sfDir) =>
     val schema = StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", TimestampType),
+      StructField("ts", TimestampNTZType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
@@ -45,7 +45,7 @@ object ScanQueries {
         col("event_id").as("id"),
         col("user_id").cast("int").as("uid"),
         col("event_type").as("etype"),
-        dec(col("value")).as("val_dec"))
+        decOut(dec(col("value"))).as("val_dec"))
       .orderBy(col("id"))
   }
 
@@ -131,7 +131,7 @@ object ScanQueries {
   private val bucketedJoin = CatalogEntry.ansi(
     "sink_bucketed_join",
     """SELECT c_mktsegment, COUNT(*) AS n_orders,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (spark, sfDir) =>
     val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed"

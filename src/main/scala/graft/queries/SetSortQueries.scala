@@ -14,16 +14,17 @@ import Util._
   */
 object SetSortQueries {
 
-  /** Both sides order by the projected decimal alias (not the raw double)
-    * so the sort key is bit-identical across engines. */
+  /** Both sides order by the same raw-double sort key (bit-identical in
+    * both engines since it passes through un-arithmetic'd), tie-broken by
+    * the unique order key. */
   private val sortMultiLimit = CatalogEntry.ansi(
     "sort_multi_limit",
-    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price, o_orderdate
+    """SELECT o_orderkey, o_totalprice AS price, o_orderdate
       |FROM orders
       |ORDER BY price DESC, o_orderkey
       |LIMIT 100""".stripMargin) { (spark, sfDir) =>
     Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"), col("o_orderdate"))
+      .select(col("o_orderkey"), col("o_totalprice").as("price"), col("o_orderdate"))
       .orderBy(col("price").desc, col("o_orderkey"))
       .limit(100)
   }

@@ -21,13 +21,19 @@ object StreamQueries {
 
   /** Per-hour tumbling counts/sums — batch `window()` twin; the window
     * struct is flattened to its start so the output is a flat column. */
-  private val tumblingAgg = CatalogEntry.ansi(
+  private val tumblingAgg = CatalogEntry.dialect(
     "stream_tumbling_agg",
-    """SELECT date_trunc('hour', ts) AS win_start, COUNT(*) AS n,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_val
-      |FROM events
-      |GROUP BY win_start
-      |ORDER BY win_start""".stripMargin) { (spark, sfDir) =>
+    duckdb = """SELECT date_trunc('hour', ts) AS win_start, COUNT(*) AS n,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+               |FROM events
+               |GROUP BY win_start
+               |ORDER BY win_start""".stripMargin,
+    // NTZ pin on the Spark twin (date_trunc coerces NTZ → session-tz)
+    spark = """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ) AS win_start, COUNT(*) AS n,
+              |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+              |FROM events
+              |GROUP BY win_start
+              |ORDER BY win_start""".stripMargin) { (spark, sfDir) =>
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").as("win"))
       .agg(count(lit(1)).as("n"), decOut(sum(dec(col("value")))).as("sum_val"))
@@ -40,7 +46,7 @@ object StreamQueries {
   private val slidingAgg = CatalogEntry.dialect(
     "stream_sliding_agg",
     duckdb = """SELECT win_start, COUNT(*) AS n,
-               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_val
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
                |FROM (
                |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, value FROM events
                |  UNION ALL
@@ -49,7 +55,7 @@ object StreamQueries {
                |GROUP BY win_start
                |ORDER BY win_start""".stripMargin,
     spark = """SELECT win_start, COUNT(*) AS n,
-              |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_val
+              |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
               |FROM (
               |  SELECT window(ts, '1 hour', '30 minutes').start AS win_start, value FROM events
               |)
@@ -87,7 +93,7 @@ object StreamQueries {
                |ORDER BY user_id, session_id""".stripMargin,
     spark = """WITH flagged AS (
               |  SELECT user_id, event_id, ts,
-              |         CASE WHEN unix_micros(ts) - unix_micros(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              |         CASE WHEN unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
               |                   > 1800000000
               |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               |              THEN 1 ELSE 0 END AS new_session
@@ -108,7 +114,7 @@ object StreamQueries {
     Tables.events(spark, sfDir)
       .withColumn("new_session",
         when(prev.isNull
-          || unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1).otherwise(0))
+          || unix_micros(col("ts").cast("timestamp")) - unix_micros(prev.cast("timestamp")) > 1800000000L, 1).otherwise(0))
       .withColumn("session_id",
         sum(col("new_session")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
@@ -125,7 +131,7 @@ object StreamQueries {
   // returns the sink contents as the result DataFrame.
 
   private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -159,7 +165,11 @@ object StreamQueries {
     (spark, sfDir) =>
       val src = stageSource(spark, sfDir, "dedup")
       runStream(spark, "dedup", src) { in =>
-        in.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+        // watermarks require TimestampType (not NTZ) — cast through the
+        // session-UTC identity and back so the sink stays naive
+        in.withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 hour").dropDuplicates("event_id")
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
       }.orderBy(col("event_id"))
   }
 
@@ -169,10 +179,11 @@ object StreamQueries {
   private val lateData = CatalogEntry.noOracle("stream_late_data") { (spark, sfDir) =>
     val src = stageSource(spark, sfDir, "late")
     runStream(spark, "late", src) { in =>
-      in.withWatermark("ts", "30 minutes")
+      in.withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "1 hour").as("win"))
         .agg(count(lit(1)).as("n"))
-        .select(col("win.start").as("win_start"), col("n"))
+        .select(col("win.start").cast("timestamp_ntz").as("win_start"), col("n"))
     }.orderBy(col("win_start"))
   }
 
@@ -238,7 +249,7 @@ object StreamQueries {
                |ORDER BY user_id, win_start""".stripMargin,
     spark = """WITH flagged AS (
               |  SELECT user_id, event_id, ts,
-              |         CASE WHEN unix_micros(ts) - unix_micros(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              |         CASE WHEN unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
               |                   > 1800000000
               |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               |              THEN 1 ELSE 0 END AS new_session
@@ -282,21 +293,25 @@ object StreamQueries {
       val in = spark.readStream.schema(eventsSchema).parquet(src)
         .select(col("user_id"), col("event_id"), col("ts"))
       val gapMicros = 1800000000L
+      // ts is TIMESTAMP_NTZ → JVM type LocalDateTime; epoch-µs arithmetic
+      // is done explicitly against UTC (tz-independent by construction)
+      def us(t: java.time.LocalDateTime): Long =
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
       val sessions = in
-        .as[(Long, Long, java.sql.Timestamp)]
+        .as[(Long, Long, java.time.LocalDateTime)]
         .groupByKey(_._1)
-        .flatMapGroupsWithState[Long, (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+        .flatMapGroupsWithState[Long, (Long, java.time.LocalDateTime, java.time.LocalDateTime, Long)](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (uid: Long, evs: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[Long]) =>
+          (uid: Long, evs: Iterator[(Long, Long, java.time.LocalDateTime)], state: GroupState[Long]) =>
             // sort this batch's events, split on >30min inactivity gaps
-            val sorted = evs.toSeq.sortBy(e => (e._3.getTime * 1000, e._2))
+            val sorted = evs.toSeq.sortBy(e => (us(e._3), e._2))
             if (sorted.isEmpty) Iterator.empty
             else {
               val out = scala.collection.mutable.ArrayBuffer
-                .empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+                .empty[(Long, java.time.LocalDateTime, java.time.LocalDateTime, Long)]
               var start = sorted.head._3; var last = sorted.head._3; var n = 1L
               sorted.tail.foreach { e =>
-                if ((e._3.getTime - last.getTime) * 1000 > gapMicros) {
+                if (us(e._3) - us(last) > gapMicros) {
                   out += ((uid, start, last, n)); start = e._3; n = 0
                 }
                 last = e._3; n += 1
@@ -324,11 +339,12 @@ object StreamQueries {
     (spark, sfDir) =>
       val src = stageSource(spark, sfDir, "ssjoin")
       runStream(spark, "ssjoin", src) { in =>
-        val errors = in.where(col("event_type") === "error")
+        val tz = in.withColumn("ts", col("ts").cast("timestamp"))
+        val errors = tz.where(col("event_type") === "error")
           .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
             col("ts").as("err_ts"))
           .withWatermark("err_ts", "2 hours")
-        val purchases = in.where(col("event_type") === "purchase")
+        val purchases = tz.where(col("event_type") === "purchase")
           .select(col("event_id").as("purch_id"), col("user_id").as("purch_user"),
             col("ts").as("purch_ts"))
           .withWatermark("purch_ts", "2 hours")
@@ -336,6 +352,8 @@ object StreamQueries {
           col("err_user") === col("purch_user")
             && col("purch_ts") >= col("err_ts") - expr("INTERVAL 1 HOUR")
             && col("purch_ts") <= col("err_ts"))
+          .withColumn("err_ts", col("err_ts").cast("timestamp_ntz"))
+          .withColumn("purch_ts", col("purch_ts").cast("timestamp_ntz"))
       }.orderBy(col("err_id"), col("purch_id"))
   }
 

@@ -19,14 +19,14 @@ object SubqueryQueries {
     * cannot straddle engine float drift. */
   private val scalarUncorr = CatalogEntry.ansi(
     "subq_scalar_uncorr",
-    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+    """SELECT o_orderkey, o_totalprice AS price
       |FROM orders
       |WHERE CAST(o_totalprice AS DECIMAL(18,4)) >
       |      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,4)) FROM orders)
       |ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
     Tables.registerAll(spark, sfDir)
     spark.sql(
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      """SELECT o_orderkey, o_totalprice AS price
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,4)) >
         |      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,4)) FROM orders)

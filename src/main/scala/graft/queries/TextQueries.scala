@@ -17,6 +17,40 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** Compose-with-LSH verification stage (VERDICT.md r1 #5) — the 100-TB
+    * path for the exact pair metrics. The blocked self-join entries
+    * (`text_jaccard_tokens`, `dedup_ngram_jaccard`,
+    * `text_levenshtein_block`) spread the quadratic work but don't change
+    * its asymptotics: at 100× corpus, intra-bucket pairs grow ~10,000×. At
+    * scale, candidate pairs should come from `dedup_minhash_lsh` /
+    * `dedup_simhash` banding (O(n) in the corpus) and the exact metrics run
+    * only on those pairs. This helper is that second stage: it decorates an
+    * arbitrary `(doc_a, doc_b)` candidate frame with the exact metrics via
+    * two hash joins against the corpus — no self-join anywhere, cost
+    * O(|candidates|). Equivalence with the blocked path on the blocked
+    * path's own predicate is pinned by PropertySpec
+    * ("LSH-composed verification equals blocked path").
+    */
+  def verifyPairs(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                  candidates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      substring(col("text"), 1, 40).as("prefix"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("n_chars").as("nc_a"), col("prefix").as("pre_a"), col("toks").as("toks_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("n_chars").as("nc_b"), col("prefix").as("pre_b"), col("toks").as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    candidates.select(col("doc_a"), col("doc_b"))
+      .join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        col("lang_a"), col("lang_b"), col("nc_a"), col("nc_b"),
+        round(inter * 1.0 / (size(col("toks_a")) + size(col("toks_b")) - inter), 4)
+          .as("jaccard"),
+        levenshtein(col("pre_a"), col("pre_b")).cast("long").as("lev_dist"))
+  }
+
   private val tokenizeWordcount = CatalogEntry.dialect(
     "text_tokenize_wordcount",
     duckdb = """SELECT token, COUNT(*) AS n FROM (
@@ -154,8 +188,11 @@ object TextQueries {
     * precision are property-tested in PropertySpec.
     */
   private val minhashLsh = CatalogEntry.noOracle("dedup_minhash_lsh") { (spark, sfDir) =>
-    val nHashes = 40
-    val bands = 5
+    // corpus-dependent knobs — spark.conf, defaults profiled in round 1
+    // (graft.dedup.minhash.{hashes,bands,threshold}; VERDICT.md r1 #5)
+    val nHashes = graft.GraftConf.minhashHashes(spark)
+    val bands = graft.GraftConf.minhashBands(spark)
+    val threshold = graft.GraftConf.minhashThreshold(spark)
     val rowsPerBand = nHashes / bands
     // docs feeds members AND both legs of the reps derivation; cached, the
     // tokenize+fingerprint pass over the corpus runs once (profiled: the
@@ -196,7 +233,7 @@ object TextQueries {
     val repPairs = candidates.join(ta, "fp_a").join(tb, "fp_b")
       .withColumn("jaccard",
         round(inter * 1.0 / (size(col("toks_a")) + size(col("toks_b")) - inter), 4))
-      .where(col("jaccard") >= 0.9)
+      .where(col("jaccard") >= threshold)
       .select(col("fp_a"), col("fp_b"), col("jaccard"))
     // intra-group: identical token sets, Jaccard exactly 1.0
     val ma = members.select(col("fp"), col("doc_id").as("doc_a"))
@@ -222,6 +259,12 @@ object TextQueries {
     * recall 1.0 (property-tested). */
   private val simhash = CatalogEntry.noOracle("dedup_simhash") { (spark, sfDir) =>
     val bits = 64
+    // pigeonhole: within Hamming distance d, a pair must agree on one of
+    // d+1 equal blocks; maxHamming is corpus-tunable via spark.conf
+    val maxHamming = graft.GraftConf.simhashMaxHamming(spark)
+    val nBlocks = maxHamming + 1
+    val blockBits = bits / nBlocks
+    val blockMask = (1L << blockBits) - 1
     val tokenHashes = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
       .withColumn("h", xxhash64(col("t")))
@@ -234,8 +277,8 @@ object TextQueries {
         when(col(s"b$k") >= 0, lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _).as("simhash"))
     val blocked = sim.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF)): _*)).as(Seq("block", "key")))
+      posexplode(array((0 until nBlocks).map(b =>
+        shiftright(col("simhash"), b * blockBits).bitwiseAND(blockMask)): _*)).as(Seq("block", "key")))
     val l = blocked.select(col("block"), col("key"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val r = blocked.select(col("block"), col("key"),
@@ -245,7 +288,7 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
-      .where(col("hamming") <= 3)
+      .where(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -66,15 +66,15 @@ object UdfQueries {
   private val typedUdaf = CatalogEntry.ansi(
     "udaf_typed_aggregator",
     """SELECT l_returnflag,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) /
-      |            SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS wavg_price
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) /
+      |            SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS wavg_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
     (spark, sfDir) =>
       val wavg = udaf(WeightedAvg)
       Tables.lineitem(spark, sfDir)
         .groupBy(col("l_returnflag"))
         .agg(wavg(dec(col("l_extendedprice")), dec(col("l_quantity")))
-          .cast("decimal(38,4)").as("wavg_price"))
+          .cast("decimal(38,4)").cast("double").as("wavg_price"))
         .orderBy(col("l_returnflag"))
   }
 
@@ -106,7 +106,7 @@ object UdfQueries {
   private val typedDataset = CatalogEntry.ansi(
     "typed_dataset_ops",
     """SELECT o_orderkey, o_orderstatus,
-      |       CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      |       o_totalprice AS price
       |FROM orders
       |WHERE o_totalprice > 300000 AND o_orderstatus = 'O'
       |ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
@@ -119,7 +119,7 @@ object UdfQueries {
     typed
       .filter(col("o_totalprice") > 300000 && col("o_orderstatus") === "O")
       .select(col("o_orderkey"), col("o_orderstatus"),
-        dec(col("o_totalprice")).as("price"))
+        col("o_totalprice").as("price"))
       .orderBy(col("o_orderkey"))
   }
 

@@ -13,9 +13,15 @@ object Util {
 
   def dec(c: Column): Column = c.cast(DecT)
 
-  /** Final-output pin: Spark widens SUM(DECIMAL(18,4)) to (28,4), DuckDB to
-    * (38,4) — re-cast every aggregated output to (18,4) on BOTH sides so the
-    * written schemas agree.
+  /** Final-output pin (round-2 policy, VERDICT.md r1 fix #1): decimal math
+    * stays internal — every decimal column that reaches a query's OUTPUT is
+    * cast to DOUBLE on both sides. The driver's hash-compare distrusts
+    * decimal physical representation (27/30 decimal-output queries failed
+    * with bit-equal values in round 1), while doubles pass 64/64. Converting
+    * the same exact DECIMAL(18,4) value to double is correctly rounded and
+    * identical in Spark (BigDecimal.doubleValue) and DuckDB (scaled int /
+    * 10^4) for |scaled| < 2^53 — which holds at every test SF.
+    * Matching oracle columns are wrapped in CAST(… AS DOUBLE).
     */
-  def decOut(c: Column): Column = c.cast(DecT)
+  def decOut(c: Column): Column = c.cast("double")
 }

@@ -219,10 +219,11 @@ object VectorQueries {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("label"), expr("transform(pc, p -> p.c)").as("cv"))
     val q = emb.where(col("vec_id") === 0).select(col("v").as("qv"))
+    // nprobe is the recall/cost dial — spark.conf `graft.ann.ivf.nprobe`
     val probeLabels = centroids.crossJoin(broadcast(q))
       .select(col("label"), expr("cosine_sim(cv, qv)").as("csim"))
       .orderBy(col("csim").desc, col("label"))
-      .limit(3)
+      .limit(graft.GraftConf.ivfNprobe(spark))
       .collect().map(_.getInt(0)).toSeq
     emb.where(col("vec_id") =!= 0 && col("label").isin(probeLabels: _*))
       .crossJoin(broadcast(q))

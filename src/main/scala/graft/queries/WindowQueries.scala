@@ -67,7 +67,7 @@ object WindowQueries {
     """SELECT o_orderkey, o_custkey,
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
       |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_total
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -150,7 +150,7 @@ object WindowQueries {
     * group key + per-partition sort; never a global sort. */
   private val topkPerGroup = CatalogEntry.ansi(
     "win_topk_per_group",
-    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price, rn FROM (
+    """SELECT o_custkey, o_orderkey, o_totalprice AS price, rn FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |         ROW_NUMBER() OVER (PARTITION BY o_custkey
       |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -163,7 +163,7 @@ object WindowQueries {
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        dec(col("o_totalprice")).as("price"), col("rn"))
+        col("o_totalprice").as("price"), col("rn"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 

@@ -43,6 +43,29 @@ class PropertySpec extends SparkSpecBase {
     assert((lsh -- exact).isEmpty, "LSH emitted a pair below the threshold")
   }
 
+  test("LSH-composed verification equals blocked path (VERDICT r1 #5)") {
+    // Scale story: the blocked self-join pair metrics are quadratic in
+    // their buckets; at 100 TB they run as a *verification stage* over
+    // LSH-emitted candidates (O(|candidates|), two hash joins — see
+    // TextQueries.verifyPairs). This pins the composition's equivalence:
+    // restricted to the blocked path's own predicate (same lang, ±20
+    // chars), LSH candidates → exact-Jaccard ≥ 0.9 finds exactly the
+    // pairs the blocked self-join finds at ≥ 0.9.
+    val threshold = graft.GraftConf.minhashThreshold(spark)
+    val band = graft.GraftConf.pairLengthBand(spark)
+    val lshPairs = Catalog.byKey("dedup_minhash_lsh").run(spark, sfDir)
+    val composed = queries.TextQueries.verifyPairs(spark, sfDir, lshPairs)
+      .where(col("jaccard") >= threshold
+        && col("lang_a") === col("lang_b")
+        && col("nc_b").between(col("nc_a") - band, col("nc_a") + band))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    val blocked = Catalog.byKey("text_jaccard_tokens").run(spark, sfDir)
+      .where(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+    assert(rowsOf(composed) == rowsOf(blocked))
+  }
+
   test("etl_dedup_latest is idempotent (f(f(x)) == f(x))") {
     val once = Catalog.byKey("etl_dedup_latest").run(spark, sfDir)
     once.createOrReplaceTempView("events_deduped")

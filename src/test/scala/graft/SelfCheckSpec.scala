@@ -39,4 +39,22 @@ class SelfCheckSpec extends SparkSpecBase {
   test("flagship entry returns rows (t1 smoke rehearsal)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  /** Round-2 output-representation lint (VERDICT.md r1 #2): the driver's
+    * hash-compare rejects DECIMAL and tz-aware TIMESTAMP physical types
+    * even when values are bit-equal (34/101 round-1 failures). Decimal
+    * math stays internal; what crosses a query boundary must be
+    * double / ntz. TimestampNTZType is fine; TimestampType is not.
+    */
+  test("no declared query outputs DecimalType or tz-aware TimestampType") {
+    import org.apache.spark.sql.types.{DecimalType, TimestampType}
+    val offenders = Catalog.all.flatMap { e =>
+      val bad = e.run(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] => s"${e.key}.${f.name}: ${f.dataType}"
+        case f if f.dataType == TimestampType           => s"${e.key}.${f.name}: ${f.dataType}"
+      }
+      bad
+    }
+    assert(offenders.isEmpty, s"forbidden output types:\n  ${offenders.mkString("\n  ")}")
+  }
 }

@@ -88,7 +88,8 @@ class StreamSpec extends SparkSpecBase {
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
     Tables.events(spark, sfDir).write.mode("overwrite").parquet(tmp)
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", TimestampType),
+      // ts is TIMESTAMP_NTZ end-to-end since round 2 (Tables.load)
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val q = spark.readStream.schema(schema).parquet(tmp)

@@ -4,28 +4,49 @@
 Mimics the driver's t2 compare: for each query dir under OUTDIR, load the
 Spark-written parquet, run the matching oracle SQL from oracle_sql.json in
 DuckDB (tables = views over the sf parquet files), sort columns by name, and
-compare row-by-row values exactly. Usage:
+compare row-by-row values exactly.
 
+Round-2 hardening (VERDICT.md r1 #4): the round-1 version tolerated exactly
+the drift the driver fails on. Now ALL of these are hard FAILs:
+  - any Spark output column with a DECIMAL or tz-aware TIMESTAMP physical
+    type (pyarrow schema lint on the written parquet);
+  - any dtype difference between the Spark and oracle pandas frames;
+  - any tz-aware column on either side (no tz-stripping normalization).
+
+Usage:
     python3 tools/check.py <sfDir> <outDir> [key ...]
 """
-import json, os, sys
+import glob
+import json
+import os
+import sys
+
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
+import pyarrow.types as pat
 
 TABLES = ["region", "nation", "supplier", "customer", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].reset_index(drop=True)
-    for c in df.columns:
-        # tz-aware (Spark UTC parquet) vs naive (DuckDB) → compare naive
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            try:
-                df[c] = df[c].dt.tz_localize(None)
-            except TypeError:
-                pass
-    return df
+    return df[sorted(df.columns)].reset_index(drop=True)
+
+
+def schema_lint(qdir: str):
+    """Return [(col, type)] of forbidden physical types in the Spark output."""
+    bad = []
+    for f in glob.glob(os.path.join(qdir, "*.parquet")):
+        sch = pq.read_schema(f)
+        for field in sch:
+            t = field.type
+            if pat.is_decimal(t):
+                bad.append((field.name, str(t)))
+            elif pat.is_timestamp(t) and t.tz is not None:
+                bad.append((field.name, str(t)))
+        break  # one part-file carries the full schema
+    return bad
 
 
 def main():
@@ -42,6 +63,12 @@ def main():
         qdir = os.path.join(out_dir, key)
         if not os.path.isdir(qdir) or (only and key not in only):
             continue
+        bad_schema = schema_lint(qdir)
+        if bad_schema:
+            print(f"FAIL {key}: forbidden output type(s) {bad_schema} "
+                  f"(decimal / tz-aware timestamp — driver hash will reject)")
+            n_fail += 1
+            continue
         try:
             got = norm(con.execute(
                 f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df())
@@ -56,6 +83,14 @@ def main():
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {key}: columns {list(got.columns)} != {list(exp.columns)}")
             n_fail += 1; continue
+        tz_cols = [(c, str(df[c].dtype)) for df in (got, exp) for c in df.columns
+                   if isinstance(df[c].dtype, pd.DatetimeTZDtype)]
+        if tz_cols:
+            print(f"FAIL {key}: tz-aware column(s) {tz_cols}"); n_fail += 1; continue
+        dt = [(c, str(got[c].dtype), str(exp[c].dtype))
+              for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt:
+            print(f"FAIL {key}: dtype drift {dt}"); n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {key}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
         bad = None
@@ -64,19 +99,14 @@ def main():
             neq = ~((a == b) | (a.isna() & b.isna()))
             if neq.any():
                 i = int(neq.idxmax())
-                bad = (c, i, a[i], b[i],
-                       str(a.dtype), str(b.dtype))
+                bad = (c, i, a[i], b[i], str(a.dtype), str(b.dtype))
                 break
         if bad:
             c, i, av, bv, at, bt = bad
             print(f"FAIL {key}: col {c} row {i}: spark={av!r}({at}) oracle={bv!r}({bt})")
             n_fail += 1
         else:
-            # dtype drift warning (value-equal but physical type differs)
-            dt = [(c, str(got[c].dtype), str(exp[c].dtype))
-                  for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
-            note = f"  [dtype drift: {dt}]" if dt else ""
-            print(f"PASS {key} ({len(got)} rows){note}")
+            print(f"PASS {key} ({len(got)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
