@@ -207,15 +207,24 @@ object TextQueries {
     val reps = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
       .join(docs.select(col("doc_id").as("rep_id"), col("toks")), "rep_id")
       .cache()
-    // minhash signature per representative
-    val sig = reps.withColumn("sig", array(
-      (0 until nHashes).map(i =>
-        array_min(transform(col("toks"), t => xxhash64(lit(i), t)))): _*))
+    // minhash signature per representative — ONE explode + groupBy pass.
+    // The naive form, array(min over transform(toks, xxhash64(i, t)))
+    // per seed, evaluates 40 interpreted HOF lambdas per row (Spark has
+    // no codegen for higher-order functions; measured at 38% of the whole
+    // bench in round 2). Exploding the distinct tokens once and taking 40
+    // min(xxhash64(seed, t)) aggregates computes the identical signature
+    // in a single codegen'd partial-aggregation pass: map-side combine
+    // keeps the shuffle at |reps|×40 longs regardless of corpus size.
+    val minExprs = (0 until nHashes).map(i =>
+      min(xxhash64(lit(i), col("t"))).as(s"h$i"))
+    val sig = reps.select(col("fp"), explode(col("toks")).as("t"))
+      .groupBy(col("fp"))
+      .agg(minExprs.head, minExprs.tail: _*)
     val banded = sig.select(
       col("fp"),
       posexplode(array((0 until bands).map(b =>
         xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
-          col("sig").getItem(b * rowsPerBand + r))): _*)): _*)).as(Seq("band", "bucket")))
+          col(s"h${b * rowsPerBand + r}"))): _*)): _*)).as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("fp").as("fp_a"))
     val r = banded.select(col("band"), col("bucket"), col("fp").as("fp_b"))
     val candidates = l.join(r, Seq("band", "bucket"))

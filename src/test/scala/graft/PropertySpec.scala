@@ -43,14 +43,19 @@ class PropertySpec extends SparkSpecBase {
     assert((lsh -- exact).isEmpty, "LSH emitted a pair below the threshold")
   }
 
-  test("LSH-composed verification equals blocked path (VERDICT r1 #5)") {
+  test("LSH-composed verification: precision 1.0, recall >= 0.9 vs blocked path (VERDICT r1 #5)") {
     // Scale story: the blocked self-join pair metrics are quadratic in
     // their buckets; at 100 TB they run as a *verification stage* over
     // LSH-emitted candidates (O(|candidates|), two hash joins — see
-    // TextQueries.verifyPairs). This pins the composition's equivalence:
-    // restricted to the blocked path's own predicate (same lang, ±20
-    // chars), LSH candidates → exact-Jaccard ≥ 0.9 finds exactly the
-    // pairs the blocked self-join finds at ≥ 0.9.
+    // TextQueries.verifyPairs). Restricted to the blocked path's own
+    // predicate (same lang, ±20 chars), the composition's guarantees are:
+    //   precision 1.0 — every composed pair passes the exact-Jaccard
+    //     verify, so it must also appear in the exact blocked path;
+    //   recall < 1.0 BY CONSTRUCTION — 5×8 banding has single-pair
+    //     candidate probability 1-(1-j^8)^5 ≈ 0.89–0.97 on the j∈[0.9,0.94]
+    //     shoulder of the S-curve, so set-equality cannot hold (round-2
+    //     red test). Assert a recall floor instead, matching the adjacent
+    //     ground-truth recall property above.
     val threshold = graft.GraftConf.minhashThreshold(spark)
     val band = graft.GraftConf.pairLengthBand(spark)
     val lshPairs = Catalog.byKey("dedup_minhash_lsh").run(spark, sfDir)
@@ -59,11 +64,17 @@ class PropertySpec extends SparkSpecBase {
         && col("lang_a") === col("lang_b")
         && col("nc_b").between(col("nc_a") - band, col("nc_a") + band))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
-    val blocked = Catalog.byKey("text_jaccard_tokens").run(spark, sfDir)
-      .where(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
-    assert(rowsOf(composed) == rowsOf(blocked))
+    val composedSet = rowsOf(composed.orderBy(col("doc_a"), col("doc_b"))).toSet
+    val blockedSet = rowsOf(
+      Catalog.byKey("text_jaccard_tokens").run(spark, sfDir)
+        .where(col("jaccard") >= threshold)
+        .orderBy(col("doc_a"), col("doc_b"))).toSet
+    assert(blockedSet.nonEmpty, "blocked ground truth unexpectedly empty")
+    val extras = composedSet -- blockedSet
+    assert(extras.isEmpty, s"composed emitted pairs the exact path rejects: $extras")
+    val recall = (composedSet & blockedSet).size.toDouble / blockedSet.size
+    assert(recall >= 0.9,
+      s"composed recall $recall < 0.9 (|blocked|=${blockedSet.size}, |composed|=${composedSet.size})")
   }
 
   test("etl_dedup_latest is idempotent (f(f(x)) == f(x))") {
