@@ -33,9 +33,21 @@ object GraftConf {
 
   /** SimHash: max Hamming distance accepted as near-dup. Block count for
     * candidate generation is derived: maxHamming+1 blocks (pigeonhole —
-    * a pair within the bound must agree on at least one block). */
-  def simhashMaxHamming(spark: SparkSession): Int =
-    get(spark, "graft.dedup.simhash.maxHamming", "3").toInt
+    * a pair within the bound must agree on at least one block).
+    *
+    * Validated: maxHamming+1 must divide the 64 fingerprint bits, so the
+    * legal values are 1, 3, 7, 15, 31, 63. Without the check, 0 derives
+    * blockBits=64 → blockMask=(1L<<64)-1==0 → every doc lands in ONE
+    * bucket and the "blocked" join silently degrades to a full O(n²)
+    * self-join; a non-divisor leaves the high bits out of every block, so
+    * near-dup pairs differing only there would be silently missed. */
+  def simhashMaxHamming(spark: SparkSession): Int = {
+    val v = get(spark, "graft.dedup.simhash.maxHamming", "3").toInt
+    require(v >= 1 && 64 % (v + 1) == 0,
+      s"graft.dedup.simhash.maxHamming=$v invalid: maxHamming+1 must divide 64 " +
+        "(legal values: 1, 3, 7, 15, 31, 63)")
+    v
+  }
 
   /** IVF probe width: how many coarse cells the query scans. */
   def ivfNprobe(spark: SparkSession): Int =

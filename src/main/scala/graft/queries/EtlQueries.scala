@@ -272,7 +272,36 @@ object EtlQueries {
       .orderBy(col("d"))
   }
 
+  /** CTAS / managed-table DDL round-trip — the `create_tables` surface of
+    * the warehouse genre (VERDICT r1 #9, r2 #6). `CREATE TABLE AS SELECT`
+    * through the SQL front end materializes a MANAGED parquet table in the
+    * session catalog (location = spark.sql.warehouse.dir); the entry then
+    * reads it back through the catalog, so the oracle checks DDL + write +
+    * catalog read as one identity. Dropped and recreated per invocation —
+    * the write IS the operator here (unlike sink_bucketed_join's staged
+    * layout), and the selected slice is dimension-sized. ScanSpec asserts
+    * the table is MANAGED and survives a catalog lookup. */
+  private val ctasRoundtrip = CatalogEntry.ansi(
+    "etl_ctas_roundtrip",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_ctas_src")
+    spark.sql("DROP TABLE IF EXISTS graft_ctas_customer")
+    // the in-memory session catalog does not survive JVMs, but the managed
+    // location on disk does: a table created by a previous process is
+    // invisible to DROP TABLE yet still blocks CTAS (LOCATION_ALREADY_EXISTS).
+    // Clean the orphaned location explicitly.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_ctas_customer")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.sql(
+      """CREATE TABLE graft_ctas_customer USING PARQUET AS
+        |SELECT c_custkey, c_name, c_mktsegment FROM graft_ctas_src""".stripMargin)
+    spark.table("graft_ctas_customer").orderBy(col("c_custkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
-    unpivotLong, timeDim, qualityAudit, dateSpineFill)
+    unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip)
 }

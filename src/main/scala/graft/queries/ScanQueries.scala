@@ -95,11 +95,31 @@ object ScanQueries {
       .orderBy(col("o_year"))
   }
 
-  /** JDBC surface exemplar — no live database in this environment, so the
-    * entry exercises the TableSource trait through its parquet
-    * implementation; JdbcSource holds the real warehouse plumbing. */
-  private val jdbcSurface = CatalogEntry.noOracle("src_jdbc_surface") { (spark, sfDir) =>
-    ParquetSource(s"$sfDir/nation.parquet").load(spark).orderBy(col("n_nationkey"))
+  /** JDBC warehouse round-trip, executed for real against embedded Derby
+    * (ships with the Spark distribution — the in-process stand-in for
+    * Redshift/Postgres). Overwrite-stage `nation` into the database, then
+    * read it back PARTITIONED: `partitionColumn` + bounds make Spark issue
+    * `numPartitions` range queries in parallel — the only bulk-read shape
+    * that scales over JDBC (a single connection serializes the transfer;
+    * at warehouse scale you always fan out, sized so each range query
+    * stays within the source's per-connection throughput). Identity
+    * oracle; fan-out + append semantics are asserted in ScanSpec. */
+  private val jdbcSurface = CatalogEntry.ansi(
+    "src_jdbc_surface",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") {
+    (spark, sfDir) =>
+      val src = graft.sources.JdbcSource(
+        url = "jdbc:derby:memory:graft_entry;create=true",
+        dbtable = "graft_nation",
+        user = "app", password = "app",
+        driver = "org.apache.derby.jdbc.EmbeddedDriver",
+        partitionColumn = Some("n_nationkey"),
+        lowerBound = 0L, upperBound = 25L, numPartitions = 4)
+      src.overwrite(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      src.load(spark)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
   }
 
   /** JSON write→read fidelity — the JsonSource leg of the COPY surface.
@@ -128,27 +148,96 @@ object ScanQueries {
     * fact-dim reconciliation from a full two-sided shuffle into a local
     * merge per bucket. The aggregation after the join still shuffles —
     * that is the cheap |groups|-sized exchange. */
+  /** Write-once staging (VERDICT r2 task 3 / r3 #1): the bucketed tables
+    * are a LAYOUT, not part of the query — a warehouse writes its DISTKEY
+    * tables once and joins them nightly. Re-staging on every invocation put
+    * a ~15 s table rewrite inside the timed bench path.
+    *
+    * Keyed on sfDir ALONE, not (session, sfDir): sibling sessions
+    * (`spark.newSession()`) share the external catalog and the files, so a
+    * per-session key makes a sibling restage tables another session has
+    * already resolved — its per-session relation cache then points at
+    * part-files the rewrite deleted (FILE_NOT_EXIST; hit by
+    * PerturbationSpec's sibling-session run). One staging per (JVM, sfDir)
+    * is both the fastest and the only cache-coherent choice; the staging
+    * session refreshes its own relation cache after a rewrite. */
+  private val bucketedStaged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureBucketedTables(spark: org.apache.spark.sql.SparkSession,
+                                   sfDir: String): Unit = {
+    def tablesExist =
+      spark.catalog.tableExists("graft_orders_bkt") &&
+        spark.catalog.tableExists("graft_customer_bkt")
+    if (!(bucketedStaged.contains(sfDir) && tablesExist)) bucketedStaged.synchronized {
+      if (!bucketedStaged.contains(sfDir) || !tablesExist) {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
+        val basePath = new org.apache.hadoop.fs.Path(base)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(basePath, "_staged_for")
+        // marker records which sfDir the on-disk bucketed files were built
+        // from, written only AFTER both writes complete: a fresh JVM (the
+        // driver's per-round Bench) re-registers valid files with DDL only
+        // instead of re-paying the two table writes
+        val diskValid = fs.exists(marker) && {
+          val in = fs.open(marker)
+          val staged = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          staged == sfDir &&
+            fs.exists(new org.apache.hadoop.fs.Path(basePath, "orders")) &&
+            fs.exists(new org.apache.hadoop.fs.Path(basePath, "customer"))
+        }
+        if (diskValid) {
+          val ordersDDL = Tables.orders(spark, sfDir)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+            .schema.toDDL
+          val customerDDL = Tables.customer(spark, sfDir)
+            .select(col("c_custkey"), col("c_mktsegment"))
+            .schema.toDDL
+          spark.sql(
+            s"""CREATE TABLE IF NOT EXISTS graft_orders_bkt ($ordersDDL)
+               |USING PARQUET
+               |CLUSTERED BY (o_custkey) SORTED BY (o_custkey) INTO 8 BUCKETS
+               |LOCATION '$base/orders'""".stripMargin)
+          spark.sql(
+            s"""CREATE TABLE IF NOT EXISTS graft_customer_bkt ($customerDDL)
+               |USING PARQUET
+               |CLUSTERED BY (c_custkey) SORTED BY (c_custkey) INTO 8 BUCKETS
+               |LOCATION '$base/customer'""".stripMargin)
+        } else {
+          if (fs.exists(marker)) fs.delete(marker, false)
+          spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+          spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+          Tables.orders(spark, sfDir)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+            .write.mode("overwrite")
+            .option("path", s"$base/orders")
+            .bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .saveAsTable("graft_orders_bkt")
+          Tables.customer(spark, sfDir)
+            .select(col("c_custkey"), col("c_mktsegment"))
+            .write.mode("overwrite")
+            .option("path", s"$base/customer")
+            .bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .saveAsTable("graft_customer_bkt")
+          val out = fs.create(marker, true)
+          try out.write(sfDir.getBytes("UTF-8")) finally out.close()
+        }
+        spark.catalog.refreshTable("graft_orders_bkt")
+        spark.catalog.refreshTable("graft_customer_bkt")
+        // staging is per sfDir: a different sfDir in the same JVM restages
+        bucketedStaged.clear()
+        bucketedStaged.add(sfDir)
+      }
+    }
+  }
+
   private val bucketedJoin = CatalogEntry.ansi(
     "sink_bucketed_join",
     """SELECT c_mktsegment, COUNT(*) AS n_orders,
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (spark, sfDir) =>
-    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
-    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
-    spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
-    Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .write.mode("overwrite")
-      .option("path", s"$base/orders")
-      .bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("graft_orders_bkt")
-    Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_mktsegment"))
-      .write.mode("overwrite")
-      .option("path", s"$base/customer")
-      .bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("graft_customer_bkt")
+    ensureBucketedTables(spark, sfDir)
     spark.table("graft_orders_bkt").hint("merge")
       .join(spark.table("graft_customer_bkt").hint("merge"),
         col("o_custkey") === col("c_custkey"))

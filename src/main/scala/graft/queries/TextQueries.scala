@@ -217,6 +217,12 @@ object TextQueries {
     // keeps the shuffle at |reps|×40 longs regardless of corpus size.
     val minExprs = (0 until nHashes).map(i =>
       min(xxhash64(lit(i), col("t"))).as(s"h$i"))
+    // explode (not explode_outer) intentionally drops reps with null/empty
+    // token arrays from the signature stage: such docs can never pass the
+    // exact-Jaccard verify, so losing their (all-null) signatures changes
+    // nothing. Today split() never yields an empty array and null text
+    // yields a null fp that cannot equi-join; revisit with explode_outer if
+    // a future tokenizer can emit empty arrays.
     val sig = reps.select(col("fp"), explode(col("toks")).as("t"))
       .groupBy(col("fp"))
       .agg(minExprs.head, minExprs.tail: _*)

@@ -36,9 +36,11 @@ final case class JsonSource(path: String, schema: StructType) extends TableSourc
 
 /** JDBC source for warehouse interop (Redshift et al.).
   *
-  * No live database exists in this environment, so `load` is exercised only
-  * through unit construction; the option plumbing below is the standard
-  * Spark JDBC surface:
+  * Executed for real against an embedded Derby database (the JDBC engine
+  * that ships with the Spark distribution): the `src_jdbc_surface` catalog
+  * entry round-trips `nation` through Derby with a partitioned read, and
+  * ScanSpec exercises partitioned-read fan-out + append semantics. The
+  * option plumbing is the standard Spark JDBC surface:
   *   - `dbtable` may be a table name or a pushed-down subquery alias
   *   - when `partitionColumn` is set, Spark issues `numPartitions` range
   *     queries in parallel — the only scalable way to bulk-read over JDBC
@@ -69,12 +71,18 @@ final case class JdbcSource(
     r.load()
   }
 
-  /** Append a DataFrame back to the warehouse (ETL write-back path). */
-  def append(df: DataFrame): Unit = {
+  /** Append a DataFrame back to the warehouse (ETL write-back path).
+    * Creates the table on first use, per Spark JDBC SaveMode.Append. */
+  def append(df: DataFrame): Unit = write(df, "append")
+
+  /** Drop-and-recreate write (full-refresh staging path). */
+  def overwrite(df: DataFrame): Unit = write(df, "overwrite")
+
+  private def write(df: DataFrame, mode: String): Unit = {
     var w = df.write.format("jdbc")
       .option("url", url).option("dbtable", dbtable)
       .option("user", user).option("password", password)
     if (driver.nonEmpty) w = w.option("driver", driver)
-    w.mode("append").save()
+    w.mode(mode).save()
   }
 }

@@ -64,17 +64,43 @@ class PropertySpec extends SparkSpecBase {
         && col("lang_a") === col("lang_b")
         && col("nc_b").between(col("nc_a") - band, col("nc_a") + band))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val composedSet = rowsOf(composed.orderBy(col("doc_a"), col("doc_b"))).toSet
-    val blockedSet = rowsOf(
+    // compare on (doc_a, doc_b) KEYS, with jaccard agreement asserted
+    // separately (ADVICE r3): folding jaccard into the compared rows would
+    // turn any future rounding drift into a confusing recall+precision
+    // failure instead of a clear per-pair jaccard mismatch
+    def pairMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val composedMap = pairMap(composed)
+    val blockedMap = pairMap(
       Catalog.byKey("text_jaccard_tokens").run(spark, sfDir)
         .where(col("jaccard") >= threshold)
-        .orderBy(col("doc_a"), col("doc_b"))).toSet
-    assert(blockedSet.nonEmpty, "blocked ground truth unexpectedly empty")
-    val extras = composedSet -- blockedSet
+        .select(col("doc_a"), col("doc_b"), col("jaccard")))
+    assert(blockedMap.nonEmpty, "blocked ground truth unexpectedly empty")
+    val extras = composedMap.keySet -- blockedMap.keySet
     assert(extras.isEmpty, s"composed emitted pairs the exact path rejects: $extras")
-    val recall = (composedSet & blockedSet).size.toDouble / blockedSet.size
+    val common = composedMap.keySet & blockedMap.keySet
+    common.foreach { p =>
+      assert(composedMap(p) == blockedMap(p),
+        s"jaccard mismatch on $p: composed=${composedMap(p)} blocked=${blockedMap(p)}")
+    }
+    val recall = common.size.toDouble / blockedMap.size
     assert(recall >= 0.9,
-      s"composed recall $recall < 0.9 (|blocked|=${blockedSet.size}, |composed|=${composedSet.size})")
+      s"composed recall $recall < 0.9 (|blocked|=${blockedMap.size}, |composed|=${composedMap.size})")
+  }
+
+  test("simhash maxHamming knob rejects degenerate and non-divisor values") {
+    val key = "graft.dedup.simhash.maxHamming"
+    try {
+      // 0 would derive blockMask=0 (one bucket, full O(n²) self-join)
+      spark.conf.set(key, "0")
+      intercept[IllegalArgumentException] { GraftConf.simhashMaxHamming(spark) }
+      // 5 → 6 blocks: 64 % 6 != 0 leaves high bits unbanded
+      spark.conf.set(key, "5")
+      intercept[IllegalArgumentException] { GraftConf.simhashMaxHamming(spark) }
+      spark.conf.set(key, "7")
+      assert(GraftConf.simhashMaxHamming(spark) == 7)
+    } finally spark.conf.unset(key)
+    assert(GraftConf.simhashMaxHamming(spark) == 3)
   }
 
   test("etl_dedup_latest is idempotent (f(f(x)) == f(x))") {
