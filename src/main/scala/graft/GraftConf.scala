@@ -49,6 +49,23 @@ object GraftConf {
     v
   }
 
+  /** Candidate-generator banding for the exact-verify twins
+    * (`dedup_ngram_lsh`, `text_levenshtein_lsh`): signature length and
+    * band count for [[graft.queries.TextQueries.lshCandidates]].
+    * r = hashes/bands sets the S-curve 1-(1-j^r)^b; the defaults (16, 16)
+    * give r=1 — the right shape for the twins' permissive thresholds
+    * (bigram j ≥ 0.2 ⇒ P ≈ 0.97). Validated: bands must divide hashes. */
+  def verifyHashes(spark: SparkSession): Int =
+    get(spark, "graft.dedup.verify.hashes", "16").toInt
+
+  def verifyBands(spark: SparkSession): Int = {
+    val h = verifyHashes(spark)
+    val b = get(spark, "graft.dedup.verify.bands", "16").toInt
+    require(b >= 1 && h % b == 0,
+      s"graft.dedup.verify.bands=$b invalid: must be >= 1 and divide hashes=$h")
+    b
+  }
+
   /** IVF probe width: how many coarse cells the query scans. */
   def ivfNprobe(spark: SparkSession): Int =
     get(spark, "graft.ann.ivf.nprobe", "3").toInt

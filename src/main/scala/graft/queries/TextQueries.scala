@@ -51,6 +51,40 @@ object TextQueries {
         levenshtein(col("pre_a"), col("pre_b")).cast("long").as("lev_dist"))
   }
 
+  /** MinHash + LSH banding candidate generator over an arbitrary
+    * (id, shingle-set) frame — the discovery half of the
+    * candidates→verify decomposition, reusable across shingle spaces
+    * (token bigrams, char q-grams, …). Same one-pass codegen'd shape as
+    * the flagship `dedup_minhash_lsh` signature stage: explode the
+    * shingles once, compute all nHashes min-aggregates in a single
+    * partial-aggregated groupBy (shuffle = |ids|×nHashes longs), band,
+    * bucket-join. P(candidate | shingle-Jaccard j) = 1-(1-j^r)^b with
+    * r = nHashes/bands — callers pick (hashes, bands) for THEIR
+    * threshold; r=1 suits permissive thresholds (j≥0.2 ⇒ P≈0.97 at
+    * b=16), r=8 suits strict ones (j≥0.9).
+    */
+  def lshCandidates(shingled: org.apache.spark.sql.DataFrame, idCol: String,
+                    shingleCol: String, nHashes: Int, bands: Int): org.apache.spark.sql.DataFrame = {
+    require(bands >= 1 && nHashes % bands == 0,
+      s"bands=$bands must divide nHashes=$nHashes")
+    val rowsPerBand = nHashes / bands
+    val minExprs = (0 until nHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sig = shingled.select(col(idCol).as("id"), explode(col(shingleCol)).as("s"))
+      .groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
+    val banded = sig.select(
+      col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+          col(s"h${b * rowsPerBand + r}"))): _*)): _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   private val tokenizeWordcount = CatalogEntry.dialect(
     "text_tokenize_wordcount",
     duckdb = """SELECT token, COUNT(*) AS n FROM (
@@ -96,7 +130,12 @@ object TextQueries {
     * ~27 buckets × 5 langs spread the quadratic work across the cluster
     * (joining on lang alone puts each language on one task and compares
     * ALL intra-lang pairs). The oracle states only the logical predicate —
-    * blocking is plan, not semantics. */
+    * blocking is plan, not semantics.
+    *
+    * Scale role: this exact blocked form is the sf0.01 ORACLE for the
+    * candidate-driven `text_levenshtein_lsh` twin below — at 100 TB the
+    * blocked discovery is quadratic-per-bucket and the twin (LSH
+    * candidates → exact verify) is the production path. */
   private val levenshteinBlock = CatalogEntry.ansi(
     "text_levenshtein_block",
     """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -309,7 +348,12 @@ object TextQueries {
 
   /** n-gram (token-bigram) Jaccard — shingle-level near-dup: word-order
     * sensitive where the unigram variant is not. Same length/lang blocking
-    * (and the same salted-bucket physical join) as the other pair ops. */
+    * (and the same salted-bucket physical join) as the other pair ops.
+    *
+    * Scale role: this exact blocked form is the sf0.01 ORACLE for the
+    * candidate-driven `dedup_ngram_lsh` twin below — at 100 TB the
+    * blocked discovery is quadratic-per-bucket and the twin (LSH
+    * candidates → exact verify) is the production path. */
   private val ngramJaccard = CatalogEntry.dialect(
     "dedup_ngram_jaccard",
     duckdb = """WITH tok AS (
@@ -366,6 +410,122 @@ object TextQueries {
         round(inter * 1.0 / (size(col("grams_a")) + size(col("grams_b")) - inter), 4))
       .where(col("jaccard2") >= 0.2)
       .select(col("doc_a"), col("doc_b"), col("jaccard2"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Candidate-driven twin of `dedup_ngram_jaccard` — the 100-TB path
+    * (VERDICT r3 #5). The blocked form is quadratic *discovery*: at 100×
+    * corpus its intra-bucket pairs grow ~10,000×. This form is linear
+    * discovery + bounded verification:
+    *
+    *   1. canonicalize: one rep per distinct bigram set (md5 fingerprint)
+    *      — clone groups collapse before any pairing
+    *   2. candidates: [[lshCandidates]] over the reps' bigram sets with
+    *      r=1 banding (P(candidate) = 1-(1-j)^16 ≈ 0.97 at the entry's
+    *      j≥0.2 threshold) — O(|reps|·bands) bucket rows, no self-join
+    *   3. verify candidates with the exact bigram Jaccard, keep ≥ 0.2
+    *   4. expand rep pairs to member pairs, re-applying the blocked
+    *      form's lang/±20-chars predicate on member metadata
+    *
+    * Output contract = the blocked entry restricted to what survives the
+    * probabilistic candidate stage: precision 1.0 (every emitted pair is
+    * exactly verified), recall property-tested ≥ 0.9 in PropertySpec with
+    * `dedup_ngram_jaccard` as ground truth. No oracle (xxhash64 banding
+    * isn't DuckDB-reproducible). */
+  private val ngramLsh = CatalogEntry.noOracle("dedup_ngram_lsh") { (spark, sfDir) =>
+    val nHashes = graft.GraftConf.verifyHashes(spark)
+    val bands = graft.GraftConf.verifyBands(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2) // <2 tokens ⇒ no bigrams ⇒ blocked form emits nothing
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], '_', toks[i+1]))"))
+          .as("grams"))
+      .withColumn("fp", md5(array_join(sort_array(col("grams")), " ")))
+      .cache()
+    val members = docs.select(col("fp"), col("doc_id"), col("lang"), col("n_chars"))
+    val reps = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
+      .join(docs.select(col("doc_id").as("rep_id"), col("grams")), "rep_id")
+    val cand = lshCandidates(reps, "fp", "grams", nHashes, bands)
+    val ga = reps.select(col("fp").as("id_a"), col("grams").as("grams_a"))
+    val gb = reps.select(col("fp").as("id_b"), col("grams").as("grams_b"))
+    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+    val repPairs = cand.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("jaccard2",
+        round(inter * 1.0 / (size(col("grams_a")) + size(col("grams_b")) - inter), 4))
+      .where(col("jaccard2") >= 0.2)
+      .select(col("id_a"), col("id_b"), col("jaccard2"))
+    // identical bigram sets: jaccard2 exactly 1.0, found with recall 1.0
+    val ma = members.select(col("fp"), col("doc_id").as("doc_a"),
+      col("lang").as("lang_a"), col("n_chars").as("nc_a"))
+    val mb = members.select(col("fp"), col("doc_id").as("doc_b"),
+      col("lang").as("lang_b"), col("n_chars").as("nc_b"))
+    val intra = ma.join(mb, "fp").where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"),
+        col("nc_a"), col("nc_b"), lit(1.0).as("jaccard2"))
+    // cross-group member pairs inherit the set-level jaccard2
+    val cross = repPairs
+      .join(members.select(col("fp").as("id_a"), col("doc_id").as("id_x"),
+        col("lang").as("lang_a"), col("n_chars").as("nc_a")), "id_a")
+      .join(members.select(col("fp").as("id_b"), col("doc_id").as("id_y"),
+        col("lang").as("lang_b"), col("n_chars").as("nc_b")), "id_b")
+      .select(least(col("id_x"), col("id_y")).as("doc_a"),
+        greatest(col("id_x"), col("id_y")).as("doc_b"),
+        col("lang_a"), col("lang_b"), col("nc_a"), col("nc_b"), col("jaccard2"))
+    intra.unionByName(cross)
+      // the blocked form's logical predicate, re-applied per member pair
+      // (|Δn_chars| ≤ 20 is orientation-symmetric, so least/greatest is safe)
+      .where(col("lang_a") === col("lang_b")
+        && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
+      .select(col("doc_a"), col("doc_b"), col("jaccard2"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Candidate-driven twin of `text_levenshtein_block` — the 100-TB path
+    * (VERDICT r3 #5), same decomposition as [[ngramLsh]] with the prefix
+    * string itself as the canonical key (identical prefixes are distance
+    * 0 by definition) and char 4-grams of the prefix as the LSH shingle
+    * space. A ≤10-edit pair over 40 chars retains high 4-gram overlap in
+    * practice but has NO worst-case q-gram guarantee (10 edits can touch
+    * all 37 grams), so recall is explicitly probabilistic — asserted
+    * ≥ 0.9 in PropertySpec against the blocked ground truth; precision
+    * is 1.0 (candidates are verified with the exact levenshtein). */
+  private val levenshteinLsh = CatalogEntry.noOracle("text_levenshtein_lsh") { (spark, sfDir) =>
+    val nHashes = graft.GraftConf.verifyHashes(spark)
+    val bands = graft.GraftConf.verifyBands(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        substring(col("text"), 1, 40).as("prefix"))
+      .withColumn("qgrams", array_distinct(expr(
+        "transform(sequence(1, greatest(length(prefix) - 3, 1)), i -> substring(prefix, i, 4))")))
+      .cache()
+    val members = docs.select(col("prefix"), col("doc_id"), col("lang"), col("n_chars"))
+    val reps = docs.groupBy(col("prefix")).agg(min(col("doc_id")).as("rep_id"))
+      .join(docs.select(col("doc_id").as("rep_id"), col("qgrams")), "rep_id")
+    // candidate ids ARE the prefixes — verification needs no extra join
+    val repPairs = lshCandidates(reps, "prefix", "qgrams", nHashes, bands)
+      .withColumn("dist", levenshtein(col("id_a"), col("id_b")).cast("long"))
+      .where(col("dist") <= 10)
+    val ma = members.select(col("prefix"), col("doc_id").as("doc_a"),
+      col("lang").as("lang_a"), col("n_chars").as("nc_a"))
+    val mb = members.select(col("prefix"), col("doc_id").as("doc_b"),
+      col("lang").as("lang_b"), col("n_chars").as("nc_b"))
+    val intra = ma.join(mb, "prefix").where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"),
+        col("nc_a"), col("nc_b"), lit(0L).as("dist"))
+    val cross = repPairs
+      .join(members.select(col("prefix").as("id_a"), col("doc_id").as("id_x"),
+        col("lang").as("lang_a"), col("n_chars").as("nc_a")), "id_a")
+      .join(members.select(col("prefix").as("id_b"), col("doc_id").as("id_y"),
+        col("lang").as("lang_b"), col("n_chars").as("nc_b")), "id_b")
+      .select(least(col("id_x"), col("id_y")).as("doc_a"),
+        greatest(col("id_x"), col("id_y")).as("doc_b"),
+        col("lang_a"), col("lang_b"), col("nc_a"), col("nc_b"), col("dist"))
+    intra.unionByName(cross)
+      .where(col("lang_a") === col("lang_b")
+        && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
+      .select(col("doc_a"), col("doc_b"), col("dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -575,6 +735,6 @@ object TextQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
-    simhash, ngramJaccard, langId, qualityScore, tokenCount, fingerprint,
-    rollingHash)
+    simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
+    tokenCount, fingerprint, rollingHash)
 }

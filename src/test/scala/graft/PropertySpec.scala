@@ -88,6 +88,57 @@ class PropertySpec extends SparkSpecBase {
       s"composed recall $recall < 0.9 (|blocked|=${blockedMap.size}, |composed|=${composedMap.size})")
   }
 
+  test("dedup_ngram_lsh: precision 1.0, recall >= 0.9 vs blocked discovery (VERDICT r3 #5)") {
+    // the candidate-driven twin must emit ONLY pairs the exact blocked
+    // form emits (precision 1.0 — every candidate is exactly verified
+    // under the same lang/±20-chars predicate), and find ≥ 90% of them
+    // (recall is probabilistic: r=1 banding, P = 1-(1-j)^16)
+    def pairMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val twin = pairMap(Catalog.byKey("dedup_ngram_lsh").run(spark, sfDir))
+    val blocked = pairMap(Catalog.byKey("dedup_ngram_jaccard").run(spark, sfDir))
+    assert(blocked.nonEmpty, "blocked ground truth unexpectedly empty")
+    val extras = twin.keySet -- blocked.keySet
+    assert(extras.isEmpty, s"twin emitted pairs the blocked path rejects: $extras")
+    val common = twin.keySet & blocked.keySet
+    common.foreach { p =>
+      assert(twin(p) == blocked(p),
+        s"jaccard2 mismatch on $p: twin=${twin(p)} blocked=${blocked(p)}")
+    }
+    val recall = common.size.toDouble / blocked.size
+    assert(recall >= 0.9,
+      s"twin recall $recall < 0.9 (|blocked|=${blocked.size}, |twin|=${twin.size})")
+  }
+
+  test("text_levenshtein_lsh: precision 1.0, recall >= 0.9 vs blocked discovery (VERDICT r3 #5)") {
+    def pairMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val twin = pairMap(Catalog.byKey("text_levenshtein_lsh").run(spark, sfDir))
+    val blocked = pairMap(Catalog.byKey("text_levenshtein_block").run(spark, sfDir))
+    assert(blocked.nonEmpty, "blocked ground truth unexpectedly empty")
+    val extras = twin.keySet -- blocked.keySet
+    assert(extras.isEmpty, s"twin emitted pairs the blocked path rejects: $extras")
+    val common = twin.keySet & blocked.keySet
+    common.foreach { p =>
+      assert(twin(p) == blocked(p),
+        s"dist mismatch on $p: twin=${twin(p)} blocked=${blocked(p)}")
+    }
+    val recall = common.size.toDouble / blocked.size
+    assert(recall >= 0.9,
+      s"twin recall $recall < 0.9 (|blocked|=${blocked.size}, |twin|=${twin.size})")
+  }
+
+  test("verify banding knob rejects non-divisor band counts") {
+    val key = "graft.dedup.verify.bands"
+    try {
+      spark.conf.set(key, "5") // 16 % 5 != 0
+      intercept[IllegalArgumentException] { GraftConf.verifyBands(spark) }
+      spark.conf.set(key, "8")
+      assert(GraftConf.verifyBands(spark) == 8)
+    } finally spark.conf.unset(key)
+    assert(GraftConf.verifyBands(spark) == 16)
+  }
+
   test("simhash maxHamming knob rejects degenerate and non-divisor values") {
     val key = "graft.dedup.simhash.maxHamming"
     try {
