@@ -340,8 +340,50 @@ object AggQueries {
         .orderBy(col("o_orderstatus"))
   }
 
+  /** Mergeable KLL-style quantile sketches (VERDICT r2 #7): build one
+    * sketch per (flag, status) cell with the custom
+    * `TypedImperativeAggregate` ([[graft.functions.KllSketchAgg]]), then
+    * UNION THE SKETCHES per flag — quantiles of the coarse rollup come
+    * from merging the fine sketches, no raw-data rescan. This is the
+    * re-aggregation story `agg_sampled_quantiles` cannot tell, and the
+    * exact analog of the HLL entry for quantiles.
+    *
+    * Determinism: compactor sketches are update/merge-order-sensitive, so
+    * the entry pins the topology — repartition to one partition per group
+    * + sortWithinPartitions on a unique key makes both aggregation levels
+    * process rows in a fixed order (the group lives in exactly one
+    * partition, so the final merge sees a single partial). With 6 cells
+    * that costs nothing here; at 100 TB you pin only when
+    * bit-reproducibility is required — the ERROR BOUND (SketchSpec) holds
+    * for any topology, reproducibility needs a fixed one. */
+  private val kllQuantiles = CatalogEntry.noOracle("agg_kll_quantiles") {
+    (spark, sfDir) =>
+      graft.functions.SketchFunctions.ensureRegistered(spark)
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice").cast("double").as("price"),
+          col("l_orderkey"), col("l_linenumber"))
+      val cellSketches = li
+        .repartition(col("l_returnflag"), col("l_linestatus"))
+        .sortWithinPartitions(col("l_returnflag"), col("l_linestatus"),
+          col("l_orderkey"), col("l_linenumber"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("kll_sketch_agg(price, 256)").as("sk"))
+      cellSketches
+        .repartition(col("l_returnflag"))
+        .sortWithinPartitions(col("l_returnflag"), col("l_linestatus"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("kll_merge_agg(sk, 256)").as("merged"))
+        .select(col("l_returnflag"),
+          round(expr("kll_quantile(merged, 0.5)"), 4).as("p50_est"),
+          round(expr("kll_quantile(merged, 0.9)"), 4).as("p90_est"),
+          round(expr("kll_quantile(merged, 0.99)"), 4).as("p99_est"))
+        .orderBy(col("l_returnflag"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
-    percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles)
+    percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
+    kllQuantiles)
 }

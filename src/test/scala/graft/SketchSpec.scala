@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.KllSketch
+import org.apache.spark.sql.functions._
+
+/** Properties of the mergeable KLL-style quantile sketch (VERDICT r2 #7):
+  * rank-error bound, weight conservation, merge-topology independence of
+  * the bound, and the Spark entry's accuracy vs exact percentiles. */
+class SketchSpec extends SparkSpecBase {
+
+  private val probs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** Deterministic pseudo-shuffle of 1..n (LCG-driven Fisher-Yates) — a
+    * fixed adversarial-ish insertion order without java.util.Random. */
+  private def shuffled(n: Int): Array[Double] = {
+    val a = Array.tabulate(n)(i => (i + 1).toDouble)
+    var state = 0x5DEECE66DL
+    var i = n - 1
+    while (i > 0) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      val j = ((state >>> 33) % (i + 1)).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a
+  }
+
+  /** True rank (fraction ≤ est) of an estimate within 1..n. */
+  private def rankErr(est: Double, n: Int, p: Double): Double =
+    math.abs(math.min(est, n) / n - p)
+
+  test("rank error <= 2% at k=256 over 100k values (single sketch)") {
+    val n = 100000
+    val sk = new KllSketch(256)
+    shuffled(n).foreach(sk.update)
+    assert(sk.n == n)
+    probs.foreach { p =>
+      val err = rankErr(sk.quantile(p), n, p)
+      assert(err <= 0.02, s"p=$p est=${sk.quantile(p)} rank error $err > 2%")
+    }
+  }
+
+  test("exact (zero rank error) while n < k — no compaction has happened") {
+    val sk = new KllSketch(256)
+    shuffled(200).foreach(sk.update)
+    probs.foreach { p =>
+      // walk semantics: smallest value whose cumulative weight >= p*n,
+      // which for unit weights is the exact ceiling-rank order statistic
+      val expected = math.max(1, math.ceil(p * 200).toInt).toDouble
+      assert(sk.quantile(p) == expected, s"p=$p: ${sk.quantile(p)} != $expected")
+    }
+  }
+
+  test("merge conserves count exactly and keeps the bound across topologies") {
+    val n = 100000
+    val data = shuffled(n)
+    val chunks = data.grouped(n / 10).toArray
+
+    def sketchOf(xs: Array[Double]): KllSketch = {
+      val s = new KllSketch(256); xs.foreach(s.update); s
+    }
+    // topology A: left fold
+    val foldLeft = chunks.map(sketchOf).reduceLeft { (a, b) => a.merge(b); a }
+    // topology B: balanced tree
+    def tree(ss: Array[KllSketch]): KllSketch =
+      if (ss.length == 1) ss.head
+      else tree(ss.grouped(2).map { g =>
+        if (g.length == 2) { g(0).merge(g(1)); g(0) } else g(0)
+      }.toArray)
+    val balanced = tree(chunks.map(sketchOf))
+    // topology C: reversed fold
+    val foldRight = chunks.reverse.map(sketchOf).reduceLeft { (a, b) => a.merge(b); a }
+
+    Seq("foldLeft" -> foldLeft, "balanced" -> balanced, "foldRight" -> foldRight)
+      .foreach { case (name, sk) =>
+        assert(sk.n == n, s"$name lost weight: ${sk.n} != $n")
+        probs.foreach { p =>
+          val err = rankErr(sk.quantile(p), n, p)
+          assert(err <= 0.02, s"$name p=$p rank error $err > 2%")
+        }
+      }
+  }
+
+  test("merging sketches built with different k stays within the coarser bound") {
+    val n = 50000
+    val data = shuffled(n)
+    val a = new KllSketch(256); data.take(n / 2).foreach(a.update)
+    val b = new KllSketch(64); data.drop(n / 2).foreach(b.update)
+    a.merge(b)
+    assert(a.n == n)
+    probs.foreach { p =>
+      val err = rankErr(a.quantile(p), n, p)
+      assert(err <= 0.05, s"mixed-k p=$p rank error $err > 5%")
+    }
+  }
+
+  test("serialize/deserialize round-trips the sketch bit-exactly") {
+    val sk = new KllSketch(64)
+    shuffled(10000).foreach(sk.update)
+    val back = KllSketch.deserialize(sk.serialize())
+    assert(back.n == sk.n && back.k == sk.k)
+    probs.foreach(p => assert(back.quantile(p) == sk.quantile(p)))
+  }
+
+  test("agg_kll_quantiles estimates within 5% rank error of each group's data") {
+    val est = Catalog.byKey("agg_kll_quantiles").run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val groups = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("price"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(est.keySet == groups.keySet)
+    groups.foreach { case (flag, values) =>
+      val n = values.length
+      val (p50, p90, p99) = est(flag)
+      Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99).foreach { case (p, e) =>
+        val rank = values.count(_ <= e).toDouble / n
+        assert(math.abs(rank - p) <= 0.05,
+          s"$flag p=$p est=$e true rank $rank (n=$n)")
+      }
+    }
+  }
+}
