@@ -98,6 +98,43 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(cg.contains("WholeStageCodegen"), s"no codegen span in:\n$cg")
   }
 
+  test("runtime bloom filter prunes the fact side of a filtered shuffle join (VERDICT r2 #8)") {
+    // Finding first, then the assertion: with DEFAULT confs, injectRuntimeFilter
+    // can never fire at local test scale — the application side must scan
+    // > spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold
+    // (default 10GB) and the join must be a shuffle join (our dims broadcast
+    // below the 10MB autoBroadcastJoinThreshold). At 100 TB both conditions
+    // hold naturally on join_smj_facts-shaped plans. To document the behavior
+    // executably, a sibling session lowers the scan threshold and disables
+    // broadcast: Spark then plans bloom_filter_agg on the filtered creation
+    // side and BloomFilterMightContain ahead of the fact scan — the runtime
+    // row-level pruning that cuts shuffle volume before the join.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val o = Tables.orders(s, sfDir)
+    val c = Tables.customer(s, sfDir)
+      .where(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+    val joined = o.join(c,
+      org.apache.spark.sql.functions.col("o_custkey") ===
+        org.apache.spark.sql.functions.col("c_custkey"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain") || optimized.contains("bloom_filter"),
+      s"no bloom runtime filter injected:\n$optimized")
+    // and with default thresholds the same shape must NOT inject (documents
+    // why join_smj_facts shows no bloom filter at sf0.1)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined2 = Tables.orders(s2, sfDir).join(
+      Tables.customer(s2, sfDir)
+        .where(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING"),
+      org.apache.spark.sql.functions.col("o_custkey") ===
+        org.apache.spark.sql.functions.col("c_custkey"))
+    val optimized2 = joined2.queryExecution.optimizedPlan.toString
+    assert(!optimized2.contains("might_contain") && !optimized2.contains("bloom_filter"),
+      s"bloom filter unexpectedly injected at default thresholds:\n$optimized2")
+  }
+
   test("agg_pricing_summary runs a partial (map-side) aggregate") {
     val p = planOf("agg_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
