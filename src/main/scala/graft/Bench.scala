@@ -22,14 +22,26 @@ object Bench {
       val df = Tables.load(spark, sfDir, n)
       df.cache(); df.count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=key1,key2 restricts the run — local iteration
+    // aid for profiling individual operators; unset (the driver's mode) runs
+    // the full catalog
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(keys) => SparkEntry.queries.view.filterKeys(keys).toMap
+      case None => SparkEntry.queries
+    }
+    // fixed (sorted) execution order: hash-map order varied run to run,
+    // which moved JVM warm-up and heap-pressure effects onto DIFFERENT
+    // queries each round and made per-query numbers incomparable
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The JSON travels three redundant ways (VERDICT.md r1 #5: the driver
     // parsed nothing from round 1's single println buried in sbt noise):

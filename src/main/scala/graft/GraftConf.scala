@@ -66,6 +66,18 @@ object GraftConf {
     b
   }
 
+  /** LSH bucket-size cap for the candidate generator: buckets larger than
+    * this hold a stop-gram (a super-common shingle that happened to be the
+    * min-hash) and are dropped as non-discriminative rather than joined
+    * quadratically. An ABSOLUTE count on purpose — at any corpus size a
+    * bucket this large carries no similarity signal, while the quadratic
+    * cost of joining it grows without bound. */
+  def verifyMaxBucket(spark: SparkSession): Int = {
+    val v = get(spark, "graft.dedup.verify.maxBucket", "64").toInt
+    require(v >= 2, s"graft.dedup.verify.maxBucket=$v invalid: must be >= 2")
+    v
+  }
+
   /** IVF probe width: how many coarse cells the query scans. */
   def ivfNprobe(spark: SparkSession): Int =
     get(spark, "graft.ann.ivf.nprobe", "3").toInt

@@ -62,9 +62,22 @@ object TextQueries {
     * r = nHashes/bands — callers pick (hashes, bands) for THEIR
     * threshold; r=1 suits permissive thresholds (j≥0.2 ⇒ P≈0.97 at
     * b=16), r=8 suits strict ones (j≥0.9).
+    *
+    * Skew guard (measured, round 5): with r=1 a bucket key is a single
+    * min-hash, and the min over a doc's shingles sometimes lands on a
+    * super-common shingle type ("stop-gram"); that bucket then holds a
+    * large fraction of the corpus and the bucket join goes quadratic
+    * (the char-4-gram instantiation spent 229 s at sf0.1 — 97% of it in
+    * a handful of stop-gram buckets). Buckets larger than `maxBucket`
+    * are dropped as NON-DISCRIMINATIVE, the standard production guard.
+    * Recall cost is small by construction: a random hash makes the
+    * min-shingle uniform over the doc's shingle TYPES, and stop-gram
+    * types are few, so a true near-pair rarely collides ONLY in capped
+    * buckets — the recall floor is still property-tested, not assumed.
     */
   def lshCandidates(shingled: org.apache.spark.sql.DataFrame, idCol: String,
-                    shingleCol: String, nHashes: Int, bands: Int): org.apache.spark.sql.DataFrame = {
+                    shingleCol: String, nHashes: Int, bands: Int,
+                    maxBucket: Int): org.apache.spark.sql.DataFrame = {
     require(bands >= 1 && nHashes % bands == 0,
       s"bands=$bands must divide nHashes=$nHashes")
     val rowsPerBand = nHashes / bands
@@ -77,6 +90,9 @@ object TextQueries {
       posexplode(array((0 until bands).map(b =>
         xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
           col(s"h${b * rowsPerBand + r}"))): _*)): _*)).as(Seq("band", "bucket")))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("bsz") <= maxBucket)
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(r, Seq("band", "bucket"))
@@ -447,7 +463,8 @@ object TextQueries {
     val members = docs.select(col("fp"), col("doc_id"), col("lang"), col("n_chars"))
     val reps = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
       .join(docs.select(col("doc_id").as("rep_id"), col("grams")), "rep_id")
-    val cand = lshCandidates(reps, "fp", "grams", nHashes, bands)
+    val cand = lshCandidates(reps, "fp", "grams", nHashes, bands,
+      graft.GraftConf.verifyMaxBucket(spark))
     val ga = reps.select(col("fp").as("id_a"), col("grams").as("grams_a"))
     val gb = reps.select(col("fp").as("id_b"), col("grams").as("grams_b"))
     val inter = size(array_intersect(col("grams_a"), col("grams_b")))
@@ -504,7 +521,8 @@ object TextQueries {
     val reps = docs.groupBy(col("prefix")).agg(min(col("doc_id")).as("rep_id"))
       .join(docs.select(col("doc_id").as("rep_id"), col("qgrams")), "rep_id")
     // candidate ids ARE the prefixes — verification needs no extra join
-    val repPairs = lshCandidates(reps, "prefix", "qgrams", nHashes, bands)
+    val repPairs = lshCandidates(reps, "prefix", "qgrams", nHashes, bands,
+        graft.GraftConf.verifyMaxBucket(spark))
       .withColumn("dist", levenshtein(col("id_a"), col("id_b")).cast("long"))
       .where(col("dist") <= 10)
     val ma = members.select(col("prefix"), col("doc_id").as("doc_a"),

@@ -128,7 +128,7 @@ class PropertySpec extends SparkSpecBase {
       s"twin recall $recall < 0.9 (|blocked|=${blocked.size}, |twin|=${twin.size})")
   }
 
-  test("verify banding knob rejects non-divisor band counts") {
+  test("verify banding knobs reject non-divisor bands and degenerate bucket caps") {
     val key = "graft.dedup.verify.bands"
     try {
       spark.conf.set(key, "5") // 16 % 5 != 0
@@ -137,6 +137,12 @@ class PropertySpec extends SparkSpecBase {
       assert(GraftConf.verifyBands(spark) == 8)
     } finally spark.conf.unset(key)
     assert(GraftConf.verifyBands(spark) == 16)
+    val capKey = "graft.dedup.verify.maxBucket"
+    try {
+      spark.conf.set(capKey, "1") // cap < 2 can never emit a pair
+      intercept[IllegalArgumentException] { GraftConf.verifyMaxBucket(spark) }
+    } finally spark.conf.unset(capKey)
+    assert(GraftConf.verifyMaxBucket(spark) == 64)
   }
 
   test("simhash maxHamming knob rejects degenerate and non-divisor values") {
