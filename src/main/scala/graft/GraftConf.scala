@@ -82,6 +82,19 @@ object GraftConf {
   def ivfNprobe(spark: SparkSession): Int =
     get(spark, "graft.ann.ivf.nprobe", "3").toInt
 
+  /** SRP-LSH ANN (`vec_lsh_ann`): number of hash tables and bits per
+    * table. Recall rises with tables, candidate count falls with bits —
+    * scale nBits ≈ log2(corpus / target_bucket_size) as data grows; the
+    * defaults suit the ~10³-vector test corpus. */
+  def lshAnnTables(spark: SparkSession): Int =
+    get(spark, "graft.ann.lsh.tables", "8").toInt
+
+  def lshAnnBits(spark: SparkSession): Int = {
+    val v = get(spark, "graft.ann.lsh.bits", "4").toInt
+    require(v >= 1 && v <= 30, s"graft.ann.lsh.bits=$v out of [1,30]")
+    v
+  }
+
   /** Pair-verifier blocking: char-length band half-width (docs pair only
     * within ±width chars) and the derived bucket width. At 100 TB this is
     * the knob that bounds intra-bucket quadratic cost — narrow it as the

@@ -232,7 +232,66 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** Random-hyperplane (signed-random-projection) LSH ANN — the
+    * DATA-INDEPENDENT counterpart to [[ivfKnn]]: no centroid pass, no
+    * training; buckets come from sign(v·r) under deterministic
+    * pseudo-random hyperplanes, so new vectors index in O(1) without
+    * touching the corpus (the property IVF lacks when the corpus
+    * drifts). nTables hash tables of nBits each; a pair at angle θ
+    * agrees on one bit w.p. 1-θ/π, on a table w.p. (1-θ/π)^nBits, on
+    * ANY table w.p. 1-(1-(1-θ/π)^nBits)^nTables.
+    *
+    * Honest physics on THIS corpus: the query's true neighbours sit at
+    * ~70° (cos ≈ 0.3 — near-uniform random vectors), so useful recall
+    * needs wide probing: defaults (8 tables × 4 bits) scan ~40% of the
+    * corpus here. That is the real SRP trade at low similarity — the
+    * knobs scale as nBits ≈ log2(n / target_bucket) as the corpus
+    * grows, and corpora with actual near-dups (the dedup use case) sit
+    * on the cheap side of the S-curve. Recall vs brute force is
+    * property-tested, same floor as the IVF entry.
+    *
+    * Plan shape: ONE posexplode + groupBy pass computes all
+    * nTables×nBits projection sums codegen'd (the dedup_minhash_lsh
+    * signature trick — no interpreted HOF per plane); buckets
+    * broadcast-join against the query's. */
+  private val lshAnn = CatalogEntry.noOracle("vec_lsh_ann") { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
+    val nTables = graft.GraftConf.lshAnnTables(spark)
+    val bits = graft.GraftConf.lshAnnBits(spark)
+    val nPlanes = nTables * bits
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+    // hyperplane component (plane p, dim i): xxhash64-derived uniform in
+    // [-1, 1] — deterministic, no stored model (Rademacher-ish is enough
+    // for SRP; Gaussianity is not required for the collision bound)
+    def rcomp(p: Int): Column =
+      (pmod(xxhash64(lit(p), col("pos")), lit(2001L)) - lit(1000L)) / lit(1000.0)
+    val sumExprs = (0 until nPlanes).map(p => sum(col("x") * rcomp(p)).as(s"s$p"))
+    val sigs = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("vec_id")).agg(sumExprs.head, sumExprs.tail: _*)
+    val bucketCols = (0 until nTables).map { t =>
+      (0 until bits).map { b =>
+        when(col(s"s${t * bits + b}") >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"bkt$t")
+    }
+    val tabled = sigs.select((col("vec_id") +: bucketCols): _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until nTables).map(t => col(s"bkt$t")): _*))
+          .as(Seq("tbl", "bucket")))
+    val qBuckets = tabled.where(col("vec_id") === 0)
+      .select(col("tbl"), col("bucket"))
+    val candIds = tabled.where(col("vec_id") =!= 0)
+      .join(broadcast(qBuckets), Seq("tbl", "bucket"))
+      .select(col("vec_id")).distinct()
+    val q = emb.where(col("vec_id") === 0).select(col("v").as("qv"))
+    emb.join(candIds, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(expr("cosine_sim(v, qv)"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     normProject, cosineKnn, pairwiseTopk, centroidPerLabel, multimodalJoin,
-    dedupEmbedding, ivfKnn)
+    dedupEmbedding, ivfKnn, lshAnn)
 }

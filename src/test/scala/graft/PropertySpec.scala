@@ -210,6 +210,19 @@ class PropertySpec extends SparkSpecBase {
     assert(recall >= 0.5, s"IVF recall $recall too low (ivf=$ivf, brute=$brute)")
   }
 
+  test("vec_lsh_ann recall vs brute-force top-10") {
+    val lsh = Catalog.byKey("vec_lsh_ann").run(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = Catalog.byKey("vec_cosine_knn").run(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lsh.size == 10 && brute.size == 10)
+    val recall = (lsh & brute).size.toDouble / brute.size
+    // same floor as the IVF entry: this corpus's neighbours sit at ~70°
+    // (near-orthogonal), the hard regime for any ANN; under half overlap
+    // means the hashing or the candidate join is broken, not the physics
+    assert(recall >= 0.5, s"SRP-LSH recall $recall too low (lsh=$lsh, brute=$brute)")
+  }
+
   test("dedup_simhash finds every exact-duplicate pair at Hamming 0") {
     val sim = Catalog.byKey("dedup_simhash").run(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

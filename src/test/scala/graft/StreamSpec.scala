@@ -6,6 +6,21 @@ import org.apache.spark.sql.functions._
   * paths under Trigger.AvailableNow must equal their batch twins. */
 class StreamSpec extends SparkSpecBase {
 
+  test("stateful sessions run identically on the RocksDB state store (SURVEY §8.1.6)") {
+    // production posture at real state cardinalities: the HDFS-backed
+    // in-memory provider holds every key on-heap, RocksDB spills state to
+    // local disk. The provider must be a pure swap — same results, no code
+    // change — which is exactly what this asserts by re-running the
+    // flatMapGroupsWithState entry on a sibling session with the provider
+    // flipped and diffing against the default-provider output.
+    val default = rowsOf(Catalog.byKey("stream_stateful_sessions").run(spark, sfDir))
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocks = rowsOf(Catalog.byKey("stream_stateful_sessions").run(s, sfDir))
+    assert(rocks == default, "RocksDB state store changed the sessionizer output")
+  }
+
   test("stream_dedup_watermark equals batch dropDuplicates") {
     val streamed = Catalog.byKey("stream_dedup_watermark").run(spark, sfDir)
       .select("event_id").orderBy("event_id")
