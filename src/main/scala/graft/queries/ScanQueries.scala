@@ -296,7 +296,102 @@ object ScanQueries {
         .orderBy(col("n_nationkey"))
   }
 
+  /** Morton (Z-order) interleave of two keys' low 16 bits — the
+    * multi-column locality key. Bit b of x lands at position 2b, bit b of
+    * y at 2b+1; disjoint bit positions make `+` a bitwise OR, and the 32
+    * shift/mask terms stay inside whole-stage codegen. Public so the
+    * skipping proof in PlanShapeSpec lays out files with the identical
+    * key. */
+  def morton16(x: org.apache.spark.sql.Column,
+               y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val xm = pmod(x.cast("long"), lit(65536L))
+    val ym = pmod(y.cast("long"), lit(65536L))
+    (0 until 16).map { b =>
+      shiftright(xm, b).bitwiseAND(1) * lit(1L << (2 * b)) +
+        shiftright(ym, b).bitwiseAND(1) * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Rank-based Z-key (the Delta/iceberg Z-order recipe): interleave the
+    * 16-QUANTILE-TILE indices of both columns, not the raw values — raw
+    * interleaving wastes curve resolution when the two ranges differ
+    * (measured here: raw morton LOST to a linear sort until ~100 files).
+    * Tile boundaries come from `approxQuantile` (a sketch pass, bounded
+    * driver state) rather than a global ntile window — the layout stage
+    * never needs a global sort, which is what makes it 100-TB-writable. */
+  def withZKey(df: org.apache.spark.sql.DataFrame, a: String, b: String): org.apache.spark.sql.DataFrame = {
+    def tileExpr(c: String): org.apache.spark.sql.Column = {
+      val bounds = df.stat.approxQuantile(c, (1 to 15).map(_ / 16.0).toArray, 0.001)
+      bounds.foldLeft(lit(0))((acc, bd) => acc + when(col(c) >= bd, 1).otherwise(0))
+    }
+    df.withColumn("zkey", morton16(tileExpr(a), tileExpr(b)))
+  }
+
+  /** Z-order layout sink (SURVEY §8.1.5): stage lineitem sorted by the
+    * rank-based Morton interleave of (l_partkey, l_suppkey), then answer
+    * a 2-D box query from the layout. Range-partitioning + sorting on the
+    * interleaved key gives every file/row-group a tight min/max box on
+    * BOTH columns, so parquet row-group stats prune a 2-D predicate —
+    * a single-column sort can only prune on its leading column. The
+    * pruning itself is proven by metrics in PlanShapeSpec (z-layout scan
+    * emits fewer rows than a linear-sort layout for the same box); the
+    * oracle here pins the SEMANTICS (layout is plan, not meaning).
+    * Write-once per (JVM, sfDir) behind the same marker pattern as the
+    * bucketed tables — the staging write is layout preparation, not part
+    * of the query. */
+  private val zorderStaged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureZorderLayout(spark: org.apache.spark.sql.SparkSession,
+                                 sfDir: String): String = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_zorder_sink"
+    if (!zorderStaged.contains(sfDir)) zorderStaged.synchronized {
+      if (!zorderStaged.contains(sfDir)) {
+        val basePath = new org.apache.hadoop.fs.Path(base)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(basePath, "_staged_for")
+        val diskValid = fs.exists(marker) && {
+          val in = fs.open(marker)
+          val staged = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          staged == sfDir && fs.exists(new org.apache.hadoop.fs.Path(basePath, "data"))
+        }
+        if (!diskValid) {
+          if (fs.exists(basePath)) fs.delete(basePath, true)
+          withZKey(
+            Tables.lineitem(spark, sfDir)
+              .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+                col("l_quantity")),
+            "l_partkey", "l_suppkey")
+            .repartitionByRange(32, col("zkey"))
+            .sortWithinPartitions(col("zkey"))
+            .drop("zkey")
+            .write.mode("overwrite").parquet(s"$base/data")
+          val out = fs.create(marker, true)
+          try out.write(sfDir.getBytes("UTF-8")) finally out.close()
+        }
+        zorderStaged.clear()
+        zorderStaged.add(sfDir)
+      }
+    }
+    s"$base/data"
+  }
+
+  private val zorderWrite = CatalogEntry.ansi(
+    "sink_zorder_write",
+    """SELECT COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 50 AND 99 AND l_suppkey BETWEEN 2 AND 4""".stripMargin) {
+    (spark, sfDir) =>
+      val path = ensureZorderLayout(spark, sfDir)
+      spark.read.parquet(path)
+        .where(col("l_partkey").between(50, 99) && col("l_suppkey").between(2, 4))
+        .agg(count(lit(1)).as("n"),
+          decOut(sum(dec(col("l_quantity")))).as("total_qty"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     scanProject, schemaEnforce, jsonExtract, csvRoundtrip, jsonRoundtrip,
-    orcRoundtrip, csvBadRecords, partitionedWrite, bucketedJoin, jdbcSurface)
+    orcRoundtrip, csvBadRecords, partitionedWrite, bucketedJoin, jdbcSurface,
+    zorderWrite)
 }

@@ -135,6 +135,46 @@ class PlanShapeSpec extends SparkSpecBase {
       s"bloom filter unexpectedly injected at default thresholds:\n$optimized2")
   }
 
+  test("z-order layout skips more row groups than a linear sort on a 2-D box (SURVEY §8.1.5)") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_zorder_proof"
+    // many small files -> one row group each -> row-group stats ARE file
+    // stats; both layouts get identical file counts so only ORDER differs.
+    // Granularity matters: simulated on this data, the z layout only beats
+    // the linear sort from ~48 chunks up (curve fragmentation dominates
+    // below that) — 96 files gives a stable margin (~820 vs ~1510 rows)
+    graft.queries.ScanQueries.withZKey(li, "l_partkey", "l_suppkey")
+      .repartitionByRange(96, col("zkey")).sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+      .write.mode("overwrite").parquet(s"$tmp/z")
+    li.repartitionByRange(96, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+
+    // scan numOutputRows counts rows in the row groups that SURVIVED
+    // parquet min/max pruning (the Filter node re-filters above the scan);
+    // no exchange in a filter+collect plan, so no AQE wrapper to unwrap
+    def rowsScanned(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .where(col("l_partkey").between(50, 99) && col("l_suppkey").between(2, 4))
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val z = rowsScanned(s"$tmp/z")
+    val linear = rowsScanned(s"$tmp/linear")
+    // the linear layout prunes on l_partkey only (its leading column);
+    // the z layout's row groups bound BOTH columns, so strictly fewer
+    // rows survive pruning for the same 2-D box
+    assert(z < linear,
+      s"z-order scanned $z rows vs linear $linear — no 2-D skipping benefit")
+  }
+
   test("agg_pricing_summary runs a partial (map-side) aggregate") {
     val p = planOf("agg_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
