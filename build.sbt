@@ -29,5 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // embedded Derby (JDBC round-trip tests) writes derby.log to its system
   // home; keep it out of the repo tree
   "-Dderby.system.home=/tmp",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the full 121-query bench accumulates cached intermediates
+  // and shuffle buffers; at 8g the tail of the run was GC-bound (r5 bench
+  // showed 5-6x slowdowns on late alphabetical queries vs isolated runs).
+  // The box has 128 GiB; local[32] needs headroom, not a minimal heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -34,10 +34,20 @@ object Bench {
     // fixed (sorted) execution order: hash-map order varied run to run,
     // which moved JVM warm-up and heap-pressure effects onto DIFFERENT
     // queries each round and made per-query numbers incomparable
+    // Several pipelines .cache() intermediates (LSH canonicalization etc.).
+    // Those caches are correct within one query but must not accumulate
+    // across the 121-query run: by the alphabetical tail the r5 bench was
+    // GC-bound and individual queries ran 5-6x their isolated time. After
+    // each query, unpersist every RDD that wasn't part of the table warm.
+    val warmRdds = spark.sparkContext.getPersistentRDDs.keySet
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!warmRdds.contains(id)) rdd.unpersist(blocking = false)
+      }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

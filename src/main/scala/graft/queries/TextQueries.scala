@@ -77,26 +77,40 @@ object TextQueries {
     */
   def lshCandidates(shingled: org.apache.spark.sql.DataFrame, idCol: String,
                     shingleCol: String, nHashes: Int, bands: Int,
-                    maxBucket: Int): org.apache.spark.sql.DataFrame = {
+                    maxBucket: Int,
+                    minSizeRatio: Double = 0.0): org.apache.spark.sql.DataFrame = {
     require(bands >= 1 && nHashes % bands == 0,
       s"bands=$bands must divide nHashes=$nHashes")
     val rowsPerBand = nHashes / bands
     val minExprs = (0 until nHashes).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    // n_sh (shingle-set size; the input sets are distinct) funds the
+    // optional length-ratio prune at the bucket join: when the caller
+    // verifies with Jaccard ≥ t, jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)
+    // makes any pair outside the ratio bound unkeepable — prune it with a
+    // codegen'd long comparison before it costs a pair row + exact verify.
+    // Callers whose verify is NOT a Jaccard threshold (e.g. edit distance)
+    // pass 0.0 (no prune).
     val sig = shingled.select(col(idCol).as("id"), explode(col(shingleCol)).as("s"))
-      .groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
+      .groupBy(col("id")).agg(minExprs.head, (minExprs.tail :+ count(lit(1)).as("n_sh")): _*)
+    // cached: the bucket-size window + both self-join legs read this frame;
+    // without the cache the explode+agg signature pass runs twice.
     val banded = sig.select(
-      col("id"),
+      col("id"), col("n_sh"),
       posexplode(array((0 until bands).map(b =>
         xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
           col(s"h${b * rowsPerBand + r}"))): _*)): _*)).as(Seq("band", "bucket")))
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bucket"))))
       .where(col("bsz") <= maxBucket)
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+      .cache()
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("n_sh").as("n_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("n_sh").as("n_b"))
     l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b")
+        && least(col("n_a"), col("n_b")) >= greatest(col("n_a"), col("n_b")) * minSizeRatio)
       .select(col("id_a"), col("id_b"))
       .distinct()
   }
@@ -278,18 +292,36 @@ object TextQueries {
     // nothing. Today split() never yields an empty array and null text
     // yields a null fp that cannot equi-join; revisit with explode_outer if
     // a future tokenizer can emit empty arrays.
+    // n_toks rides along (toks is already distinct, so count = set size):
+    // it funds the length-ratio prune at the bucket join below.
     val sig = reps.select(col("fp"), explode(col("toks")).as("t"))
       .groupBy(col("fp"))
-      .agg(minExprs.head, minExprs.tail: _*)
+      .agg(minExprs.head, (minExprs.tail :+ count(lit(1)).as("n_toks")): _*)
+    // cached: both legs of the bucket self-join read this frame; without
+    // the cache the explode+40-agg signature pass runs twice (exchange
+    // reuse does not survive the differing leg projections). |reps|×bands
+    // rows of (fp, n, band, bucket) — trivially small relative to corpus.
     val banded = sig.select(
-      col("fp"),
+      col("fp"), col("n_toks"),
       posexplode(array((0 until bands).map(b =>
         xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
           col(s"h${b * rowsPerBand + r}"))): _*)): _*)).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("fp").as("fp_a"))
-    val r = banded.select(col("band"), col("bucket"), col("fp").as("fp_b"))
+      .cache()
+    val l = banded.select(col("band"), col("bucket"), col("fp").as("fp_a"),
+      col("n_toks").as("n_a"))
+    val r = banded.select(col("band"), col("bucket"), col("fp").as("fp_b"),
+      col("n_toks").as("n_b"))
+    // Length-ratio prune (standard in exact set-similarity joins):
+    // jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair can only reach
+    // `threshold` when the smaller set is ≥ threshold × the larger. A
+    // codegen'd long comparison at the join kills the mega-bucket pair
+    // blowup (measured sf0.1: 1.31M candidates of which verify kept 28k;
+    // most failures are length-skewed template cousins) before each pair
+    // pays the O(|toks|) array_intersect verify. Lossless: every pair the
+    // verify would keep satisfies the bound by construction.
     val candidates = l.join(r, Seq("band", "bucket"))
-      .where(col("fp_a") < col("fp_b"))
+      .where(col("fp_a") < col("fp_b")
+        && least(col("n_a"), col("n_b")) >= greatest(col("n_a"), col("n_b")) * threshold)
       .select(col("fp_a"), col("fp_b"))
       .distinct()
     val ta = reps.select(col("fp").as("fp_a"), col("toks").as("toks_a"))
@@ -463,8 +495,10 @@ object TextQueries {
     val members = docs.select(col("fp"), col("doc_id"), col("lang"), col("n_chars"))
     val reps = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
       .join(docs.select(col("doc_id").as("rep_id"), col("grams")), "rep_id")
+    // minSizeRatio = the verify threshold (0.2): lossless prune, see
+    // lshCandidates
     val cand = lshCandidates(reps, "fp", "grams", nHashes, bands,
-      graft.GraftConf.verifyMaxBucket(spark))
+      graft.GraftConf.verifyMaxBucket(spark), minSizeRatio = 0.2)
     val ga = reps.select(col("fp").as("id_a"), col("grams").as("grams_a"))
     val gb = reps.select(col("fp").as("id_b"), col("grams").as("grams_b"))
     val inter = size(array_intersect(col("grams_a"), col("grams_b")))
