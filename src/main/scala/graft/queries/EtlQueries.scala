@@ -301,7 +301,81 @@ object EtlQueries {
     spark.table("graft_ctas_customer").orderBy(col("c_custkey"))
   }
 
+  /** Deterministic train/eval split — the training-pipeline staple. The
+    * assignment is a pure function of the stable key (first hex nibble of
+    * md5(doc_id): 3/16 ≈ 18.75% eval), so it is reproducible across runs,
+    * engines, and repartitioning — never `rand()`, which at 100 TB makes
+    * the split irreproducible and retry-unstable. Verified cross-engine:
+    * Spark and DuckDB md5 agree byte-for-byte on the same string input. */
+  private val trainTestSplit = CatalogEntry.dialect(
+    "etl_train_test_split",
+    duckdb = """SELECT lang, split_name, COUNT(*) AS n_docs,
+               |       ROUND(SUM(n_chars) * CAST(1.0 AS DOUBLE) / COUNT(*), 4) AS avg_chars
+               |FROM (
+               |  SELECT lang, n_chars,
+               |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+               |              THEN 'eval' ELSE 'train' END AS split_name
+               |  FROM documents
+               |)
+               |GROUP BY lang, split_name ORDER BY lang, split_name""".stripMargin,
+    spark = """SELECT lang, split_name, COUNT(*) AS n_docs,
+              |       ROUND(SUM(n_chars) * CAST(1.0 AS DOUBLE) / COUNT(*), 4) AS avg_chars
+              |FROM (
+              |  SELECT lang, n_chars,
+              |         CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1', '2')
+              |              THEN 'eval' ELSE 'train' END AS split_name
+              |  FROM documents
+              |)
+              |GROUP BY lang, split_name ORDER BY lang, split_name""".stripMargin) { (spark, sfDir) =>
+    val splitName = when(
+      substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1", "2"), "eval")
+      .otherwise("train")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"), splitName.as("split_name"))
+      .groupBy(col("lang"), col("split_name"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")) * 1.0 / count(lit(1)), 4).as("avg_chars"))
+      .orderBy(col("lang"), col("split_name"))
+  }
+
+  /** Stratified deterministic sampling: ~10% per language stratum, ranked
+    * by md5(doc_id) so the sample is a reproducible pseudo-random draw
+    * (same engine-portability argument as [[trainTestSplit]]). rn*10 ≤ n
+    * keeps exactly floor(n/10) rows per stratum regardless of stratum
+    * size. One window per stratum key — a single shuffle at any scale. */
+  private val stratifiedSample = CatalogEntry.dialect(
+    "etl_stratified_sample",
+    duckdb = """WITH r AS (
+               |  SELECT doc_id, lang,
+               |         ROW_NUMBER() OVER (PARTITION BY lang
+               |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               |         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+               |  FROM documents
+               |)
+               |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM r
+               |WHERE rn * 10 <= n_lang ORDER BY doc_id""".stripMargin,
+    spark = """WITH r AS (
+              |  SELECT doc_id, lang,
+              |         ROW_NUMBER() OVER (PARTITION BY lang
+              |             ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn,
+              |         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+              |  FROM documents
+              |)
+              |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM r
+              |WHERE rn * 10 <= n_lang ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    val byLang = Window.partitionBy(col("lang"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        row_number().over(byLang.orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("long").as("rn"),
+        count(lit(1)).over(byLang).as("n_lang"))
+      .where(col("rn") * 10 <= col("n_lang"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("doc_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
-    unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip)
+    unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
+    trainTestSplit, stratifiedSample)
 }

@@ -785,8 +785,168 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition-based quality filters (the Gopher/C4 family): per-doc top
+    * token frequency fraction and duplicate-bigram fraction, with a flag
+    * for docs exceeding either threshold. Both metrics are one explode +
+    * aggregate per doc — linear in corpus size, partitioned by doc_id. */
+  private val repetitionFilter = CatalogEntry.dialect(
+    "text_repetition_filter",
+    duckdb = """WITH cnt AS (
+               |  SELECT doc_id, token, COUNT(*) AS c
+               |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+               |  GROUP BY doc_id, token
+               |), topf AS (
+               |  SELECT doc_id, ROUND(MAX(c) * CAST(1.0 AS DOUBLE) / SUM(c), 4) AS top_token_frac
+               |  FROM cnt GROUP BY doc_id
+               |), rep AS (
+               |  SELECT doc_id,
+               |         ROUND((len(grams) - len(list_distinct(grams))) * CAST(1.0 AS DOUBLE)
+               |               / len(grams), 4) AS dup_bigram_frac
+               |  FROM (
+               |    SELECT doc_id, list_transform(range(1, len(toks)),
+               |                                  i -> toks[i] || '_' || toks[i+1]) AS grams
+               |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+               |  )
+               |)
+               |SELECT t.doc_id, t.top_token_frac, r.dup_bigram_frac,
+               |       CASE WHEN t.top_token_frac > 0.2 OR r.dup_bigram_frac > 0.2
+               |            THEN 1 ELSE 0 END AS flagged
+               |FROM topf t JOIN rep r ON t.doc_id = r.doc_id
+               |ORDER BY t.doc_id""".stripMargin,
+    spark = """WITH cnt AS (
+              |  SELECT doc_id, token, COUNT(*) AS c
+              |  FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)
+              |  GROUP BY doc_id, token
+              |), topf AS (
+              |  SELECT doc_id, ROUND(MAX(c) * CAST(1.0 AS DOUBLE) / SUM(c), 4) AS top_token_frac
+              |  FROM cnt GROUP BY doc_id
+              |), rep AS (
+              |  SELECT doc_id,
+              |         ROUND((size(grams) - size(array_distinct(grams))) * CAST(1.0 AS DOUBLE)
+              |               / size(grams), 4) AS dup_bigram_frac
+              |  FROM (
+              |    SELECT doc_id, transform(sequence(0, size(toks) - 2),
+              |                             i -> concat(toks[i], '_', toks[i+1])) AS grams
+              |    FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+              |  )
+              |)
+              |SELECT t.doc_id, t.top_token_frac, r.dup_bigram_frac,
+              |       CASE WHEN t.top_token_frac > 0.2 OR r.dup_bigram_frac > 0.2
+              |            THEN 1 ELSE 0 END AS flagged
+              |FROM topf t JOIN rep r ON t.doc_id = r.doc_id
+              |ORDER BY t.doc_id""".stripMargin) { (spark, sfDir) =>
+    val docs = Tables.documents(spark, sfDir)
+    val topf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")) * 1.0 / sum(col("c")), 4).as("top_token_frac"))
+    val grams = expr(
+      "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], '_', toks[i+1]))")
+    val rep = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"),
+        round((size(col("grams")) - size(array_distinct(col("grams")))) * 1.0
+          / size(col("grams")), 4).as("dup_bigram_frac"))
+    topf.join(rep, "doc_id")
+      .select(col("doc_id"), col("top_token_frac"), col("dup_bigram_frac"),
+        when(col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.2, 1)
+          .otherwise(0).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-contamination check: count, per corpus doc, the word
+    * 8-gram shingles it shares with a held-out probe set (docs with
+    * doc_id ≡ 0 mod 50 stand in for "the benchmark"). The probe shingle
+    * set is tiny relative to the corpus, so the membership join is a
+    * broadcast — at 100 TB the corpus side streams through map-side
+    * hash lookups with no shuffle of the corpus shingles. */
+  private val contamination = CatalogEntry.dialect(
+    "text_contamination",
+    duckdb = """WITH sh AS (
+               |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+               |         i -> array_to_string(list_slice(toks, i, i + 7), '_')))) AS shingle
+               |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+               |  WHERE len(toks) >= 8
+               |), bench AS (
+               |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+               |)
+               |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam
+               |FROM sh s JOIN bench b ON s.shingle = b.shingle
+               |WHERE s.doc_id % 50 <> 0
+               |GROUP BY s.doc_id
+               |ORDER BY s.doc_id""".stripMargin,
+    spark = """WITH sh AS (
+              |  SELECT doc_id, explode(array_distinct(transform(sequence(1, size(toks) - 7),
+              |         i -> array_join(slice(toks, i, 8), '_')))) AS shingle
+              |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+              |  WHERE size(toks) >= 8
+              |), bench AS (
+              |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+              |)
+              |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam
+              |FROM sh s JOIN bench b ON s.shingle = b.shingle
+              |WHERE s.doc_id % 50 <> 0
+              |GROUP BY s.doc_id
+              |ORDER BY s.doc_id""".stripMargin) { (spark, sfDir) =>
+    val toks = split(col("text"), " ")
+    val sh = Tables.documents(spark, sfDir)
+      .where(size(toks) >= 8)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(toks) - 7),
+          i => array_join(slice(toks, i, lit(8)), "_")))).as("shingle"))
+    val bench = sh.where(col("doc_id") % 50 === 0).select(col("shingle")).distinct()
+    sh.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_contam"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level inverse document frequency: the 20 rarest tokens by
+    * idf = ln(N/df) with df = number of docs containing the token. Two
+    * aggregations and a broadcast of the single-row corpus count — no
+    * driver-side collect. */
+  private val idfTopterms = CatalogEntry.dialect(
+    "text_idf_topterms",
+    duckdb = """WITH d AS (
+               |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+               |  FROM documents
+               |), dfreq AS (
+               |  SELECT token, COUNT(*) AS df FROM d GROUP BY token
+               |), n AS (SELECT COUNT(*) AS n FROM documents)
+               |SELECT token, CAST(df AS BIGINT) AS df,
+               |       ROUND(ln(n * CAST(1.0 AS DOUBLE) / df), 4) AS idf
+               |FROM dfreq, n
+               |ORDER BY idf DESC, token
+               |LIMIT 20""".stripMargin,
+    spark = """WITH d AS (
+              |  SELECT doc_id, explode(array_distinct(split(text, ' '))) AS token
+              |  FROM documents
+              |), dfreq AS (
+              |  SELECT token, COUNT(*) AS df FROM d GROUP BY token
+              |), n AS (SELECT COUNT(*) AS n FROM documents)
+              |SELECT token, CAST(df AS BIGINT) AS df,
+              |       ROUND(ln(n * CAST(1.0 AS DOUBLE) / df), 4) AS idf
+              |FROM dfreq, n
+              |ORDER BY idf DESC, token
+              |LIMIT 20""".stripMargin) { (spark, sfDir) =>
+    val docs = Tables.documents(spark, sfDir)
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    docs.select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDf))
+      .select(col("token"), col("df").cast("long").as("df"),
+        round(log(col("n") * lit(1.0) / col("df")), 4).as("idf"))
+      .orderBy(col("idf").desc, col("token"))
+      .limit(20)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
-    tokenCount, fingerprint, rollingHash)
+    tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
+    idfTopterms)
 }
