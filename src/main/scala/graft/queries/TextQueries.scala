@@ -800,8 +800,9 @@ object TextQueries {
                |  FROM cnt GROUP BY doc_id
                |), rep AS (
                |  SELECT doc_id,
-               |         ROUND((len(grams) - len(list_distinct(grams))) * CAST(1.0 AS DOUBLE)
-               |               / len(grams), 4) AS dup_bigram_frac
+               |         CASE WHEN len(grams) = 0 THEN CAST(0.0 AS DOUBLE)
+               |              ELSE ROUND((len(grams) - len(list_distinct(grams))) * CAST(1.0 AS DOUBLE)
+               |                         / len(grams), 4) END AS dup_bigram_frac
                |  FROM (
                |    SELECT doc_id, list_transform(range(1, len(toks)),
                |                                  i -> toks[i] || '_' || toks[i+1]) AS grams
@@ -822,11 +823,14 @@ object TextQueries {
               |  FROM cnt GROUP BY doc_id
               |), rep AS (
               |  SELECT doc_id,
-              |         ROUND((size(grams) - size(array_distinct(grams))) * CAST(1.0 AS DOUBLE)
-              |               / size(grams), 4) AS dup_bigram_frac
+              |         CASE WHEN size(grams) = 0 THEN CAST(0.0 AS DOUBLE)
+              |              ELSE ROUND((size(grams) - size(array_distinct(grams))) * CAST(1.0 AS DOUBLE)
+              |                         / size(grams), 4) END AS dup_bigram_frac
               |  FROM (
-              |    SELECT doc_id, transform(sequence(0, size(toks) - 2),
-              |                             i -> concat(toks[i], '_', toks[i+1])) AS grams
+              |    SELECT doc_id, CASE WHEN size(toks) >= 2
+              |                        THEN transform(sequence(0, size(toks) - 2),
+              |                                       i -> concat(toks[i], '_', toks[i+1]))
+              |                        ELSE array() END AS grams
               |    FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
               |  )
               |)
@@ -841,14 +845,22 @@ object TextQueries {
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(round(max(col("c")) * 1.0 / sum(col("c")), 4).as("top_token_frac"))
+    // <2 tokens ⇒ zero bigrams: guard BOTH the sequence (ANSI mode —
+    // sequence(0, -1) yields a descending [0,-1] and toks[-1] throws
+    // INVALID_ARRAY_INDEX) and the division (0/0). dup_bigram_frac is
+    // defined as 0.0 for such docs, identically in the DuckDB oracle.
     val grams = expr(
-      "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], '_', toks[i+1]))")
+      """CASE WHEN size(toks) >= 2
+        |     THEN transform(sequence(0, size(toks) - 2),
+        |                    i -> concat(toks[i], '_', toks[i+1]))
+        |     ELSE array() END""".stripMargin)
     val rep = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), grams.as("grams"))
       .select(col("doc_id"),
-        round((size(col("grams")) - size(array_distinct(col("grams")))) * 1.0
-          / size(col("grams")), 4).as("dup_bigram_frac"))
+        when(size(col("grams")) === 0, lit(0.0))
+          .otherwise(round((size(col("grams")) - size(array_distinct(col("grams")))) * 1.0
+            / size(col("grams")), 4)).as("dup_bigram_frac"))
     topf.join(rep, "doc_id")
       .select(col("doc_id"), col("top_token_frac"), col("dup_bigram_frac"),
         when(col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.2, 1)
