@@ -39,6 +39,12 @@ object Bench {
     // across the 121-query run: by the alphabetical tail the r5 bench was
     // GC-bound and individual queries ran 5-6x their isolated time. After
     // each query, unpersist every RDD that wasn't part of the table warm.
+    // Known limitation: unpersisting the RDD frees executor memory but
+    // leaves the SQL CacheManager's InMemoryRelation entries registered,
+    // so a later plan-identical .cache() would silently re-materialize.
+    // Acceptable here — bench queries never repeat a plan; a full cleanup
+    // would need each entry to expose its cached DataFrames for
+    // df.unpersist().
     val warmRdds = spark.sparkContext.getPersistentRDDs.keySet
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -74,6 +74,16 @@ object TextQueries {
     * min-shingle uniform over the doc's shingle TYPES, and stop-gram
     * types are few, so a true near-pair rarely collides ONLY in capped
     * buckets — the recall floor is still property-tested, not assumed.
+    *
+    * PRECONDITION for `minSizeRatio > 0`: `shingleCol` arrays must be
+    * DISTINCT (e.g. wrapped in `array_distinct`). The prune compares
+    * count(*) over the exploded shingles, which equals the set size only
+    * for distinct arrays; a duplicated shingle would inflate n_sh and
+    * silently turn the lossless length-ratio prune into a lossy one.
+    * Both in-repo callers pass `array_distinct`-ed arrays. Callers whose
+    * verify keeps `round(jaccard, k) >= t` should pass a slightly
+    * conservative ratio (t - 10^-k/2 or lower) so rounding-boundary
+    * pairs cannot be pruned.
     */
   def lshCandidates(shingled: org.apache.spark.sql.DataFrame, idCol: String,
                     shingleCol: String, nHashes: Int, bands: Int,
@@ -317,11 +327,13 @@ object TextQueries {
     // codegen'd long comparison at the join kills the mega-bucket pair
     // blowup (measured sf0.1: 1.31M candidates of which verify kept 28k;
     // most failures are length-skewed template cousins) before each pair
-    // pays the O(|toks|) array_intersect verify. Lossless: every pair the
-    // verify would keep satisfies the bound by construction.
+    // pays the O(|toks|) array_intersect verify. The verify below keeps
+    // round(jaccard,4) >= threshold, which admits exact jaccard down to
+    // threshold - 5e-5 — prune with a slightly conservative ratio so no
+    // rounding-boundary pair the verify would keep can be dropped.
     val candidates = l.join(r, Seq("band", "bucket"))
       .where(col("fp_a") < col("fp_b")
-        && least(col("n_a"), col("n_b")) >= greatest(col("n_a"), col("n_b")) * threshold)
+        && least(col("n_a"), col("n_b")) >= greatest(col("n_a"), col("n_b")) * (threshold - 1e-4))
       .select(col("fp_a"), col("fp_b"))
       .distinct()
     val ta = reps.select(col("fp").as("fp_a"), col("toks").as("toks_a"))
@@ -495,10 +507,10 @@ object TextQueries {
     val members = docs.select(col("fp"), col("doc_id"), col("lang"), col("n_chars"))
     val reps = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
       .join(docs.select(col("doc_id").as("rep_id"), col("grams")), "rep_id")
-    // minSizeRatio = the verify threshold (0.2): lossless prune, see
-    // lshCandidates
+    // minSizeRatio = the verify threshold (0.2) minus the round(…,4)
+    // boundary slack — see the prune note in lshCandidates' scaladoc
     val cand = lshCandidates(reps, "fp", "grams", nHashes, bands,
-      graft.GraftConf.verifyMaxBucket(spark), minSizeRatio = 0.2)
+      graft.GraftConf.verifyMaxBucket(spark), minSizeRatio = 0.2 - 1e-4)
     val ga = reps.select(col("fp").as("id_a"), col("grams").as("grams_a"))
     val gb = reps.select(col("fp").as("id_b"), col("grams").as("grams_b"))
     val inter = size(array_intersect(col("grams_a"), col("grams_b")))
@@ -870,7 +882,7 @@ object TextQueries {
 
   /** Benchmark-contamination check: count, per corpus doc, the word
     * 8-gram shingles it shares with a held-out probe set (docs with
-    * doc_id ≡ 0 mod 50 stand in for "the benchmark"). The probe shingle
+    * doc_id ≡ 0 mod 10 stand in for "the benchmark"). The probe shingle
     * set is tiny relative to the corpus, so the membership join is a
     * broadcast — at 100 TB the corpus side streams through map-side
     * hash lookups with no shuffle of the corpus shingles. */
@@ -882,11 +894,11 @@ object TextQueries {
                |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
                |  WHERE len(toks) >= 8
                |), bench AS (
-               |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+               |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
                |)
                |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam
                |FROM sh s JOIN bench b ON s.shingle = b.shingle
-               |WHERE s.doc_id % 50 <> 0
+               |WHERE s.doc_id % 10 <> 0
                |GROUP BY s.doc_id
                |ORDER BY s.doc_id""".stripMargin,
     spark = """WITH sh AS (
@@ -895,11 +907,11 @@ object TextQueries {
               |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
               |  WHERE size(toks) >= 8
               |), bench AS (
-              |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+              |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
               |)
               |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam
               |FROM sh s JOIN bench b ON s.shingle = b.shingle
-              |WHERE s.doc_id % 50 <> 0
+              |WHERE s.doc_id % 10 <> 0
               |GROUP BY s.doc_id
               |ORDER BY s.doc_id""".stripMargin) { (spark, sfDir) =>
     val toks = split(col("text"), " ")
@@ -909,8 +921,8 @@ object TextQueries {
         explode(array_distinct(transform(
           sequence(lit(1), size(toks) - 7),
           i => array_join(slice(toks, i, lit(8)), "_")))).as("shingle"))
-    val bench = sh.where(col("doc_id") % 50 === 0).select(col("shingle")).distinct()
-    sh.where(col("doc_id") % 50 =!= 0)
+    val bench = sh.where(col("doc_id") % 10 === 0).select(col("shingle")).distinct()
+    sh.where(col("doc_id") % 10 =!= 0)
       .join(broadcast(bench), "shingle")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_contam"))
