@@ -32,6 +32,16 @@ object CatalogEntry {
   /** No-oracle entry (BENCH + property tests only). */
   def noOracle(key: String)(run: (SparkSession, String) => DataFrame): CatalogEntry =
     CatalogEntry(key, None, None, run)
+
+  /** Entry whose oracle is expressible in DuckDB SQL but NOT in Spark SQL
+    * (e.g. recursive fixpoints — Spark 4.1 rejects UNION-distinct inside
+    * recursive CTEs, and UNION ALL closure diverges on cyclic graphs).
+    * The driver still gets the full DuckDB hash-compare; the in-repo
+    * equivalence check lives in a dedicated spec (exempted, with
+    * justification, from SelfCheckSpec's twin-coverage test). */
+  def duckdbOnly(key: String, duckdb: String)(
+      run: (SparkSession, String) => DataFrame): CatalogEntry =
+    CatalogEntry(key, Some(duckdb), None, run)
 }
 
 /** The full operator catalog. Categories mirror SURVEY.md §2.1 A–L. */

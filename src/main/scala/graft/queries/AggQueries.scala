@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Util._
 
@@ -381,9 +382,41 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
   }
 
+  /** Deterministic MODE per group: the most frequent ship month with its
+    * frequency, tie-broken to the smallest month. Spark's built-in
+    * `mode()` is tie-nondeterministic, so the entry states the
+    * deterministic decomposition instead — count per (group, value),
+    * then a rank-1 window with an explicit total order. Two partial-agg
+    * shuffles on (group, value) keys; the window partition carries at
+    * most |distinct values| rows per group, so no skew at any scale. */
+  private val modeFreq = CatalogEntry.ansi(
+    "agg_mode_freq",
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(month(l_shipdate) AS BIGINT) AS m,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY l_returnflag, month(l_shipdate)
+      |), r AS (
+      |  SELECT l_returnflag, m, cnt,
+      |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, m) AS rn
+      |  FROM c
+      |)
+      |SELECT l_returnflag, m AS mode_month, cnt AS n
+      |FROM r WHERE rn = 1
+      |ORDER BY l_returnflag""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("m"))
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), month(col("l_shipdate")).cast("long").as("m"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("l_returnflag"), col("m").as("mode_month"), col("cnt").as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
-    kllQuantiles)
+    kllQuantiles, modeFreq)
 }

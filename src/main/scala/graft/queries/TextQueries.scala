@@ -929,6 +929,175 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup clustering: connected components over the near-dup graph —
+    * the step that turns pairwise similarity into "keep one doc per
+    * cluster". Edges are the blocked exact-Jaccard pairs (the
+    * `text_jaccard_tokens` predicate with a keep threshold of 0.5);
+    * every member is labeled with its component's minimum doc_id.
+    *
+    * Oracle: a DuckDB recursive CTE (symmetric closure → min reachable
+    * node). Spark 4.1 cannot state that fixpoint in SQL — UNION-distinct
+    * recursion is unsupported (`UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE`,
+    * verified against 4.1.2) and UNION ALL closure diverges on cycles —
+    * so the in-repo equivalence check is CcSpec's union-find ground
+    * truth rather than a SelfCheckSpec SQL twin.
+    *
+    * Scale shape: min-label propagation with pointer jumping —
+    * alternate propagate (adopt the min label across edges) and
+    * compress (label := label's label) rounds, converging in
+    * O(log diameter) rounds; each round is two hash joins on a
+    * (node, comp) frame of two longs, tiny relative to the corpus, and
+    * each round's localCheckpoint truncates the iterative lineage (the
+    * standard Spark iterative-algorithm posture — GraphX does the
+    * same). At 100 TB the edge set should come from LSH candidates
+    * (`dedup_minhash_lsh`) instead of the blocked self-join; the
+    * propagation cost is edge-linear either way. */
+  private val clusterCc = CatalogEntry.duckdbOnly(
+    "dedup_cluster_cc",
+    duckdb = """WITH RECURSIVE t AS (
+               |  SELECT doc_id, lang, n_chars, list_distinct(string_split(text, ' ')) AS toks
+               |  FROM documents
+               |), edges AS (
+               |  SELECT a.doc_id AS src, b.doc_id AS dst
+               |  FROM t a JOIN t b
+               |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+               |   AND b.n_chars BETWEEN a.n_chars - 20 AND a.n_chars + 20
+               |  WHERE ROUND(len(list_intersect(a.toks, b.toks)) * CAST(1.0 AS DOUBLE) /
+               |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) >= 0.5
+               |), bi AS (
+               |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+               |), reach(node, r) AS (
+               |  SELECT src, dst FROM bi
+               |  UNION
+               |  SELECT reach.node, bi.dst FROM reach JOIN bi ON reach.r = bi.src
+               |)
+               |SELECT node AS doc_id, LEAST(node, MIN(r)) AS comp_id
+               |FROM reach GROUP BY node
+               |ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val a = t.select(col("doc_id").as("src"), col("lang").as("lang_a"),
+      col("n_chars").as("nc_a"), col("toks").as("toks_a"))
+    val b = t.select(col("doc_id").as("dst"), col("lang").as("lang_b"),
+      col("n_chars").as("nc_b"), col("toks").as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val edges = a.join(b,
+        col("lang_a") === col("lang_b") && col("src") < col("dst")
+          && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
+      .where(round(inter * 1.0 / (size(col("toks_a")) + size(col("toks_b")) - inter), 4)
+        >= 0.5)
+      .select(col("src"), col("dst"))
+    // materialize the (small) edge list once: every propagation round
+    // re-reads it, and without the checkpoint each round would re-run
+    // the quadratic discovery join
+    val bi = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = bi.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    val maxRounds = 25 // O(log diameter) with compression; 25 is far past any real corpus
+    while (!converged && rounds < maxRounds) {
+      // propagate: each node adopts min(own label, neighbors' labels)
+      val viaEdge = bi.join(labels, bi("src") === labels("node"))
+        .select(bi("dst").as("node"), col("comp"))
+      val prop = labels.unionByName(viaEdge)
+        .groupBy("node").agg(min("comp").as("comp"))
+      // compress (pointer jumping): comp := comp's comp — labels are
+      // always node ids present in the frame, so the inner join is total
+      val parent = prop.select(col("node").as("p_node"), col("comp").as("p_comp"))
+      val next = prop.join(parent, col("comp") === col("p_node"))
+        .select(col("node"), col("p_comp").as("comp"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("comp", "old"), "node")
+        .where(col("comp") =!= col("old"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("comp").as("comp_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII redaction: extract-and-mask over a deterministic contact blob.
+    * The synthetic corpus carries no natural PII, so the blob is built
+    * from customer columns with the SAME expression in Spark and the
+    * oracle — what's under test is the redaction machinery
+    * (regexp_extract_all counts + chained regexp_replace masking), not
+    * the data. Patterns avoid backslash classes ([0-9], not \d) because
+    * Spark SQL string literals process backslash escapes while DuckDB's
+    * do not; DuckDB's regexp_replace masks only the first match unless
+    * given the 'g' flag, hence the dialect split. Pure per-row codegen'd
+    * projection — embarrassingly parallel at any scale. */
+  private val piiRedact = CatalogEntry.dialect(
+    "text_pii_redact",
+    duckdb = """WITH blob AS (
+               |  SELECT c_custkey,
+               |         'contact ' || c_name || ' ph ' ||
+               |         lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+               |         lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+               |         lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') ||
+               |         CASE WHEN c_custkey % 3 = 0
+               |              THEN ' alt 800-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               |              ELSE '' END ||
+               |         ' mail cust' || CAST(c_custkey AS VARCHAR) || '@example.com seg ' ||
+               |         c_mktsegment AS s
+               |  FROM customer
+               |)
+               |SELECT c_custkey,
+               |       CAST(len(regexp_extract_all(s, '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS BIGINT) AS n_emails,
+               |       CAST(len(regexp_extract_all(s, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+               |       regexp_replace(regexp_replace(s, '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '[EMAIL]', 'g'),
+               |                      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+               |FROM blob
+               |ORDER BY c_custkey""".stripMargin,
+    spark = """WITH blob AS (
+              |  SELECT c_custkey,
+              |         'contact ' || c_name || ' ph ' ||
+              |         lpad(CAST(c_custkey % 900 + 100 AS STRING), 3, '0') || '-' ||
+              |         lpad(CAST((c_custkey * 7) % 1000 AS STRING), 3, '0') || '-' ||
+              |         lpad(CAST((c_custkey * 13) % 10000 AS STRING), 4, '0') ||
+              |         CASE WHEN c_custkey % 3 = 0
+              |              THEN ' alt 800-555-' || lpad(CAST(c_custkey % 10000 AS STRING), 4, '0')
+              |              ELSE '' END ||
+              |         ' mail cust' || CAST(c_custkey AS STRING) || '@example.com seg ' ||
+              |         c_mktsegment AS s
+              |  FROM customer
+              |)
+              |SELECT c_custkey,
+              |       CAST(size(regexp_extract_all(s, '[a-z0-9]+@[a-z0-9]+[.][a-z]+', 0)) AS BIGINT) AS n_emails,
+              |       CAST(size(regexp_extract_all(s, '[0-9]{3}-[0-9]{3}-[0-9]{4}', 0)) AS BIGINT) AS n_phones,
+              |       regexp_replace(regexp_replace(s, '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '[EMAIL]'),
+              |                      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]') AS redacted
+              |FROM blob
+              |ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    val emailPat = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+    val phonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val blob = concat(
+      lit("contact "), col("c_name"), lit(" ph "),
+      lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") * 13 % 10000).cast("string"), 4, "0"),
+      when(col("c_custkey") % 3 === 0,
+        concat(lit(" alt 800-555-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      lit(" mail cust"), col("c_custkey").cast("string"),
+      lit("@example.com seg "), col("c_mktsegment"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), blob.as("s"))
+      .select(col("c_custkey"),
+        size(expr(s"regexp_extract_all(s, '$emailPat', 0)")).cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(s, '$phonePat', 0)")).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("s"), emailPat, "[EMAIL]"),
+          phonePat, "[PHONE]").as("redacted"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Corpus-level inverse document frequency: the 20 rarest tokens by
     * idf = ln(N/df) with df = number of docs containing the token. Two
     * aggregations and a broadcast of the single-row corpus count — no
@@ -972,5 +1141,5 @@ object TextQueries {
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
-    idfTopterms)
+    idfTopterms, clusterCc, piiRedact)
 }

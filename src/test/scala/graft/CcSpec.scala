@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Equivalence spec for `dedup_cluster_cc` — the entry exempted from
+  * SelfCheckSpec's SQL-twin harness (Spark 4.1 cannot state the CC
+  * fixpoint in SQL: UNION-distinct recursion is unsupported and UNION ALL
+  * closure diverges on cycles). Ground truth is a driver-side union-find
+  * over the SAME edge predicate, computed in plain Scala — an
+  * implementation with no shared code or algorithmic shape with the
+  * distributed label-propagation under test.
+  */
+class CcSpec extends SparkSpecBase {
+
+  private def edges(): Seq[(Long, Long)] = {
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val a = t.select(col("doc_id").as("src"), col("lang").as("lang_a"),
+      col("n_chars").as("nc_a"), col("toks").as("toks_a"))
+    val b = t.select(col("doc_id").as("dst"), col("lang").as("lang_b"),
+      col("n_chars").as("nc_b"), col("toks").as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    a.join(b,
+        col("lang_a") === col("lang_b") && col("src") < col("dst")
+          && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
+      .where(round(inter * 1.0 / (size(col("toks_a")) + size(col("toks_b")) - inter), 4)
+        >= 0.5)
+      .select(col("src"), col("dst"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  /** Plain union-find with path compression; components labeled by min id. */
+  private def unionFind(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("dedup_cluster_cc equals union-find ground truth") {
+    val es = edges()
+    assert(es.nonEmpty, "edge set empty — spec would be vacuous")
+    val expected = unionFind(es)
+    val got = Catalog.byKey("dedup_cluster_cc").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == expected.keySet,
+      s"node sets differ: only-spark=${(got.keySet -- expected.keySet).take(5)} " +
+        s"only-truth=${(expected.keySet -- got.keySet).take(5)}")
+    val bad = got.collect { case (n, c) if expected(n) != c => (n, c, expected(n)) }
+    assert(bad.isEmpty, s"label mismatches (node, got, want): ${bad.take(10)}")
+  }
+
+  test("dedup_cluster_cc labels are component minima and edge-consistent") {
+    val es = edges()
+    val got = Catalog.byKey("dedup_cluster_cc").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every edge's endpoints share a label
+    val split = es.filter { case (u, v) => got(u) != got(v) }
+    assert(split.isEmpty, s"edges across components: ${split.take(5)}")
+    // each label is the min doc_id of its members
+    got.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keys.min == comp,
+        s"component $comp labeled above its min member ${members.keys.min}")
+    }
+  }
+}

@@ -32,7 +32,15 @@ class SelfCheckSpec extends SparkSpecBase {
   }
 
   test("every oracle-checked entry has a spark twin (harness coverage)") {
-    val missing = Catalog.all.filter(e => e.duckdbSql.isDefined && e.sparkSql.isEmpty)
+    // Exemptions need BOTH a reason a Spark-SQL twin cannot exist AND a
+    // dedicated in-repo equivalence spec:
+    //   dedup_cluster_cc — the CC fixpoint needs UNION-distinct recursion,
+    //   which Spark 4.1 rejects (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) and
+    //   UNION ALL closure diverges on cycles; covered by CcSpec's
+    //   union-find ground truth instead.
+    val twinExempt = Set("dedup_cluster_cc")
+    val missing = Catalog.all.filter(e =>
+      e.duckdbSql.isDefined && e.sparkSql.isEmpty && !twinExempt(e.key))
     assert(missing.isEmpty, s"entries lacking a self-check twin: ${missing.map(_.key)}")
   }
 
