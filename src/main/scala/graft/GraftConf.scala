@@ -78,6 +78,15 @@ object GraftConf {
     v
   }
 
+  /** Streaming shuffle partitions = state-store instances per stateful
+    * operator. Sized to sustained input rate, not to cores: every store
+    * pays per-micro-batch checkpoint commit IO, so oversizing taxes each
+    * batch. Safe to vary per deployment because each of our streaming
+    * entries starts from a fresh checkpoint (the count is pinned only for
+    * the life of a checkpoint). */
+  def streamShufflePartitions(spark: SparkSession): Int =
+    get(spark, "graft.stream.shufflePartitions", "8").toInt
+
   /** IVF probe width: how many coarse cells the query scans. */
   def ivfNprobe(spark: SparkSession): Int =
     get(spark, "graft.ann.ivf.nprobe", "3").toInt

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{CatalogEntry, Tables}
+import graft.{CatalogEntry, GraftConf, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -135,15 +135,50 @@ object StreamQueries {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Stage events (with µs ts) as the streaming source dir; returns path. */
-  private def stageSource(spark: SparkSession, sfDir: String, name: String): String = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_src_$name"
-    Tables.events(spark, sfDir).write.mode("overwrite").parquet(dir)
-    dir
+  /** Stage events (with µs ts) as the streaming source dir — ONCE per
+    * sfDir per JVM. The staged copy is an immutable function of sfDir and
+    * every tier-E entry reads it (each stream keeps its own checkpoint and
+    * sink), so re-writing it five times per catalog run bought nothing but
+    * five table-sized parquet writes. */
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageSource(spark: SparkSession, sfDir: String): String =
+    stagedDirs.computeIfAbsent(sfDir, { dir =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_stream_src_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.events(spark, dir).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Run `body` under streaming-sized configs, restored afterwards:
+    *
+    *  - shuffle partitions (= state-store instances per stateful op) come
+    *    from [[graft.GraftConf.streamShufflePartitions]] — sized to input
+    *    rate, not cores; every store pays per-micro-batch commit IO.
+    *  - `skipNoDataBatch` disables the trailing no-data micro-batch. That
+    *    batch exists to advance the watermark so (a) append-mode windowed
+    *    aggregations can emit closed windows and (b) state is evicted.
+    *    Operators that emit on arrival (inner stream-stream join,
+    *    dropDuplicates) get NOTHING from it — for a Trigger.AvailableNow
+    *    run it is a full extra planning+execution cycle (measured ~1.2-2.9 s
+    *    here) spent evicting state the terminating query discards anyway.
+    *    Watermark-gated emitters (stream_late_data) MUST keep it. */
+  private def withStreamingConf[T](spark: SparkSession, skipNoDataBatch: Boolean)(
+      body: => T): T = {
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), GraftConf.streamShufflePartitions(spark).toString)
+    if (skipNoDataBatch) spark.conf.set(keys(1), "false")
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
-  private def runStream(spark: SparkSession, name: String, src: String)(
-      transform: DataFrame => DataFrame): DataFrame = {
+  private def runStream(spark: SparkSession, name: String, src: String,
+      skipNoDataBatch: Boolean = false)(
+      transform: DataFrame => DataFrame): DataFrame =
+    withStreamingConf(spark, skipNoDataBatch) {
     val sink = s"${sys.props("java.io.tmpdir")}/graft_stream_sink_$name"
     val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_$name"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -163,8 +198,10 @@ object StreamQueries {
     * Batch-equivalence is asserted in StreamSpec. */
   private val dedupWatermark = CatalogEntry.noOracle("stream_dedup_watermark") {
     (spark, sfDir) =>
-      val src = stageSource(spark, sfDir, "dedup")
-      runStream(spark, "dedup", src) { in =>
+      val src = stageSource(spark, sfDir)
+      // dropDuplicates emits each first-seen row on arrival — the
+      // watermark/no-data batch would only evict state we're done with
+      runStream(spark, "dedup", src, skipNoDataBatch = true) { in =>
         // watermarks require TimestampType (not NTZ) — cast through the
         // session-UTC identity and back so the sink stays naive
         in.withColumn("ts", col("ts").cast("timestamp"))
@@ -177,7 +214,7 @@ object StreamQueries {
     * only windows the watermark has passed are final; comparing to the
     * batch result exposes which windows were still open. */
   private val lateData = CatalogEntry.noOracle("stream_late_data") { (spark, sfDir) =>
-    val src = stageSource(spark, sfDir, "late")
+    val src = stageSource(spark, sfDir)
     runStream(spark, "late", src) { in =>
       in.withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", "30 minutes")
@@ -190,8 +227,8 @@ object StreamQueries {
   /** foreachBatch incremental MERGE into a parquet target — the streaming
     * twin of etl_merge_upsert (staged micro-batch COPY analog). */
   private val foreachBatchUpsert = CatalogEntry.noOracle("stream_foreachbatch_upsert") {
-    (spark, sfDir) =>
-      val src = stageSource(spark, sfDir, "upsert")
+    (spark, sfDir) => withStreamingConf(spark, skipNoDataBatch = false) {
+      val src = stageSource(spark, sfDir)
       val target = s"${sys.props("java.io.tmpdir")}/graft_stream_target_upsert"
       val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_upsert"
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -221,6 +258,7 @@ object StreamQueries {
       }.option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       spark.read.parquet(target).orderBy(col("user_id"))
+    }
   }
 
   /** Native session_window aggregation — Spark's built-in sessionization
@@ -281,10 +319,10 @@ object StreamQueries {
     * gaps-and-islands twin. In a live stream the GroupState would carry
     * the open session across micro-batches (same function body). */
   private val statefulSessions = CatalogEntry.noOracle("stream_stateful_sessions") {
-    (spark, sfDir) =>
+    (spark, sfDir) => withStreamingConf(spark, skipNoDataBatch = false) {
       import spark.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      val src = stageSource(spark, sfDir, "stateful")
+      val src = stageSource(spark, sfDir)
       val sink = s"${sys.props("java.io.tmpdir")}/graft_stream_sink_stateful"
       val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_stateful"
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -327,6 +365,7 @@ object StreamQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
       spark.read.parquet(sink).orderBy(col("user_id"), col("session_start"))
+    }
   }
 
   /** Stream-stream interval join: each error event joined to the same
@@ -337,8 +376,9 @@ object StreamQueries {
     * StreamSpec asserts equality with the batch interval join. */
   private val streamStreamJoin = CatalogEntry.noOracle("stream_stream_join") {
     (spark, sfDir) =>
-      val src = stageSource(spark, sfDir, "ssjoin")
-      runStream(spark, "ssjoin", src) { in =>
+      val src = stageSource(spark, sfDir)
+      // inner join emits matches on arrival; see runStream's skip rationale
+      runStream(spark, "ssjoin", src, skipNoDataBatch = true) { in =>
         val tz = in.withColumn("ts", col("ts").cast("timestamp"))
         val errors = tz.where(col("event_type") === "error")
           .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
