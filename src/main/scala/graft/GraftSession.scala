@@ -46,6 +46,7 @@ object GraftSession {
   /** Idempotently attach the engine's extensions to an existing session. */
   def install(spark: SparkSession): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    graft.functions.TextFunctions.ensureRegistered(spark)
     graft.plans.GraftPlans.ensureInstalled(spark)
   }
 }

@@ -33,15 +33,18 @@ object TextQueries {
     */
   def verifyPairs(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                   candidates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    // sorted once per doc (the linear side) so the per-pair intersection
+    // below is the allocation-free native sorted merge
     val docs = Tables.documents(spark, sfDir).select(
       col("doc_id"), col("lang"), col("n_chars"),
       substring(col("text"), 1, 40).as("prefix"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+      sort_array(array_distinct(split(col("text"), " "))).as("toks"))
     val a = docs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
       col("n_chars").as("nc_a"), col("prefix").as("pre_a"), col("toks").as("toks_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
       col("n_chars").as("nc_b"), col("prefix").as("pre_b"), col("toks").as("toks_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val inter = expr("sorted_intersect_size(toks_a, toks_b)")
     candidates.select(col("doc_a"), col("doc_b"))
       .join(a, "doc_a").join(b, "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -228,14 +231,18 @@ object TextQueries {
               |  ON a.lang = b.lang AND a.doc_id < b.doc_id
               | AND b.n_chars BETWEEN a.n_chars - 20 AND a.n_chars + 20
               |ORDER BY doc_a, doc_b""".stripMargin) { (spark, sfDir) =>
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    // sorted per doc → native sorted-merge intersect per pair (bit-equal
+    // to size(array_intersect(..)) on distinct arrays; the oracle keeps
+    // the built-in spelling)
     val t = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        array_distinct(split(col("text"), " ")).as("toks"))
+        sort_array(array_distinct(split(col("text"), " "))).as("toks"))
     val a = t.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
       col("n_chars").as("nc_a"), col("toks").as("toks_a"))
     val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
       col("n_chars").as("nc_b"), col("toks").as("toks_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val inter = expr("sorted_intersect_size(toks_a, toks_b)")
     a.join(b,
         col("lang_a") === col("lang_b") && col("doc_a") < col("doc_b")
           && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
@@ -278,9 +285,12 @@ object TextQueries {
     // double derivation was the largest single cost in this operator).
     // Same at scale: the canonicalized (id, token-set, fingerprint) frame
     // is the working set every downstream stage keys off.
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    // toks kept SORTED: fp needs the sorted spelling anyway, and the
+    // verify stage's native sorted-merge intersect requires it
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      .withColumn("fp", md5(array_join(sort_array(col("toks")), " ")))
+      .select(col("doc_id"), sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+      .withColumn("fp", md5(array_join(col("toks"), " ")))
       .cache()
     val members = docs.select(col("fp"), col("doc_id"))
     val reps = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
@@ -338,12 +348,12 @@ object TextQueries {
       .distinct()
     val ta = reps.select(col("fp").as("fp_a"), col("toks").as("toks_a"))
     val tb = reps.select(col("fp").as("fp_b"), col("toks").as("toks_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val inter = expr("sorted_intersect_size(toks_a, toks_b)")
     // NOTE (round-1 measurement): a minhash-agreement prefilter before the
     // exact intersection was tried and reverted — the "cheap" estimate
     // (zip_with+aggregate over the 40-long signatures) runs as interpreted
-    // lambdas while array_intersect is a native codegen'd collection op,
-    // so the filter cost exceeded what it saved.
+    // lambdas while the intersection is a native codegen'd op, so the
+    // filter cost exceeded what it saved.
     val repPairs = candidates.join(ta, "fp_a").join(tb, "fp_b")
       .withColumn("jaccard",
         round(inter * 1.0 / (size(col("toks_a")) + size(col("toks_b")) - inter), 4))
@@ -450,11 +460,12 @@ object TextQueries {
               |WHERE ROUND(size(array_intersect(a.grams, b.grams)) * CAST(1.0 AS DOUBLE) /
               |            (size(a.grams) + size(b.grams) - size(array_intersect(a.grams, b.grams))), 4) >= 0.2
               |ORDER BY doc_a, doc_b""".stripMargin) { (spark, sfDir) =>
+    graft.functions.TextFunctions.ensureRegistered(spark)
     val t = Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        array_distinct(expr(
-          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], '_', toks[i+1]))"))
+        sort_array(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], '_', toks[i+1]))")))
           .as("grams"),
         floor(col("n_chars") / 20).as("bucket"))
     val a = t.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"),
@@ -462,7 +473,7 @@ object TextQueries {
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
     val b = t.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"),
       col("lang"), col("n_chars").as("nc_b"), col("bucket"))
-    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+    val inter = expr("sorted_intersect_size(grams_a, grams_b)")
     a.join(b, Seq("lang", "bucket"))
       .where(col("doc_a") < col("doc_b")
         && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
@@ -495,14 +506,15 @@ object TextQueries {
   private val ngramLsh = CatalogEntry.noOracle("dedup_ngram_lsh") { (spark, sfDir) =>
     val nHashes = graft.GraftConf.verifyHashes(spark)
     val bands = graft.GraftConf.verifyBands(spark)
+    graft.functions.TextFunctions.ensureRegistered(spark)
     val docs = Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 2) // <2 tokens ⇒ no bigrams ⇒ blocked form emits nothing
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        array_distinct(expr(
-          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], '_', toks[i+1]))"))
+        sort_array(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], '_', toks[i+1]))")))
           .as("grams"))
-      .withColumn("fp", md5(array_join(sort_array(col("grams")), " ")))
+      .withColumn("fp", md5(array_join(col("grams"), " ")))
       .cache()
     val members = docs.select(col("fp"), col("doc_id"), col("lang"), col("n_chars"))
     val reps = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
@@ -513,7 +525,7 @@ object TextQueries {
       graft.GraftConf.verifyMaxBucket(spark), minSizeRatio = 0.2 - 1e-4)
     val ga = reps.select(col("fp").as("id_a"), col("grams").as("grams_a"))
     val gb = reps.select(col("fp").as("id_b"), col("grams").as("grams_b"))
-    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+    val inter = expr("sorted_intersect_size(grams_a, grams_b)")
     val repPairs = cand.join(ga, "id_a").join(gb, "id_b")
       .withColumn("jaccard2",
         round(inter * 1.0 / (size(col("grams_a")) + size(col("grams_b")) - inter), 4))
@@ -974,17 +986,36 @@ object TextQueries {
                |SELECT node AS doc_id, LEAST(node, MIN(r)) AS comp_id
                |FROM reach GROUP BY node
                |ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    // discovery join is physically keyed on (lang, n_chars/20 bucket) with
+    // the probe side exploded to its 3 adjacent buckets — the same salting
+    // every other blocked pair op uses. Joining on lang alone puts each
+    // language's FULL quadratic pair set on one task (5 keys for the whole
+    // corpus); the bucket key spreads it. The oracle states only the
+    // logical predicate — blocking is plan, not semantics.
+    // cached: both self-join legs read the tokenized+sorted frame, and
+    // tokenize+sort is the per-doc linear cost worth paying exactly once
     val t = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        array_distinct(split(col("text"), " ")).as("toks"))
-    val a = t.select(col("doc_id").as("src"), col("lang").as("lang_a"),
-      col("n_chars").as("nc_a"), col("toks").as("toks_a"))
-    val b = t.select(col("doc_id").as("dst"), col("lang").as("lang_b"),
-      col("n_chars").as("nc_b"), col("toks").as("toks_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-    val edges = a.join(b,
-        col("lang_a") === col("lang_b") && col("src") < col("dst")
-          && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
+        sort_array(array_distinct(split(col("text"), " "))).as("toks"),
+        floor(col("n_chars") / 20).as("bucket"))
+      .cache()
+    val a = t.select(col("doc_id").as("src"), col("lang"),
+      col("n_chars").as("nc_a"), col("toks").as("toks_a"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    val b = t.select(col("doc_id").as("dst"), col("lang"),
+      col("n_chars").as("nc_b"), col("toks").as("toks_b"), col("bucket"))
+    val inter = expr("sorted_intersect_size(toks_a, toks_b)")
+    // length-ratio prune ahead of the per-pair intersect: jaccard(A,B) ≤
+    // min(|A|,|B|)/max(|A|,|B|), so a pair can only reach the 0.5 keep
+    // threshold when the smaller set is ≥ ~half the larger — a codegen'd
+    // int compare that skips the O(|toks|) merge for size-skewed pairs
+    // (slack 1e-4 covers the round(…,4) boundary, as in dedup_minhash_lsh)
+    val edges = a.join(b, Seq("lang", "bucket"))
+      .where(col("src") < col("dst")
+        && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20)
+        && least(size(col("toks_a")), size(col("toks_b")))
+           >= greatest(size(col("toks_a")), size(col("toks_b"))) * (0.5 - 1e-4))
       .where(round(inter * 1.0 / (size(col("toks_a")) + size(col("toks_b")) - inter), 4)
         >= 0.5)
       .select(col("src"), col("dst"))
@@ -1000,18 +1031,26 @@ object TextQueries {
     var converged = false
     var rounds = 0
     val maxRounds = 25 // O(log diameter) with compression; 25 is far past any real corpus
-    while (!converged && rounds < maxRounds) {
-      // propagate: each node adopts min(own label, neighbors' labels)
-      val viaEdge = bi.join(labels, bi("src") === labels("node"))
+    // One label iteration: propagate (adopt the min label across edges)
+    // then compress (pointer jumping, comp := comp's comp). Labels are
+    // always node ids present in the frame, so the inner join is total.
+    def iterate(cur: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val viaEdge = bi.join(cur, bi("src") === cur("node"))
         .select(bi("dst").as("node"), col("comp"))
-      val prop = labels.unionByName(viaEdge)
+      val prop = cur.unionByName(viaEdge)
         .groupBy("node").agg(min("comp").as("comp"))
-      // compress (pointer jumping): comp := comp's comp — labels are
-      // always node ids present in the frame, so the inner join is total
       val parent = prop.select(col("node").as("p_node"), col("comp").as("p_comp"))
-      val next = prop.join(parent, col("comp") === col("p_node"))
+      prop.join(parent, col("comp") === col("p_node"))
         .select(col("node"), col("p_comp").as("comp"))
-        .localCheckpoint()
+    }
+    while (!converged && rounds < maxRounds) {
+      // TWO propagate+compress iterations per materialization: label
+      // progress is gated on edge hops (these corpora cluster into long
+      // paths in n_chars space — measured 15 hop-rounds at sf0.1), while
+      // the checkpoint + convergence check are fixed per-round job
+      // overhead. Pairing iterations halves that overhead without
+      // growing the lineage beyond two joins deep.
+      val next = iterate(iterate(labels)).localCheckpoint()
       converged = next
         .join(labels.withColumnRenamed("comp", "old"), "node")
         .where(col("comp") =!= col("old"))

@@ -52,4 +52,38 @@ class FunctionSpec extends SparkSpecBase {
       .where(abs(col("s") - 1.0) > 1e-9).count()
     assert(r == 0)
   }
+
+  test("sorted_intersect_size == size(array_intersect) on the real corpus") {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    // every same-lang doc pair over a corpus sample — includes empty
+    // overlaps, full overlaps (clone groups), and everything between
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .limit(400)
+    val a = t.select(col("doc_id").as("ia"), col("lang"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("ib"), col("lang"), col("toks").as("tb"))
+    val diff = a.join(b, "lang").where(col("ia") < col("ib"))
+      .withColumn("native",
+        expr("sorted_intersect_size(sort_array(ta), sort_array(tb))"))
+      .withColumn("builtin", size(array_intersect(col("ta"), col("tb"))))
+      .where(col("native") =!= col("builtin"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("sorted_intersect_size edge cases: empty, disjoint, identical, nulls") {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT
+        |  sorted_intersect_size(array(), array('a'))            AS empty_left,
+        |  sorted_intersect_size(array('a','b'), array())        AS empty_right,
+        |  sorted_intersect_size(array('a','b'), array('c','d')) AS disjoint,
+        |  sorted_intersect_size(array('a','b'), array('a','b')) AS identical,
+        |  sorted_intersect_size(CAST(NULL AS ARRAY<STRING>), array('a')) AS null_arr
+        |""".stripMargin).collect().head
+    assert(r.getInt(0) == 0 && r.getInt(1) == 0 && r.getInt(2) == 0)
+    assert(r.getInt(3) == 2)
+    assert(r.isNullAt(4))
+  }
 }
