@@ -287,5 +287,25 @@ object SketchFunctions {
         new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
         (children: Seq[Expression]) => KllQuantile(children(0), children(1)))
     }
+    val topkAggId = FunctionIdentifier("topk_sketch_agg")
+    if (!reg.functionExists(topkAggId)) {
+      reg.registerFunction(topkAggId,
+        new ExpressionInfo(classOf[TopKSketchAgg].getName, "topk_sketch_agg"),
+        (children: Seq[Expression]) =>
+          TopKSketchAgg(children.head, kArg(children, "topk_sketch_agg")))
+    }
+    val topkMergeId = FunctionIdentifier("topk_merge_agg")
+    if (!reg.functionExists(topkMergeId)) {
+      reg.registerFunction(topkMergeId,
+        new ExpressionInfo(classOf[TopKMergeAgg].getName, "topk_merge_agg"),
+        (children: Seq[Expression]) =>
+          TopKMergeAgg(children.head, kArg(children, "topk_merge_agg")))
+    }
+    val topkExtractId = FunctionIdentifier("topk_extract")
+    if (!reg.functionExists(topkExtractId)) {
+      reg.registerFunction(topkExtractId,
+        new ExpressionInfo(classOf[TopKExtract].getName, "topk_extract"),
+        (children: Seq[Expression]) => TopKExtract(children(0), children(1)))
+    }
   }
 }

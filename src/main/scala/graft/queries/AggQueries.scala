@@ -414,9 +414,45 @@ object AggQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Mergeable approx-top-k (heavy hitters) via the custom Misra–Gries
+    * `TypedImperativeAggregate` ([[graft.functions.TopKSketchAgg]]): build
+    * one counter summary per (month, user-bucket) cell, MERGE THE SUMMARIES
+    * per month, read the top-3 event types off the merged summary. The
+    * frequent-items analog of the HLL/KLL entries — at 100 TB "top
+    * tokens/URLs" ships `capacity` counters per cell up the rollup tree,
+    * not the full key space through a shuffle. ORACLE-CHECKABLE because
+    * this regime is exact: 5 distinct event types < capacity 32 means no
+    * Misra–Gries decrement ever fires, in any partial or merge, so counts
+    * equal plain GROUP BY counts (the approximation guarantee for the
+    * over-capacity regime is property-tested in SketchSpec). */
+  private val topkSketch = CatalogEntry.ansi(
+    "agg_topk_sketch",
+    """WITH c AS (
+      |  SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym, event_type,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY year(ts) * 100 + month(ts), event_type
+      |), r AS (
+      |  SELECT ym, event_type, cnt,
+      |         ROW_NUMBER() OVER (PARTITION BY ym ORDER BY cnt DESC, event_type) AS rn
+      |  FROM c
+      |)
+      |SELECT ym, event_type AS key, cnt
+      |FROM r WHERE rn <= 3
+      |ORDER BY ym, cnt DESC, key""".stripMargin) { (spark, sfDir) =>
+    graft.functions.SketchFunctions.ensureRegistered(spark)
+    Tables.events(spark, sfDir)
+      .withColumn("ym", (year(col("ts")) * 100 + month(col("ts"))).cast("long"))
+      .groupBy(col("ym"), pmod(col("user_id"), lit(8)).as("bucket"))
+      .agg(expr("topk_sketch_agg(event_type, 32)").as("sk"))
+      .groupBy(col("ym"))
+      .agg(expr("topk_merge_agg(sk, 32)").as("merged"))
+      .select(col("ym"), expr("inline(topk_extract(merged, 3))"))
+      .orderBy(col("ym"), col("cnt").desc, col("key"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
-    kllQuantiles, modeFreq)
+    kllQuantiles, modeFreq, topkSketch)
 }

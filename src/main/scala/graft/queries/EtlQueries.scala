@@ -374,8 +374,138 @@ object EtlQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental high-watermark load — the staple nightly-ETL pattern:
+    * the warehouse holds everything loaded so far; the next run reads
+    * max(load_key) off the TARGET (one cheap agg, here broadcast as a
+    * 1-row scalar), scans only source rows strictly above it, and appends.
+    * At 100 TB the `> hwm` predicate lands on the source's partition
+    * column, so the incremental scan prunes to the new partitions instead
+    * of rescanning history — the filter is visible as a pushed predicate
+    * in the plan. The snapshot here is simulated as "orders before
+    * 1997-01-01"; output audits the merged table per load phase and month,
+    * proving the union covers the full source exactly once (no row lost
+    * below the watermark, none duplicated above it). */
+  private val incrementalLoad = CatalogEntry.ansi(
+    "etl_incremental_load",
+    """WITH loaded AS (
+      |  SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'
+      |), wm AS (
+      |  SELECT max(o_orderdate) AS hwm FROM loaded
+      |), incr AS (
+      |  SELECT o.* FROM orders o CROSS JOIN wm WHERE o.o_orderdate > wm.hwm
+      |), merged AS (
+      |  SELECT 'initial' AS phase, o_orderdate, o_totalprice FROM loaded
+      |  UNION ALL
+      |  SELECT 'incremental' AS phase, o_orderdate, o_totalprice FROM incr
+      |)
+      |SELECT phase,
+      |       CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM merged GROUP BY phase, year(o_orderdate) * 100 + month(o_orderdate)
+      |ORDER BY phase, ym""".stripMargin) { (spark, sfDir) =>
+    val orders = Tables.orders(spark, sfDir)
+    val loaded = orders.where(col("o_orderdate") < lit("1997-01-01").cast("date"))
+    val hwm = loaded.agg(max(col("o_orderdate")).as("hwm"))
+    val incr = orders.join(broadcast(hwm), col("o_orderdate") > col("hwm")).drop("hwm")
+    loaded.select(lit("initial").as("phase"), col("o_orderdate"), col("o_totalprice"))
+      .unionByName(incr.select(
+        lit("incremental").as("phase"), col("o_orderdate"), col("o_totalprice")))
+      .groupBy(col("phase"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+      .agg(count(lit(1)).as("n"), decOut(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("phase"), col("ym"))
+  }
+
+  /** CDC snapshot diff: classify every key across two table snapshots as
+    * Insert / Update / Delete (unchanged rows drop out) — the change feed a
+    * warehouse emits when it only has full snapshots, and the inverse of
+    * [[mergeUpsert]]. One full-outer join hash-partitioned on the key is
+    * the whole cost; at 100 TB both snapshots shuffle once on o_orderkey
+    * and AQE handles any key skew. The two "snapshots" are deterministic
+    * slices of orders: old = keys not divisible by 50, new = keys not
+    * divisible by 37 with prices shifted by +1000.0 on keys divisible by
+    * 11 (exact IEEE double add, so value equality is engine-portable). */
+  private val cdcDiff = CatalogEntry.ansi(
+    "etl_cdc_diff",
+    """WITH old AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 50 <> 0
+      |), new AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1000.0
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 37 <> 0
+      |)
+      |SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+      |       CASE WHEN old.o_orderkey IS NULL THEN 'I'
+      |            WHEN new.o_orderkey IS NULL THEN 'D'
+      |            ELSE 'U' END AS change_type
+      |FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+      |WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+      |   OR old.o_totalprice <> new.o_totalprice
+      |ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
+    val orders = Tables.orders(spark, sfDir)
+    val old = orders.where(col("o_orderkey") % 50 =!= 0)
+      .select(col("o_orderkey").as("old_key"), col("o_totalprice").as("old_price"))
+    val neu = orders.where(col("o_orderkey") % 37 =!= 0)
+      .select(col("o_orderkey").as("new_key"),
+        when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")).as("new_price"))
+    old.join(neu, col("old_key") === col("new_key"), "full_outer")
+      .where(col("old_key").isNull || col("new_key").isNull ||
+        col("old_price") =!= col("new_price"))
+      .select(coalesce(col("old_key"), col("new_key")).as("o_orderkey"),
+        when(col("old_key").isNull, "I")
+          .when(col("new_key").isNull, "D")
+          .otherwise("U").as("change_type"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Ordered-stage funnel (view ≥→ click ≥→ purchase): per user, the first
+    * view, the first click at-or-after that view, the first purchase
+    * at-or-after that click; output is the stage-survivor counts. Each
+    * stage is an equi-join + min-agg ON THE SAME user_id key, so all three
+    * stages reuse one hash partitioning and the frames narrow
+    * monotonically — the standard product-analytics funnel at any scale.
+    * (A single-pass `flatMapGroupsWithState` variant exists for streams —
+    * see stream_stateful_sessions; batch composes joins instead.) */
+  private val eventFunnel = CatalogEntry.ansi(
+    "etl_event_funnel",
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      |  GROUP BY e.user_id
+      |)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase""".stripMargin) {
+    (spark, sfDir) =>
+      val ev = Tables.events(spark, sfDir)
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
-    trainTestSplit, stratifiedSample)
+    trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel)
 }

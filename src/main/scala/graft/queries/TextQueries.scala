@@ -1043,18 +1043,26 @@ object TextQueries {
       prop.join(parent, col("comp") === col("p_node"))
         .select(col("node"), col("p_comp").as("comp"))
     }
+    // Convergence via the monotone invariant instead of a diff join:
+    // min-propagation only ever DECREASES a node's comp, so sum(comp) is
+    // strictly decreasing until the fixpoint and equal exactly there —
+    // one narrow agg job per round replaces a two-sided join + isEmpty.
+    // (Headroom: sum of node ids; at 2^63 that allows ~2^43 nodes with
+    // 2^20-sized ids — revisit only for synthetic id spaces near Long.Max.)
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     while (!converged && rounds < maxRounds) {
-      // TWO propagate+compress iterations per materialization: label
+      // THREE propagate+compress iterations per materialization: label
       // progress is gated on edge hops (these corpora cluster into long
       // paths in n_chars space — measured 15 hop-rounds at sf0.1), while
       // the checkpoint + convergence check are fixed per-round job
-      // overhead. Pairing iterations halves that overhead without
-      // growing the lineage beyond two joins deep.
-      val next = iterate(iterate(labels)).localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("comp", "old"), "node")
-        .where(col("comp") =!= col("old"))
-        .isEmpty
+      // overhead. Tripling iterations cuts that overhead to a third
+      // while keeping the uncheckpointed lineage a bounded nine joins.
+      val next = iterate(iterate(iterate(labels))).localCheckpoint()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       rounds += 1
     }

@@ -180,4 +180,34 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       s"expected partial aggregation in:\n$p")
   }
+
+  test("etl_incremental_load broadcasts the 1-row watermark, not the source") {
+    // the hwm aggregate must reach the `> hwm` filter as a broadcast of ONE
+    // row; if the orders side were broadcast instead the plan dies at 100 TB
+    val p = planOf("etl_incremental_load")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast of the watermark row in:\n$p")
+    // and the initial-load leg's date predicate is pushed into the scan
+    assert(p.contains("PushedFilters: [") && p.contains("o_orderdate"),
+      s"expected pushed o_orderdate filter in:\n$p")
+  }
+
+  test("etl_cdc_diff full-outer-joins on the key (shuffle join, not nested loop)") {
+    val p = planOf("etl_cdc_diff")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a keyed shuffle join in:\n$p")
+    assert(p.contains("FullOuter"), s"expected FullOuter join type in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"CDC diff must not degrade to a nested-loop join:\n$p")
+  }
+
+  test("agg_topk_sketch aggregates the sketch with a partial (map-side) phase") {
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
+    // phase is what keeps the shuffle at |cells|×capacity counters instead
+    // of the raw key stream — the sketch's whole reason to exist at 100 TB
+    val p = planOf("agg_topk_sketch")
+    assert(p.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$p")
+    assert(p.contains("partial_topk_sketch_agg"),
+      s"expected partial sketch aggregation in:\n$p")
+  }
 }

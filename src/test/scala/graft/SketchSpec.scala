@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.KllSketch
+import graft.functions.{KllSketch, TopKSketch}
 import org.apache.spark.sql.functions._
 
 /** Properties of the mergeable KLL-style quantile sketch (VERDICT r2 #7):
@@ -100,6 +100,92 @@ class SketchSpec extends SparkSpecBase {
     val back = KllSketch.deserialize(sk.serialize())
     assert(back.n == sk.n && back.k == sk.k)
     probs.foreach(p => assert(back.quantile(p) == sk.quantile(p)))
+  }
+
+  // ---- TopKSketch (Misra–Gries heavy hitters) ----
+
+  /** Deterministic Zipf-ish key stream: key i appears ~n/i times, emitted
+    * in an interleaved (worst-ish) order via the same LCG shuffle. */
+  private def zipfKeys(nKeys: Int, scale: Int): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    (1 to nKeys).foreach { i =>
+      val reps = math.max(1, scale / i)
+      (0 until reps).foreach(_ => out += f"k$i%03d")
+    }
+    // LCG Fisher-Yates on indices
+    val a = out.toArray
+    var state = 0x2545F4914F6CDD1DL
+    var i = a.length - 1
+    while (i > 0) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      val j = ((state >>> 33) % (i + 1)).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a
+  }
+
+  test("topk exact regime: distinct <= capacity means exact counts, any topology") {
+    val keys = zipfKeys(nKeys = 20, scale = 1000) // 20 distinct
+    val truth = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // single sketch
+    val one = new TopKSketch(32)
+    keys.foreach(one.update)
+    truth.foreach { case (k, c) => assert(one.estimate(k).contains(c), s"single $k") }
+    // merged from 7 chunks
+    val chunks = keys.grouped(keys.length / 7 + 1).toArray
+    val merged = chunks.map { ch =>
+      val s = new TopKSketch(32); ch.foreach(s.update); s
+    }.reduceLeft { (a, b) => a.merge(b); a }
+    assert(merged.n == keys.length)
+    truth.foreach { case (k, c) => assert(merged.estimate(k).contains(c), s"merged $k") }
+  }
+
+  test("topk MG bound: undercount <= n/(cap+1), heavy keys always present") {
+    val keys = zipfKeys(nKeys = 500, scale = 2000) // ~500 distinct, skewed
+    val truth = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = keys.length
+    val cap = 64
+    val chunks = keys.grouped(n / 8 + 1).toArray
+    val merged = chunks.map { ch =>
+      val s = new TopKSketch(cap); ch.foreach(s.update); s
+    }.reduceLeft { (a, b) => a.merge(b); a }
+    val bound = n.toDouble / (cap + 1)
+    merged.entries.foreach { case (k, est) =>
+      val t = truth(k)
+      assert(est <= t, s"$k overcounts: $est > $t")
+      assert(t - est <= bound, s"$k undercount ${t - est} > bound $bound")
+    }
+    // guarantee: every key with true count > n/(cap+1) survives
+    truth.filter(_._2 > bound).keys.foreach { k =>
+      assert(merged.estimate(k).nonEmpty, s"heavy key $k evicted (true=${truth(k)})")
+    }
+  }
+
+  test("topk serialize/deserialize round-trips and top() order is total") {
+    val sk = new TopKSketch(16)
+    zipfKeys(nKeys = 10, scale = 100).foreach(sk.update)
+    val back = TopKSketch.deserialize(sk.serialize())
+    assert(back.n == sk.n && back.capacity == sk.capacity)
+    assert(back.top(10) == sk.top(10))
+    // ties broken by key asc: craft two equal-count keys
+    val t = new TopKSketch(8)
+    Seq("b", "a", "b", "a").foreach(t.update)
+    assert(t.top(2) == Seq(("a", 2L), ("b", 2L)))
+  }
+
+  test("agg_topk_sketch matches exact groupBy top-3 at sf (exact regime)") {
+    val got = Catalog.byKey("agg_topk_sketch").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val truth = Tables.events(spark, sfDir)
+      .select(((year(col("ts")) * 100) + month(col("ts"))).cast("long").as("ym"),
+        col("event_type"))
+      .groupBy(col("ym"), col("event_type")).count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3)
+      }.sortBy(r => (r._1, -r._3, r._2))
+    assert(got.toSeq == truth, s"got=${got.toSeq}\ntruth=$truth")
   }
 
   test("agg_kll_quantiles estimates within 5% rank error of each group's data") {
