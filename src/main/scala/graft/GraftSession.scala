@@ -43,10 +43,12 @@ object GraftSession {
     s
   }
 
-  /** Idempotently attach the engine's extensions to an existing session. */
+  /** Idempotently attach the engine's extensions to an existing session.
+    * Declarative twin: `spark.sql.extensions=graft.GraftExtensions`
+    * ([[GraftExtensions]]) for clusters where session construction isn't
+    * ours — both paths read the same function-definition list. */
   def install(spark: SparkSession): Unit = {
-    graft.functions.VectorFunctions.ensureRegistered(spark)
-    graft.functions.TextFunctions.ensureRegistered(spark)
+    graft.functions.GraftFunctionDefs.ensureRegistered(spark)
     graft.plans.GraftPlans.ensureInstalled(spark)
   }
 }

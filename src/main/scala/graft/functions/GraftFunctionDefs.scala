@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** The single source of truth for the engine's SQL function surface:
+  * (identifier, info, builder) triples consumed by BOTH registration
+  * paths — the imperative per-session `ensureRegistered` (works on any
+  * session the harness hands us) and the declarative
+  * [[graft.GraftExtensions]] (`spark.sql.extensions=graft.GraftExtensions`,
+  * the spark-submit deployment route where session construction isn't
+  * ours). One list means the two paths can never drift. */
+object GraftFunctionDefs {
+
+  private val DefaultK = 256
+
+  private def kArg(children: Seq[Expression], fn: String): Int = children match {
+    case Seq(_) => DefaultK
+    case Seq(_, Literal(v: Int, IntegerType)) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects (value[, k:int literal]), got ${children.length} args")
+  }
+
+  /** name → (ExpressionInfo, builder). */
+  val defs: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (c: Seq[Expression]) => DotProduct(c(0), c(1))),
+    (FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (c: Seq[Expression]) => SortedIntersectSize(c(0), c(1))),
+    (FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (c: Seq[Expression]) => KllSketchAgg(c.head, kArg(c, "kll_sketch_agg"))),
+    (FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (c: Seq[Expression]) => KllMergeAgg(c.head, kArg(c, "kll_merge_agg"))),
+    (FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (c: Seq[Expression]) => KllQuantile(c(0), c(1))),
+    (FunctionIdentifier("topk_sketch_agg"),
+      new ExpressionInfo(classOf[TopKSketchAgg].getName, "topk_sketch_agg"),
+      (c: Seq[Expression]) => TopKSketchAgg(c.head, kArg(c, "topk_sketch_agg"))),
+    (FunctionIdentifier("topk_merge_agg"),
+      new ExpressionInfo(classOf[TopKMergeAgg].getName, "topk_merge_agg"),
+      (c: Seq[Expression]) => TopKMergeAgg(c.head, kArg(c, "topk_merge_agg"))),
+    (FunctionIdentifier("topk_extract"),
+      new ExpressionInfo(classOf[TopKExtract].getName, "topk_extract"),
+      (c: Seq[Expression]) => TopKExtract(c(0), c(1))))
+
+  /** Idempotently register every engine function on an existing session. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    defs.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
+}

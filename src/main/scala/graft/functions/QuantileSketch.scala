@@ -254,58 +254,10 @@ case class KllQuantile(left: Expression, right: Expression)
 }
 
 /** Runtime registration, same pattern as [[VectorFunctions]]: imperative
-  * registry insertion works on any session the driver hands us. */
+  * registry insertion works on any session the driver hands us. Builders
+  * live in [[GraftFunctionDefs]] (shared with the declarative
+  * `spark.sql.extensions` route). */
 object SketchFunctions {
-  private val DefaultK = 256
-
-  private def kArg(children: Seq[Expression], fn: String): Int = children match {
-    case Seq(_) => DefaultK
-    case Seq(_, Literal(v: Int, IntegerType)) => v
-    case _ => throw new IllegalArgumentException(
-      s"$fn expects (value[, k:int literal]), got ${children.length} args")
-  }
-
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    val aggId = FunctionIdentifier("kll_sketch_agg")
-    if (!reg.functionExists(aggId)) {
-      reg.registerFunction(aggId,
-        new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
-        (children: Seq[Expression]) =>
-          KllSketchAgg(children.head, kArg(children, "kll_sketch_agg")))
-    }
-    val mergeId = FunctionIdentifier("kll_merge_agg")
-    if (!reg.functionExists(mergeId)) {
-      reg.registerFunction(mergeId,
-        new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
-        (children: Seq[Expression]) =>
-          KllMergeAgg(children.head, kArg(children, "kll_merge_agg")))
-    }
-    val qId = FunctionIdentifier("kll_quantile")
-    if (!reg.functionExists(qId)) {
-      reg.registerFunction(qId,
-        new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
-        (children: Seq[Expression]) => KllQuantile(children(0), children(1)))
-    }
-    val topkAggId = FunctionIdentifier("topk_sketch_agg")
-    if (!reg.functionExists(topkAggId)) {
-      reg.registerFunction(topkAggId,
-        new ExpressionInfo(classOf[TopKSketchAgg].getName, "topk_sketch_agg"),
-        (children: Seq[Expression]) =>
-          TopKSketchAgg(children.head, kArg(children, "topk_sketch_agg")))
-    }
-    val topkMergeId = FunctionIdentifier("topk_merge_agg")
-    if (!reg.functionExists(topkMergeId)) {
-      reg.registerFunction(topkMergeId,
-        new ExpressionInfo(classOf[TopKMergeAgg].getName, "topk_merge_agg"),
-        (children: Seq[Expression]) =>
-          TopKMergeAgg(children.head, kArg(children, "topk_merge_agg")))
-    }
-    val topkExtractId = FunctionIdentifier("topk_extract")
-    if (!reg.functionExists(topkExtractId)) {
-      reg.registerFunction(topkExtractId,
-        new ExpressionInfo(classOf[TopKExtract].getName, "topk_extract"),
-        (children: Seq[Expression]) => TopKExtract(children(0), children(1)))
-    }
-  }
+  def ensureRegistered(spark: SparkSession): Unit =
+    GraftFunctionDefs.ensureRegistered(spark)
 }

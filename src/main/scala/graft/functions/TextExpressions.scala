@@ -97,13 +97,6 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
 /** Runtime registration, same imperative shape as [[VectorFunctions]]. */
 object TextFunctions {
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("sorted_intersect_size")
-    if (!reg.functionExists(id)) {
-      reg.registerFunction(id,
-        new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
-        (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1)))
-    }
-  }
+  def ensureRegistered(spark: SparkSession): Unit =
+    GraftFunctionDefs.ensureRegistered(spark)
 }

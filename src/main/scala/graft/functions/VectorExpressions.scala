@@ -111,19 +111,6 @@ case class DotProduct(left: Expression, right: Expression)
   * builds its own SparkSession, so a spark.sql.extensions config line is
   * not guaranteed; imperative registry insertion is). Idempotent. */
 object VectorFunctions {
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    val cosId = FunctionIdentifier("cosine_sim")
-    if (!reg.functionExists(cosId)) {
-      reg.registerFunction(cosId,
-        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-        (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
-    }
-    val dotId = FunctionIdentifier("dot_product")
-    if (!reg.functionExists(dotId)) {
-      reg.registerFunction(dotId,
-        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
-    }
-  }
+  def ensureRegistered(spark: SparkSession): Unit =
+    GraftFunctionDefs.ensureRegistered(spark)
 }
