@@ -10,7 +10,8 @@ object Plans {
     "src_scan_project", "agg_pricing_summary", "join_bhj_dims",
     "join_smj_facts", "join_star_multiway", "subq_correlated_exists",
     "win_topk_per_group", "sink_bucketed_join", "vec_pairwise_topk",
-    "dedup_minhash_lsh", "stream_tumbling_agg", "mm_decode_features")
+    "dedup_minhash_lsh", "stream_tumbling_agg", "mm_decode_features",
+    "agg_topk_sketch", "etl_incremental_load", "etl_cdc_diff")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outFile) = args

@@ -1022,7 +1022,7 @@ object TextQueries {
     // materialize the (small) edge list once: every propagation round
     // re-reads it, and without the checkpoint each round would re-run
     // the quadratic discovery join
-    val bi = edges
+    var bi = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var labels = bi.select(col("src").as("node")).distinct()
@@ -1050,7 +1050,7 @@ object TextQueries {
     // (Headroom: sum of node ids; at 2^63 that allows ~2^43 nodes with
     // 2^20-sized ids — revisit only for synthetic id spaces near Long.Max.)
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum(col("comp")).cast("long"), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
     while (!converged && rounds < maxRounds) {
       // THREE propagate+compress iterations per materialization: label
@@ -1065,6 +1065,26 @@ object TextQueries {
       prevSum = s
       labels = next
       rounds += 1
+      // EDGE CONTRACTION (star contraction on the quotient graph): rewrite
+      // every edge through the current labeling and drop intra-cluster
+      // edges. Connectivity of the quotient is exactly the original's
+      // (labels only merge connected nodes; an inter-cluster edge survives
+      // as an edge between the clusters' current representatives), and the
+      // propagation joins above run on the CONTRACTED list from round 2 on.
+      // This is what survives 100 TB: the measured sf0.1 graph starts at
+      // 390k directed edges over 4.8k nodes (dense near-clique blobs) and
+      // collapses to a few hundred after one round — without contraction,
+      // every round re-joins the full original edge list.
+      if (!converged) {
+        val lsrc = labels.select(col("node").as("src"), col("comp").as("csrc"))
+        val ldst = labels.select(col("node").as("dst"), col("comp").as("cdst"))
+        bi = bi.join(lsrc, "src").join(ldst, "dst")
+          .where(col("csrc") =!= col("cdst"))
+          .select(col("csrc").as("src"), col("cdst").as("dst"))
+          .distinct()
+          .localCheckpoint()
+        converged = bi.isEmpty // no inter-cluster edges ⇒ fixpoint reached
+      }
     }
     labels.select(col("node").as("doc_id"), col("comp").as("comp_id"))
       .orderBy(col("doc_id"))

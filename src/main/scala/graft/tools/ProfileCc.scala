@@ -48,31 +48,47 @@ object ProfileCc {
       println(s"  edges(bi)=${f.count()}")
       f
     }
+    var biVar = bi
     var labels = bi.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
       .localCheckpoint()
     println(s"  nodes=${labels.count()}")
+    // mirrors the production loop: 3×(propagate+compress) per
+    // materialization, monotone sum(comp) convergence, edge contraction
+    def iterate(cur: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val viaEdge = biVar.join(cur, biVar("src") === cur("node"))
+        .select(biVar("dst").as("node"), col("comp"))
+      val prop = cur.unionByName(viaEdge)
+        .groupBy("node").agg(min("comp").as("comp"))
+      val parent = prop.select(col("node").as("p_node"), col("comp").as("p_comp"))
+      prop.join(parent, col("comp") === col("p_node"))
+        .select(col("node"), col("p_comp").as("comp"))
+    }
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 25) {
       time(s"round $rounds") {
-        val viaEdge = bi.join(labels, bi("src") === labels("node"))
-          .select(bi("dst").as("node"), col("comp"))
-        val prop = labels.unionByName(viaEdge)
-          .groupBy("node").agg(min("comp").as("comp"))
-        val parent = prop.select(col("node").as("p_node"), col("comp").as("p_comp"))
-        val jump1 = prop.join(parent, col("comp") === col("p_node"))
-          .select(col("node"), col("p_comp").as("comp"))
-        val parent2 = jump1.select(col("node").as("p_node"), col("comp").as("p_comp"))
-        val next = jump1.join(parent2, col("comp") === col("p_node"))
-          .select(col("node"), col("p_comp").as("comp"))
-          .localCheckpoint()
-        converged = next
-          .join(labels.withColumnRenamed("comp", "old"), "node")
-          .where(col("comp") =!= col("old"))
-          .isEmpty
+        val next = iterate(iterate(iterate(labels))).localCheckpoint()
+        val s = labelSum(next)
+        converged = s == prevSum
+        prevSum = s
         labels = next
         rounds += 1
+        if (!converged) {
+          val lsrc = labels.select(col("node").as("src"), col("comp").as("csrc"))
+          val ldst = labels.select(col("node").as("dst"), col("comp").as("cdst"))
+          biVar = biVar.join(lsrc, "src").join(ldst, "dst")
+            .where(col("csrc") =!= col("cdst"))
+            .select(col("csrc").as("src"), col("cdst").as("dst"))
+            .distinct()
+            .localCheckpoint()
+          val remaining = biVar.count()
+          println(s"  contracted edges=$remaining")
+          converged = remaining == 0L
+        }
       }
     }
     println(s"  rounds=$rounds comps=${labels.select(col("comp")).distinct().count()}")

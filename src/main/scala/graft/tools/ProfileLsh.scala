@@ -20,6 +20,7 @@ object ProfileLsh {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.TextFunctions.ensureRegistered(spark)
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -28,9 +29,11 @@ object ProfileLsh {
     }
 
     val nHashes = 40; val bands = 5; val rowsPerBand = nHashes / bands
+    // mirrors the production entry: SORTED distinct tokens (the native
+    // sorted-merge intersect requires sorted inputs)
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      .withColumn("fp", md5(array_join(sort_array(col("toks")), " ")))
+      .select(col("doc_id"), sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+      .withColumn("fp", md5(array_join(col("toks"), " ")))
       .cache()
     time("canonicalize (docs)") { docs.count() }
     val members = docs.select(col("fp"), col("doc_id"))
@@ -42,11 +45,11 @@ object ProfileLsh {
       min(xxhash64(lit(i), col("t"))).as(s"h$i"))
     val sig = reps.select(col("fp"), explode(col("toks")).as("t"))
       .groupBy(col("fp"))
-      .agg(minExprs.head, minExprs.tail: _*)
+      .agg(minExprs.head, (minExprs.tail :+ count(lit(1)).as("n_toks")): _*)
       .cache()
     time("signatures") { sig.count() }
     val banded = sig.select(
-      col("fp"),
+      col("fp"), col("n_toks"),
       posexplode(array((0 until bands).map(b =>
         xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
           col(s"h${b * rowsPerBand + r}"))): _*)): _*)).as(Seq("band", "bucket")))
@@ -56,17 +59,21 @@ object ProfileLsh {
       banded.groupBy(col("band"), col("bucket")).count()
         .orderBy(col("count").desc).show(10, false)
     }
-    val l = banded.select(col("band"), col("bucket"), col("fp").as("fp_a"))
-    val r = banded.select(col("band"), col("bucket"), col("fp").as("fp_b"))
+    val l = banded.select(col("band"), col("bucket"), col("fp").as("fp_a"),
+      col("n_toks").as("n_a"))
+    val r = banded.select(col("band"), col("bucket"), col("fp").as("fp_b"),
+      col("n_toks").as("n_b"))
+    // production length-ratio prune: jaccard <= min/max set size
     val candidates = l.join(r, Seq("band", "bucket"))
-      .where(col("fp_a") < col("fp_b"))
+      .where(col("fp_a") < col("fp_b")
+        && least(col("n_a"), col("n_b")) >= greatest(col("n_a"), col("n_b")) * (0.9 - 1e-4))
       .select(col("fp_a"), col("fp_b"))
       .distinct()
       .cache()
     time("candidates") { println(s"  cand=${candidates.count()}") }
     val ta = reps.select(col("fp").as("fp_a"), col("toks").as("toks_a"))
     val tb = reps.select(col("fp").as("fp_b"), col("toks").as("toks_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val inter = expr("sorted_intersect_size(toks_a, toks_b)")
     val repPairs = candidates.join(ta, "fp_a").join(tb, "fp_b")
       .withColumn("jaccard",
         round(inter * 1.0 / (size(col("toks_a")) + size(col("toks_b")) - inter), 4))
