@@ -450,9 +450,32 @@ object AggQueries {
       .orderBy(col("ym"), col("cnt").desc, col("key"))
   }
 
+  /** Fixed-width histogram: bucket index from portable arithmetic
+    * (floor-divide + clamp — width_bucket spellings differ across
+    * engines), one partial-agg shuffle of |buckets| rows. The per-group
+    * distribution profile every data-quality dashboard wants; at 100 TB
+    * it is exactly as cheap as a COUNT(*) GROUP BY. */
+  private val histogramFixed = CatalogEntry.ansi(
+    "agg_histogram_fixed",
+    """SELECT CAST(LEAST(FLOOR(o_totalprice / 60000.0), 9) AS BIGINT) AS bucket,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+      |       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+      |FROM orders
+      |GROUP BY LEAST(FLOOR(o_totalprice / 60000.0), 9)
+      |ORDER BY bucket""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .groupBy(least(floor(col("o_totalprice") / 60000.0), lit(9))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).cast("double").as("lo"),
+        max(col("o_totalprice")).cast("double").as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
-    kllQuantiles, modeFreq, topkSketch)
+    kllQuantiles, modeFreq, topkSketch, histogramFixed)
 }

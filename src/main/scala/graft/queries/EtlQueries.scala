@@ -504,8 +504,48 @@ object EtlQueries {
         .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
   }
 
+  /** Surrogate-key assignment (IDENTITY-column analog): new dimension
+    * rows get keys continuing from the existing dimension's max — the
+    * nightly dim-load pattern. Keys come from ROW_NUMBER over the natural
+    * key, NEVER monotonically_increasing_id: the latter varies with
+    * partitioning, so retries/reruns would mint different keys (the
+    * determinism contract, SURVEY §2.0.6). The global-order window is a
+    * single-partition sort at scale — acceptable for dimensions (they
+    * are orders of magnitude smaller than facts); a fact-sized key
+    * assignment would instead add per-partition offsets to a
+    * partition-local row number. */
+  private val surrogateKey = CatalogEntry.ansi(
+    "etl_surrogate_key",
+    """WITH existing AS (
+      |  SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |), mx AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM existing
+      |), incoming AS (
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0
+      |), assigned AS (
+      |  SELECT i.c_custkey, m + ROW_NUMBER() OVER (ORDER BY i.c_custkey) AS sk
+      |  FROM incoming i CROSS JOIN mx
+      |)
+      |SELECT c_custkey, CAST(sk AS BIGINT) AS sk FROM existing
+      |UNION ALL
+      |SELECT c_custkey, CAST(sk AS BIGINT) AS sk FROM assigned
+      |ORDER BY sk""".stripMargin) { (spark, sfDir) =>
+    val cust = Tables.customer(spark, sfDir)
+    val wAll = Window.orderBy(col("c_custkey"))
+    val existing = cust.where(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), row_number().over(wAll).cast("long").as("sk"))
+    val mx = existing.agg(count(lit(1)).as("m"))
+    val assigned = cust.where(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), row_number().over(wAll).cast("long").as("rn"))
+      .crossJoin(broadcast(mx))
+      .select(col("c_custkey"), (col("m") + col("rn")).as("sk"))
+    existing.unionByName(assigned).orderBy(col("sk"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
-    trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel)
+    trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,
+    surrogateKey)
 }

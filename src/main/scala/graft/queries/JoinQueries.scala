@@ -192,6 +192,47 @@ object JoinQueries {
       .orderBy(col("err_id"))
   }
 
+  /** Scale twin of [[asofEventOrder]] — the sorted-merge as-of. The
+    * join+window decomposition above fans out to |errors|×|earlier
+    * purchases| intermediate rows PER USER (VERDICT r3 flagged the skew:
+    * a heavy user at 100 TB turns that quadratic). This form unions both
+    * streams, sorts once per user, and carries the latest purchase
+    * forward with an ignoreNulls last() window: ONE shuffle on user_id,
+    * zero fan-out, skew bounded by the user's own row count. Purchases
+    * order before errors at equal ts (kind 0 < 1), making "at-or-before"
+    * inclusive; among equal-ts purchases the last in (ts, event_id) order
+    * is exactly the (ts DESC, event_id DESC) rank-1 pick. Same oracle
+    * text as the join form — the decomposition is plan, not semantics. */
+  private val asofSorted = CatalogEntry.ansi(
+    "join_asof_sorted",
+    """SELECT err_id, user_id, purch_id, purch_ts FROM (
+      |  SELECT e.event_id AS err_id, e.user_id AS user_id,
+      |         p.event_id AS purch_id, p.ts AS purch_ts,
+      |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |    ON p.user_id = e.user_id AND p.ts <= e.ts
+      |) WHERE rn = 1
+      |ORDER BY err_id""".stripMargin) { (spark, sfDir) =>
+    val tagged = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("error", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("purch_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("purch_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("purch_id"), col("purch_ts"))
+      .orderBy(col("err_id"))
+  }
+
   /** 5-way star rollup (TPC-H Q5-shaped): dims broadcast, facts shuffle. */
   private val starMultiway = CatalogEntry.ansi(
     "join_star_multiway",
@@ -225,5 +266,6 @@ object JoinQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     innerEqui, bhjDims, smjFacts, leftOuter, rightOuter, fullOuter,
-    leftSemi, leftAnti, crossSmall, thetaRange, asofEventOrder, starMultiway)
+    leftSemi, leftAnti, crossSmall, thetaRange, asofEventOrder, asofSorted,
+    starMultiway)
 }

@@ -201,6 +201,14 @@ class PlanShapeSpec extends SparkSpecBase {
       s"CDC diff must not degrade to a nested-loop join:\n$p")
   }
 
+  test("join_asof_sorted contains NO join — single-shuffle carry-forward window") {
+    // the whole point of the sorted-merge as-of: same result as the
+    // join+rank decomposition with zero per-user fan-out
+    val p = planOf("join_asof_sorted")
+    assert(!p.contains("Join"), s"sorted as-of must not plan a join:\n$p")
+    assert(p.contains("Window"), s"expected the carry-forward window in:\n$p")
+  }
+
   test("agg_topk_sketch aggregates the sketch with a partial (map-side) phase") {
     // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
     // phase is what keeps the shuffle at |cells|×capacity counters instead
