@@ -77,7 +77,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Single-thread CPU calibration constant: the same VM measured 77 s /
+    // 106 s / 135 s for near-identical catalogs across boots (host steal +
+    // per-boot CPU variance). A fixed arithmetic loop timed here lets any
+    // two bench JSONs be normalized (total / calib) before comparison.
+    val calib = {
+      val t0 = System.nanoTime()
+      var acc = 0L; var i = 0L
+      while (i < 200000000L) { acc += i * i; i += 1 }
+      if (acc == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib}"""
     // The JSON travels three redundant ways (VERDICT.md r1 #5: the driver
     // parsed nothing from round 1's single println buried in sbt noise):
     // (1) a file the driver can read directly, (2) an early stdout line,
