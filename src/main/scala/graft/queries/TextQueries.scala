@@ -1022,6 +1022,30 @@ object TextQueries {
     // materialize the (small) edge list once: every propagation round
     // re-reads it, and without the checkpoint each round would re-run
     // the quadratic discovery join
+    ccLabels(edges)
+      .select(col("node").as("doc_id"), col("comp").as("comp_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-label connected components over a one-directional edge list
+    * (src, dst) — returns (node, comp) where comp is the component's
+    * minimum node id. Shared by the exact ([[clusterCc]]) and
+    * candidate-driven ([[clusterLsh]]) clustering entries.
+    *
+    * Shape: label propagation (adopt the min label across edges) +
+    * pointer jumping (comp := comp's comp), three iterations per
+    * materialization, with EDGE CONTRACTION between rounds — every edge
+    * is rewritten through the current labeling and intra-cluster edges
+    * drop. Connectivity of the quotient is exactly the original's
+    * (labels only merge connected nodes; an inter-cluster edge survives
+    * as an edge between the clusters' current representatives), and the
+    * propagation joins run on the CONTRACTED list from round 2 on. This
+    * is what survives 100 TB: the measured sf0.1 near-dup graph starts
+    * at 390k directed edges over 4.8k nodes (dense near-clique blobs)
+    * and collapses to a few hundred after one round — without
+    * contraction every round re-joins the full original edge list. */
+  private def ccLabels(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     var bi = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -1031,9 +1055,6 @@ object TextQueries {
     var converged = false
     var rounds = 0
     val maxRounds = 25 // O(log diameter) with compression; 25 is far past any real corpus
-    // One label iteration: propagate (adopt the min label across edges)
-    // then compress (pointer jumping, comp := comp's comp). Labels are
-    // always node ids present in the frame, so the inner join is total.
     def iterate(cur: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val viaEdge = bi.join(cur, bi("src") === cur("node"))
         .select(bi("dst").as("node"), col("comp"))
@@ -1053,28 +1074,12 @@ object TextQueries {
       df.agg(coalesce(sum(col("comp")).cast("long"), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
     while (!converged && rounds < maxRounds) {
-      // THREE propagate+compress iterations per materialization: label
-      // progress is gated on edge hops (these corpora cluster into long
-      // paths in n_chars space — measured 15 hop-rounds at sf0.1), while
-      // the checkpoint + convergence check are fixed per-round job
-      // overhead. Tripling iterations cuts that overhead to a third
-      // while keeping the uncheckpointed lineage a bounded nine joins.
       val next = iterate(iterate(iterate(labels))).localCheckpoint()
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next
       rounds += 1
-      // EDGE CONTRACTION (star contraction on the quotient graph): rewrite
-      // every edge through the current labeling and drop intra-cluster
-      // edges. Connectivity of the quotient is exactly the original's
-      // (labels only merge connected nodes; an inter-cluster edge survives
-      // as an edge between the clusters' current representatives), and the
-      // propagation joins above run on the CONTRACTED list from round 2 on.
-      // This is what survives 100 TB: the measured sf0.1 graph starts at
-      // 390k directed edges over 4.8k nodes (dense near-clique blobs) and
-      // collapses to a few hundred after one round — without contraction,
-      // every round re-joins the full original edge list.
       if (!converged) {
         val lsrc = labels.select(col("node").as("src"), col("comp").as("csrc"))
         val ldst = labels.select(col("node").as("dst"), col("comp").as("cdst"))
@@ -1086,7 +1091,117 @@ object TextQueries {
         converged = bi.isEmpty // no inter-cluster edges ⇒ fixpoint reached
       }
     }
-    labels.select(col("node").as("doc_id"), col("comp").as("comp_id"))
+    labels
+  }
+
+  /** Candidate-driven twin of [[clusterCc]] — the 100-TB clustering path.
+    * The exact entry's edge DISCOVERY is a blocked self-join (quadratic
+    * per bucket); this form generates CHAIN candidates: min-hash
+    * signatures per distinct token set, banded per MEMBER with lang in
+    * the bucket key (the exact edge predicate requires lang equality, so
+    * partitioning on it is lossless), then link each member only to the
+    * next 1-2 members of a per-band order within its (band, bucket, lang)
+    * — ≤ 2(m-1) candidate edges per bucket instead of m(m-1)/2, LINEAR at
+    * any bucket size, so dense true clusters (69% of this corpus's rep
+    * pairs exceed j=0.5) need no bucket cap and no quadratic join. Chain
+    * candidates are verified with the FULL exact edge predicate (±20
+    * chars + Jaccard ≥ 0.5) and fed to the SAME [[ccLabels]] propagation;
+    * identical-token-set members add their predicate-filtered clone pairs
+    * directly. For CONNECTIVITY — unlike pair ENUMERATION (see
+    * dedup_minhash_lsh) — chains suffice; the design points that each
+    * bought ~5-10 recall points (measured):
+    *  - r=2 banding: single-hash buckets here hold most of the corpus and
+    *    a chain rarely lands a specific cut edge adjacent; 2-hash keys
+    *    shrink buckets to genuinely-similar groups while a j≥0.5 pair
+    *    still shares ≥1 of 16 buckets with P = 1-(1-j²)^16 ≥ 0.99.
+    *  - band-salted chain order: one fixed order repeats the same broken
+    *    chain in every band; 16 independent orders make a similar pair
+    *    adjacent somewhere with near-certainty.
+    *  - phase-shifted nc bins on alternating bands: a ±20-close pair
+    *    split by a bin boundary in even bands shares a bin in odd bands.
+    * Precision 1.0 structurally (every edge is verified, so every LSH
+    * cluster is a sub-cluster of an exact cluster — zero refinement
+    * violations at any sf); co-clustered-pair recall measured 1.0 /
+    * 0.991 / 0.978 at sf0.001/0.01/0.1, floor ≥ 0.9 pinned in CcSpec.
+    * No oracle (xxhash64 banding is not DuckDB-reproducible). */
+  private val clusterLsh = CatalogEntry.noOracle("dedup_cluster_lsh") { (spark, sfDir) =>
+    // r=2 banding (not the twins' shared r=1 conf): on this corpus 69% of
+    // rep pairs exceed j=0.5, so single-hash buckets hold most of the
+    // corpus and a chain rarely lands a specific CUT edge adjacent. Two
+    // hashes per bucket key shrink buckets to genuinely-similar groups
+    // (chain adjacency ∝ 1/bucket size) while P(a j≥0.5 pair shares ANY
+    // of 16 buckets) = 1-(1-j²)^16 ≥ 0.99 keeps per-edge recall high.
+    val bands = 16
+    val rowsPerBand = 2
+    val nHashes = bands * rowsPerBand
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+      .withColumn("fp", md5(array_join(col("toks"), " ")))
+      .cache()
+    val members = t.select(col("fp"), col("doc_id"), col("lang"), col("n_chars"))
+    val reps = t.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
+      .join(t.select(col("doc_id").as("rep_id"), col("toks")), "rep_id")
+    // one signature per distinct token set; banding fans out per member
+    val minExprs = (0 until nHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sig = reps.select(col("fp"), explode(col("toks")).as("s"))
+      .groupBy(col("fp")).agg(minExprs.head, minExprs.tail: _*)
+    val banded = members.join(sig, "fp").select(
+      col("fp"), col("doc_id"), col("lang"), col("n_chars"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+          col(s"h${b * rowsPerBand + r}"))): _*)): _*)).as(Seq("band", "bucket")))
+    // chain + skip-level candidates: lead(1) links neighbors, lead(2)
+    // bridges a single dissimilar interloper sitting between two similar
+    // docs (the dominant recall loss of pure chains — measured 0.84 pair
+    // recall with lead(1) alone at sf0.1). Still ≤ 2(m-1) candidates per
+    // bucket — linear, unlike the m(m-1)/2 full expansion.
+    // Chain order = (nc/20 bin, band-salted hash): the hash makes each
+    // band contribute DIFFERENT adjacencies inside a bin — with one fixed
+    // order every band repeats the same broken chain around the same
+    // interlopers (measured: recall stuck at 0.87 with nc order); with 16
+    // independent orders a similar pair is adjacent in some band with
+    // near-certainty (union of 16 random chains over a bin ≈ connected
+    // random graph). The nc bin keeps candidates ±20-plausible; the pair
+    // filter below enforces the exact bound.
+    // alternating bands use phase-shifted nc bins (+10): a ±20-close pair
+    // split by a bin boundary in even bands shares a bin in odd bands
+    val ncBin = floor((col("n_chars") + pmod(col("band"), lit(2)) * 10) / 20)
+    val chainW = Window.partitionBy(col("band"), col("bucket"), col("lang"))
+      .orderBy(ncBin, xxhash64(col("band"), col("doc_id")), col("doc_id"))
+    val cand = Seq(1, 2).map { k =>
+      banded
+        .withColumn("next_id", lead(col("doc_id"), k).over(chainW))
+        .withColumn("next_fp", lead(col("fp"), k).over(chainW))
+        .withColumn("next_nc", lead(col("n_chars"), k).over(chainW))
+        .where(col("next_id").isNotNull
+          && col("next_nc").between(col("n_chars") - 20, col("n_chars") + 20))
+        .select(least(col("doc_id"), col("next_id")).as("src"),
+          greatest(col("doc_id"), col("next_id")).as("dst"),
+          col("fp").as("fp_a"), col("next_fp").as("fp_b"))
+    }.reduce(_ unionByName _)
+      .distinct()
+    val ga = reps.select(col("fp").as("fp_a"), col("toks").as("toks_a"))
+    val gb = reps.select(col("fp").as("fp_b"), col("toks").as("toks_b"))
+    val inter = expr("sorted_intersect_size(toks_a, toks_b)")
+    val chainEdges = cand.join(ga, "fp_a").join(gb, "fp_b")
+      .where(round(inter * 1.0 /
+        (size(col("toks_a")) + size(col("toks_b")) - inter), 4) >= 0.5)
+      .select(col("src"), col("dst"))
+    // clone members (identical token set ⇒ jaccard exactly 1.0) connect
+    // directly wherever the lang/±20 predicate holds — recall 1.0, no LSH
+    val ma = members.select(col("fp"), col("doc_id").as("src"),
+      col("lang").as("lang_a"), col("n_chars").as("nc_a"))
+    val mb = members.select(col("fp"), col("doc_id").as("dst"),
+      col("lang").as("lang_b"), col("n_chars").as("nc_b"))
+    val intra = ma.join(mb, "fp")
+      .where(col("src") < col("dst") && col("lang_a") === col("lang_b")
+        && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
+      .select(col("src"), col("dst"))
+    ccLabels(intra.unionByName(chainEdges).distinct())
+      .select(col("node").as("doc_id"), col("comp").as("comp_id"))
       .orderBy(col("doc_id"))
   }
 
@@ -1208,5 +1323,5 @@ object TextQueries {
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
-    idfTopterms, clusterCc, piiRedact)
+    idfTopterms, clusterCc, clusterLsh, piiRedact)
 }

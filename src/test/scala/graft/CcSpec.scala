@@ -58,6 +58,31 @@ class CcSpec extends SparkSpecBase {
     assert(bad.isEmpty, s"label mismatches (node, got, want): ${bad.take(10)}")
   }
 
+  test("dedup_cluster_lsh refines the exact clustering with pair recall >= 0.9") {
+    def coClusteredPairs(labels: Map[Long, Long]): Set[(Long, Long)] =
+      labels.groupBy(_._2).values.flatMap { members =>
+        val ids = members.keys.toSeq.sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.size) yield (ids(i), ids(j))
+      }.toSet
+    val exact = Catalog.byKey("dedup_cluster_cc").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Catalog.byKey("dedup_cluster_lsh").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactPairs = coClusteredPairs(exact)
+    val lshPairs = coClusteredPairs(lsh)
+    assert(exactPairs.nonEmpty, "exact clustering empty — spec would be vacuous")
+    // precision 1.0 / refinement: every LSH edge is exactly verified under
+    // the same predicate, so LSH can only ever merge what exact merges
+    val extra = lshPairs -- exactPairs
+    assert(extra.isEmpty, s"LSH co-clustered pairs outside exact clusters: ${extra.take(5)}")
+    // recall floor: banding misses edges with P(1-0.5)^16 per pair — but a
+    // missed EDGE only splits a cluster when no other path joins it, so
+    // pair recall is well above the per-edge bound
+    val recall = (exactPairs & lshPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"co-clustered pair recall $recall < 0.9 " +
+      s"(exact=${exactPairs.size}, lsh=${lshPairs.size})")
+  }
+
   test("dedup_cluster_cc labels are component minima and edge-consistent") {
     val es = edges()
     val got = Catalog.byKey("dedup_cluster_cc").run(spark, sfDir)
