@@ -404,7 +404,33 @@ object StreamQueries {
       }.orderBy(col("err_id"), col("purch_id"))
   }
 
+  /** Stream-static join — the streaming dimension-enrichment staple: each
+    * micro-batch of the event stream inner-joins the BATCH customer
+    * dimension (broadcast: the static side is read per micro-batch, never
+    * shuffled as state). Stateless, so no watermark and no state store —
+    * and therefore DETERMINISTIC under Trigger.AvailableNow, which makes
+    * this the one tier-E join with a full DuckDB oracle rather than an
+    * equivalence spec. At 100 TB the same plan holds: stream side scales
+    * with input rate, dim side broadcasts (or bucket-joins if the dim
+    * outgrows broadcast). */
+  private val staticJoin = CatalogEntry.ansi(
+    "stream_static_join",
+    """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin) { (spark, sfDir) =>
+    val src = stageSource(spark, sfDir)
+    val dim = broadcast(Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    // stateless inner join emits on arrival — nothing gained from the
+    // trailing no-data micro-batch
+    runStream(spark, "static_join", src, skipNoDataBatch = true) { in =>
+      in.join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"),
+          col("c_mktsegment").as("segment"), col("value"))
+    }.orderBy(col("event_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tumblingAgg, slidingAgg, sessionGaps, sessionWindowAgg, statefulSessions,
-    dedupWatermark, lateData, foreachBatchUpsert, streamStreamJoin)
+    dedupWatermark, lateData, foreachBatchUpsert, streamStreamJoin, staticJoin)
 }
