@@ -291,7 +291,95 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** Product-quantization ANN (the third index family after IVF cells and
+    * SRP-LSH): split each 64-dim vector into M=8 subvectors of D=8 dims,
+    * learn K=16 centroids per subspace (2 deterministic Lloyd rounds),
+    * encode the corpus as 8 small codes, and answer a query by
+    * asymmetric-distance (ADC) lookup — distance(query, doc) ≈ sum over
+    * subspaces of the precomputed distance(query-subvector, doc's
+    * centroid). At 100 TB this is THE memory move: 64 doubles (512 B)
+    * become 8 code bytes per vector, and the scan costs 8 table lookups
+    * per candidate instead of a 64-dim dot product. The corpus is
+    * unit-norm, so L2-ADC ranking equals cosine ranking.
+    *
+    * Determinism (partition-invariance is tested for every entry): k-means
+    * seeding is md5-ranked (no rand()), and every floating-point MEAN and
+    * SUM folds a sorted collect_list instead of a shuffle-ordered agg —
+    * plain avg()/sum() over doubles varies in the low bits with partition
+    * count, which flips ADC ranks at the round(…,4) boundary. Cells here
+    * are ≤ |corpus|/K values, so the lists are small by construction.
+    * Recall@10 vs the brute-force baseline is property-tested
+    * (PropertySpec, same ≥ 0.5 floor as IVF/SRP on this near-orthogonal
+    * corpus). No oracle (iterative k-means is not SQL-expressible). */
+  private val pqAnn = CatalogEntry.noOracle("vec_pq_ann") { (spark, sfDir) =>
+    val M = 8; val D = 8; val K = 64; val lloydRounds = 3
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val sub = corpus.select(col("vec_id"),
+      posexplode(array((0 until M).map(s => slice(col("v"), s * D + 1, D)): _*))
+        .as(Seq("s", "sv")))
+      .cache() // every Lloyd round and the final encode read this frame
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    // deterministic seeding: the subvectors of the K docs ranked first by
+    // md5(vec_id) — a reproducible pseudo-random draw (SURVEY §2.0.6)
+    val seedW = Window.partitionBy(col("s"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    var cents = sub
+      .withColumn("c", row_number().over(seedW) - 1)
+      .where(col("c") < K)
+      .select(col("s"), col("c"), col("sv").as("cent"))
+      .localCheckpoint()
+    def assign(cs: org.apache.spark.sql.DataFrame) =
+      sub.join(broadcast(cs), "s")
+        .withColumn("dist", l2(col("sv"), col("cent")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("dist"), col("c"))).getField("c").as("c"))
+    (1 to lloydRounds).foreach { _ =>
+      cents = assign(cents).join(sub, Seq("vec_id", "s"))
+        .select(col("s"), col("c"), col("vec_id"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("s"), col("c"), col("dim"))
+        .agg(collect_list(struct(col("vec_id").as("i"), col("x").as("x"))).as("xs"))
+        .select(col("s"), col("c"), col("dim"),
+          (aggregate(transform(array_sort(col("xs")), e => e.getField("x")),
+            lit(0.0), (acc, x) => acc + x) / size(col("xs"))).as("m"))
+        .groupBy(col("s"), col("c"))
+        .agg(collect_list(struct(col("dim").as("d"), col("m").as("m"))).as("ds"))
+        .select(col("s"), col("c"),
+          transform(array_sort(col("ds")), e => e.getField("m")).as("cent"))
+        .localCheckpoint() // tiny (≤ M×K rows); truncates the iterative lineage
+    }
+    val codes = assign(cents)
+    val q = emb.where(col("vec_id") === 0).select(
+      posexplode(array((0 until M).map(s => slice(col("v"), s * D + 1, D)): _*))
+        .as(Seq("s", "qsv")))
+    val adc = q.join(cents, "s")
+      .select(col("s"), col("c"), l2(col("qsv"), col("cent")).as("qd"))
+    val shortlist = codes.join(broadcast(adc), Seq("s", "c"))
+      .groupBy(col("vec_id"))
+      .agg(collect_list(struct(col("s").as("s"), col("qd").as("qd"))).as("ds"))
+      .select(col("vec_id"),
+        round(aggregate(transform(array_sort(col("ds")), e => e.getField("qd")),
+          lit(0.0), (acc, x) => acc + x), 4).as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(50)
+    // rerank: PQ is a COMPRESSOR, not the final ranker — production PQ
+    // answers from an ADC shortlist re-scored with exact distances (the
+    // shortlist is 50 of |corpus|, so the exact pass is 8-byte-code cheap
+    // at any scale; only here do full vectors get touched again)
+    VectorFunctions.ensureRegistered(spark)
+    val qv = emb.where(col("vec_id") === 0).select(col("v").as("qv"))
+    shortlist.join(corpus, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), round(expr("cosine_sim(qv, v)"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     normProject, cosineKnn, pairwiseTopk, centroidPerLabel, multimodalJoin,
-    dedupEmbedding, ivfKnn, lshAnn)
+    dedupEmbedding, ivfKnn, lshAnn, pqAnn)
 }

@@ -223,6 +223,18 @@ class PropertySpec extends SparkSpecBase {
     assert(recall >= 0.5, s"SRP-LSH recall $recall too low (lsh=$lsh, brute=$brute)")
   }
 
+  test("vec_pq_ann recall vs brute-force top-10") {
+    val pq = Catalog.byKey("vec_pq_ann").run(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = Catalog.byKey("vec_cosine_knn").run(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pq.size == 10 && brute.size == 10)
+    val recall = (pq & brute).size.toDouble / brute.size
+    // same floor as IVF/SRP: near-orthogonal neighbours are the hard ANN
+    // regime; under half overlap means the codebooks or ADC are broken
+    assert(recall >= 0.5, s"PQ recall $recall too low (pq=$pq, brute=$brute)")
+  }
+
   test("dedup_simhash finds every exact-duplicate pair at Hamming 0") {
     val sim = Catalog.byKey("dedup_simhash").run(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
