@@ -59,7 +59,8 @@ object Catalog {
     graft.queries.VectorQueries.entries ++
     graft.queries.StreamQueries.entries ++
     graft.queries.UdfQueries.entries ++
-    graft.queries.MultimodalQueries.entries
+    graft.queries.MultimodalQueries.entries ++
+    graft.queries.GraphQueries.entries
 
   lazy val byKey: Map[String, CatalogEntry] = {
     val m = all.map(e => e.key -> e).toMap

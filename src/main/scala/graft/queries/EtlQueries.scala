@@ -543,9 +543,57 @@ object EtlQueries {
     existing.unionByName(assigned).orderBy(col("sk"))
   }
 
+  /** Deterministic shuffle + shard assignment — the training-data export
+    * step: each document lands in a hash shard (two md5 hex chars → 16
+    * buckets, engine-portable where xxhash64 is not) and gets a stable
+    * position within its shard by hash order, i.e. a reproducible global
+    * shuffle with no RNG state. Per-shard sequence numbers come from a
+    * window PARTITIONED by shard — never a global ORDER BY window.
+    *
+    * Scale design: shard count scales with the corpus (100 TB exports use
+    * thousands of shards, not 16) so one window partition stays
+    * worker-sized; the write path is repartition(shard) +
+    * sortWithinPartitions(hk) + partitionBy(shard), which this query's
+    * plan shape mirrors exactly (hash-partition exchange, in-partition
+    * sort, no global sort until the display ORDER BY). */
+  private val shardExport = CatalogEntry.dialect(
+    "etl_shard_export",
+    duckdb = """WITH h AS (
+               |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents
+               |), s AS (
+               |  SELECT doc_id, hk,
+               |         (ascii(substring(hk, 1, 1)) * 256 + ascii(substring(hk, 2, 1))) % 16 AS shard
+               |  FROM h
+               |)
+               |SELECT doc_id, shard,
+               |       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS pos,
+               |       COUNT(*) OVER (PARTITION BY shard) AS shard_size
+               |FROM s ORDER BY doc_id""".stripMargin,
+    spark = """WITH h AS (
+              |  SELECT doc_id, md5(CAST(doc_id AS STRING)) AS hk FROM documents
+              |), s AS (
+              |  SELECT doc_id, hk,
+              |         (ascii(substring(hk, 1, 1)) * 256 + ascii(substring(hk, 2, 1))) % 16 AS shard
+              |  FROM h
+              |)
+              |SELECT doc_id, shard,
+              |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS BIGINT) AS pos,
+              |       COUNT(*) OVER (PARTITION BY shard) AS shard_size
+              |FROM s ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    val h = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn("shard",
+        (ascii(substring(col("hk"), 1, 1)) * 256 + ascii(substring(col("hk"), 2, 1))) % 16)
+    val byShard = Window.partitionBy(col("shard"))
+    h.select(col("doc_id"), col("shard"),
+        row_number().over(byShard.orderBy(col("hk"), col("doc_id"))).cast("long").as("pos"),
+        count(lit(1)).over(byShard).as("shard_size"))
+      .orderBy(col("doc_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
     trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,
-    surrogateKey)
+    surrogateKey, shardExport)
 }

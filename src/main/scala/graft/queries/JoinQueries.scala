@@ -162,6 +162,41 @@ object JoinQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** Scale twin of [[thetaRange]] — the bucketed range join for when BOTH
+    * sides are fact-sized. The theta form broadcasts `part` and nested-loops
+    * the predicate; past the broadcast threshold that plan is dead. Here the
+    * band predicate `l_quantity BETWEEN p_size-5 AND p_size+5` becomes an
+    * EQUI-join on a bucket grid: bucket width = interval width (11), the
+    * point side lands in exactly one bucket, the interval side replicates
+    * into the ≤2 buckets it can overlap, and the residual BETWEEN filters
+    * inside each bucket pair. Shuffle on the bucket key, no nested loop, no
+    * broadcast — identical result, linear replication factor (PlanShapeSpec
+    * pins the shape). Same oracle text as `join_theta_range` modulo key. */
+  private val rangeBucketed = CatalogEntry.ansi(
+    "join_range_bucketed",
+    """SELECT p_partkey, COUNT(*) AS n_close
+      |FROM (SELECT p_partkey, p_size FROM part WHERE p_size <= 10) p
+      |JOIN (SELECT l_quantity FROM lineitem
+      |      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |        AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00') l
+      |ON l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+      |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (spark, sfDir) =>
+    val bw = 11 // == interval width, so each interval spans at most 2 buckets
+    val p = Tables.part(spark, sfDir)
+      .where(col("p_size") <= 10).select(col("p_partkey"), col("p_size"))
+      .withColumn("bucket", explode(sequence(
+        floor((col("p_size") - 5) / bw), floor((col("p_size") + 5) / bw))))
+    val l = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-02-01 00:00:00").cast("timestamp"))
+      .select(col("l_quantity"))
+      .withColumn("bucket", floor(col("l_quantity") / bw))
+    l.join(p.hint("shuffle_hash"), Seq("bucket"))
+      .where(col("l_quantity").between(col("p_size") - 5, col("p_size") + 5))
+      .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_close"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** As-of join: for each error event, the same user's most recent purchase
     * at-or-before it. Spark has no native as-of — compose equi-join on the
     * user + predicate + windowed latest-pick (SURVEY §2.1.C). The oracle
@@ -264,8 +299,48 @@ object JoinQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Manually salted skew join — the pattern for a fact whose join key is
+    * pathologically hot (here 75% of orders collapse onto customer 1, the
+    * synthetic analog of a null-ish or default foreign key). The fact side
+    * gets a uniform salt from xxhash64(row key); the dim side replicates
+    * ×16, one copy per salt; the join key becomes (key, salt) so the hot
+    * key's rows spread over 16 tasks instead of one straggler. The dim is
+    * hinted shuffle_hash: a broadcastable dim never needs salting — the
+    * pattern exists for dims past the broadcast threshold, so the entry
+    * forces the shuffle path it is meant to exercise (PlanShapeSpec pins
+    * the salted key and the absence of a broadcast). AQE's skew-join split
+    * is the automatic alternative for SMJ; manual salting is the portable
+    * form that also covers aggregations (`agg_salted_skew`).
+    *
+    * The oracle is the UNSALTED join — salting must be result-invisible. */
+  private val skewSalted = CatalogEntry.ansi(
+    "join_skew_salted",
+    """SELECT c_mktsegment,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM (SELECT CASE WHEN o_orderkey % 4 <> 0 THEN 1 ELSE o_custkey END AS k,
+      |             o_totalprice FROM orders) o
+      |JOIN customer ON o.k = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (spark, sfDir) =>
+    val salts = 16
+    val fact = Tables.orders(spark, sfDir)
+      .select(
+        when(col("o_orderkey") % 4 =!= 0, lit(1L)).otherwise(col("o_custkey")).as("k"),
+        col("o_totalprice"),
+        pmod(xxhash64(col("o_orderkey")), lit(salts)).as("fsalt"))
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("dsalt", explode(sequence(lit(0), lit(salts - 1))))
+    fact.join(dim.hint("shuffle_hash"),
+        col("k") === col("c_custkey") && col("fsalt") === col("dsalt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        decOut(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     innerEqui, bhjDims, smjFacts, leftOuter, rightOuter, fullOuter,
     leftSemi, leftAnti, crossSmall, thetaRange, asofEventOrder, asofSorted,
-    starMultiway)
+    starMultiway, skewSalted, rangeBucketed)
 }

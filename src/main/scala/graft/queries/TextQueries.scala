@@ -1319,9 +1319,199 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Cross-document duplicated-span detection — the "exact substring dedup"
+    * of LLM training pipelines (suffix-array dedup's hashed cousin): every
+    * token 8-gram is a span fingerprint, a span occurring in ≥2 DISTINCT
+    * documents is duplicated text, and each document reports how much of it
+    * is made of such spans. Distinct from `text_repetition_filter` (which
+    * measures repetition WITHIN a doc) — this finds text copied ACROSS docs
+    * without pairing them.
+    *
+    * Scale design: no self-join anywhere — the span stream shuffles once
+    * keyed by the gram (inverted doc-frequency count, map-side combined)
+    * and once keyed by doc_id for the roll-up, both LINEAR in corpus
+    * tokens. At 100 TB the gram string becomes a 128-bit hash and the
+    * duplicated-gram set ships as a broadcast bloom filter so the roll-up
+    * join disappears; the string form here keeps the DuckDB oracle exact. */
+  private val exactSubstring = CatalogEntry.dialect(
+    "dedup_exact_substring",
+    duckdb = """WITH tok AS (
+               |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               |), g AS (
+               |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+               |                 i -> array_to_string(toks[i:i+7], '_'))) AS g
+               |  FROM tok WHERE len(toks) >= 8
+               |), nd AS (
+               |  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY g
+               |)
+               |SELECT g.doc_id,
+               |       COUNT(*) AS n_spans,
+               |       CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+               |       ROUND(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) * CAST(1.0 AS DOUBLE)
+               |             / COUNT(*), 4) AS dup_frac
+               |FROM g JOIN nd USING (g)
+               |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    spark = """WITH tok AS (
+              |  SELECT doc_id, split(text, ' ') AS toks FROM documents
+              |), g AS (
+              |  SELECT doc_id, explode(transform(sequence(1, size(toks) - 7),
+              |                 i -> array_join(slice(toks, i, 8), '_'))) AS g
+              |  FROM tok WHERE size(toks) >= 8
+              |), nd AS (
+              |  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY g
+              |)
+              |SELECT g.doc_id,
+              |       COUNT(*) AS n_spans,
+              |       CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+              |       ROUND(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) * CAST(1.0 AS DOUBLE)
+              |             / COUNT(*), 4) AS dup_frac
+              |FROM g JOIN nd USING (g)
+              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (spark, sfDir) =>
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), '_'))"))
+        .as("g"))
+    val nd = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    grams.join(nd, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        round(col("dup_spans") * lit(1.0) / col("n_spans"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-unigram language-model scoring — the perplexity-proxy quality
+    * filter: p(token) is its corpus frequency, a doc's score is its mean
+    * token log-probability (higher = more typical of the corpus; strongly
+    * atypical docs are filter candidates). Two token-keyed aggregations,
+    * one token-keyed join and a 1-row broadcast — linear, no self-join.
+    *
+    * Determinism: the per-doc mean folds a token-SORTED list (plain SUM
+    * over doubles drifts in the low bits with partition count); the oracle
+    * sums in DuckDB's order — both land on the same round(…,4) value, same
+    * class as `text_idf_topterms`'s ln. */
+  private val unigramLogprob = CatalogEntry.dialect(
+    "text_unigram_logprob",
+    duckdb = """WITH tok AS (
+               |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+               |), cnt AS (
+               |  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+               |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS s FROM cnt),
+               |dt AS (
+               |  SELECT doc_id, t, COUNT(*) AS dc FROM tok GROUP BY doc_id, t
+               |)
+               |SELECT dt.doc_id,
+               |       CAST(SUM(dt.dc) AS BIGINT) AS n_tokens,
+               |       ROUND(SUM(dt.dc * ln(cnt.c * CAST(1.0 AS DOUBLE) / tot.s))
+               |             / SUM(dt.dc), 4) AS avg_logprob
+               |FROM dt JOIN cnt USING (t) CROSS JOIN tot
+               |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin,
+    spark = """WITH tok AS (
+              |  SELECT doc_id, explode(split(text, ' ')) AS t FROM documents
+              |), cnt AS (
+              |  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+              |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS s FROM cnt),
+              |dt AS (
+              |  SELECT doc_id, t, COUNT(*) AS dc FROM tok GROUP BY doc_id, t
+              |)
+              |SELECT dt.doc_id,
+              |       CAST(SUM(dt.dc) AS BIGINT) AS n_tokens,
+              |       ROUND(SUM(dt.dc * ln(cnt.c * CAST(1.0 AS DOUBLE) / tot.s))
+              |             / SUM(dt.dc), 4) AS avg_logprob
+              |FROM dt JOIN cnt USING (t) CROSS JOIN tot
+              |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin) { (spark, sfDir) =>
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("s"))
+    val dt = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("dc"))
+    dt.join(cnt, "t").crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("t"), col("dc"),
+        (col("dc") * log(col("c") * lit(1.0) / col("s"))).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dc")).as("n_tokens"),
+        collect_list(struct(col("t"), col("v"))).as("xs"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(aggregate(transform(array_sort(col("xs")), e => e.getField("v")),
+          lit(0.0), (a, x) => a + x) / col("n_tokens"), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One-sided containment dedup (the RefinedWeb/CCNet "subset document"
+    * case Jaccard misses): containment(a→b) = |A∩B| / |A| over distinct
+    * token sets — a short doc fully quoted inside a longer one scores 1.0
+    * there while its Jaccard stays low. Per-doc roll-up (how many other
+    * same-lang docs contain ≥95% / 100% of this doc's vocabulary) keeps
+    * the output linear in the corpus. All-integer ratios — no ln, no
+    * cross-engine ulp risk.
+    *
+    * Scale design: lang-only blocking is deliberately the WORST case among
+    * the blocked entries (containment cannot length-band: the contained doc
+    * is shorter by definition). The pairs side is salted ×8 so the few big
+    * lang blocks spread across the cluster; at 100 TB candidates come from
+    * `dedup_minhash_lsh` banding on the SHORTER side's shingles and this
+    * becomes a per-candidate verify, same as the jaccard twins. */
+  private val containment = CatalogEntry.dialect(
+    "dedup_containment",
+    duckdb = """WITH t AS (
+               |  SELECT doc_id, lang,
+               |         list_sort(list_distinct(string_split(text, ' '))) AS toks
+               |  FROM documents
+               |)
+               |SELECT a.doc_id,
+               |       CAST(SUM(CASE WHEN b.doc_id <> a.doc_id
+               |                      AND len(list_intersect(a.toks, b.toks)) = len(a.toks)
+               |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_supersets,
+               |       CAST(SUM(CASE WHEN b.doc_id <> a.doc_id
+               |                      AND len(list_intersect(a.toks, b.toks)) * CAST(1.0 AS DOUBLE)
+               |                          / len(a.toks) >= 0.95
+               |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_containers
+               |FROM t a JOIN t b ON a.lang = b.lang
+               |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    spark = """WITH t AS (
+              |  SELECT doc_id, lang,
+              |         sort_array(array_distinct(split(text, ' '))) AS toks
+              |  FROM documents
+              |)
+              |SELECT a.doc_id,
+              |       CAST(SUM(CASE WHEN b.doc_id <> a.doc_id
+              |                      AND size(array_intersect(a.toks, b.toks)) = size(a.toks)
+              |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_supersets,
+              |       CAST(SUM(CASE WHEN b.doc_id <> a.doc_id
+              |                      AND size(array_intersect(a.toks, b.toks)) * CAST(1.0 AS DOUBLE)
+              |                          / size(a.toks) >= 0.95
+              |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_containers
+              |FROM t a JOIN t b ON a.lang = b.lang
+              |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin) { (spark, sfDir) =>
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val salts = 8
+    val t = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"),
+      sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("toks").as("toks_a"))
+      .withColumn("salt", pmod(col("doc_a"), lit(salts)))
+    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("toks").as("toks_b"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    a.join(b, Seq("lang", "salt"))
+      .withColumn("inter", expr("sorted_intersect_size(toks_a, toks_b)"))
+      .groupBy(col("doc_a"))
+      .agg(
+        sum(when(col("doc_b") =!= col("doc_a")
+          && col("inter") === size(col("toks_a")), 1L).otherwise(0L)).as("n_supersets"),
+        sum(when(col("doc_b") =!= col("doc_a")
+          && col("inter") * lit(1.0) / size(col("toks_a")) >= 0.95, 1L).otherwise(0L))
+          .as("n_containers"))
+      .select(col("doc_a").as("doc_id"), col("n_supersets"), col("n_containers"))
+      .orderBy(col("doc_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
-    idfTopterms, clusterCc, clusterLsh, piiRedact)
+    idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
+    unigramLogprob, containment)
 }

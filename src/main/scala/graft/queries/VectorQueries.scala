@@ -379,7 +379,48 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** Threshold range search — ANN's other query shape: ALL corpus vectors
+    * within cosine ≥ 0.2 of the query, not a fixed top-k. Same one-pass
+    * broadcast-query scan as `vec_cosine_knn`, but the selection is a
+    * pushed filter instead of TakeOrderedAndProject, so the result size
+    * follows the data (radius queries back recall-oriented retrieval and
+    * near-dup range sweeps). Threshold compares the round(…,4) value on
+    * both sides — no boundary straddle. */
+  private val rangeSearch = CatalogEntry.dialect(
+    "vec_range_search",
+    duckdb = """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+               |SELECT vec_id, sim FROM (
+               |  SELECT e.vec_id,
+               |         ROUND(list_sum(list_transform(range(1, 65), i -> qv[i] * CAST(embedding AS DOUBLE[])[i])) /
+               |               (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+               |                sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS sim
+               |  FROM embeddings e, q
+               |  WHERE e.vec_id <> 0
+               |) WHERE sim >= 0.2
+               |ORDER BY sim DESC, vec_id""".stripMargin,
+    spark = """WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv FROM embeddings WHERE vec_id = 0)
+              |SELECT vec_id, sim FROM (
+              |  SELECT e.vec_id,
+              |         ROUND(aggregate(zip_with(qv, CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) /
+              |               (sqrt(aggregate(transform(qv, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) *
+              |                sqrt(aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))), 4) AS sim
+              |  FROM embeddings e CROSS JOIN q
+              |  WHERE e.vec_id <> 0
+              |) WHERE sim >= 0.2
+              |ORDER BY sim DESC, vec_id""".stripMargin) { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") === 0)
+      .select(vdouble(col("embedding")).as("qv"))
+    emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("v", vdouble(col("embedding")))
+      .select(col("vec_id"), round(expr("cosine_sim(qv, v)"), 4).as("sim"))
+      .where(col("sim") >= 0.2)
+      .orderBy(col("sim").desc, col("vec_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     normProject, cosineKnn, pairwiseTopk, centroidPerLabel, multimodalJoin,
-    dedupEmbedding, ivfKnn, lshAnn, pqAnn)
+    dedupEmbedding, ivfKnn, lshAnn, pqAnn, rangeSearch)
 }

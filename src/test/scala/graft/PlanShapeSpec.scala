@@ -218,4 +218,54 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("partial_topk_sketch_agg"),
       s"expected partial sketch aggregation in:\n$p")
   }
+
+  test("join_skew_salted joins on the salted key and never broadcasts") {
+    // the pattern targets dims past the broadcast threshold: the join keys
+    // must carry the salt (that's what spreads the hot key over 16 tasks)
+    // and neither side may be broadcast — a broadcast would mean the salt
+    // machinery exercised nothing
+    val p = planOf("join_skew_salted")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a shuffle join in:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"salted join must not broadcast:\n$p")
+    assert(p.contains("fsalt"), s"expected the salt in the join keys:\n$p")
+  }
+
+  test("dedup_exact_substring is join-linear: no self-join of the corpus") {
+    // cross-doc span detection must come from the inverted gram count, not
+    // doc×doc pairing — the entry's whole claim is linearity in tokens
+    val p = planOf("dedup_exact_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must not pair documents:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side combine in:\n$p")
+  }
+
+  test("etl_shard_export windows per shard, not over a global order") {
+    // a global-order window (empty partition spec) serializes the corpus
+    // through one task — the export must hash-partition by shard
+    val p = planOf("etl_shard_export")
+    assert(p.contains("hashpartitioning(shard"),
+      s"expected shard hash partitioning in:\n$p")
+  }
+
+  test("join_range_bucketed equi-joins on the bucket grid — no nested loop, no broadcast") {
+    // the entry's claim: a range join both of whose sides are fact-sized
+    // still plans as a keyed shuffle join via interval bucketing
+    val p = planOf("join_range_bucketed")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a keyed shuffle join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed range join must not nested-loop:\n$p")
+    assert(p.contains("bucket"), s"expected the bucket key in:\n$p")
+  }
+
+  test("text_unigram_logprob broadcasts only the 1-row total") {
+    // the token-count join is token-keyed (both sides shuffled); the only
+    // broadcast is the single-row corpus total
+    val p = planOf("text_unigram_logprob")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected the 1-row total broadcast in:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side combine in:\n$p")
+  }
 }
