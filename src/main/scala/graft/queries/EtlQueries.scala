@@ -591,9 +591,46 @@ object EtlQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Partition backfill via dynamic partition overwrite — the "re-run one
+    * day" operation every partitioned warehouse needs: the initial load
+    * lands a corrupted year-1997 partition (prices zeroed), the backfill
+    * rewrites ONLY that partition under
+    * `partitionOverwriteMode=dynamic`, and the read-back must equal the
+    * clean source. The oracle is maximally sensitive to both failure
+    * modes: static overwrite would drop every other year (row-count
+    * mismatch), a skipped backfill leaves 1997 totals at zero (hash
+    * mismatch). At 100 TB this is the atomic-partition-swap pattern —
+    * only the target partition's files are rewritten, sibling years are
+    * untouched directories. */
+  private val partitionBackfill = CatalogEntry.ansi(
+    "etl_partition_backfill",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, sfDir) =>
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_backfill_sink"
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("o_year", year(col("o_orderdate")))
+    base.withColumn("o_totalprice",
+        when(col("o_year") === 1997, lit(0.0)).otherwise(col("o_totalprice")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try base.where(col("o_year") === 1997)
+      .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(tmp)
+      .groupBy(col("o_year").cast("int").as("o_year"))
+      .agg(count(lit(1)).as("n"), decOut(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("o_year"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
     trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,
-    surrogateKey, shardExport)
+    surrogateKey, shardExport, partitionBackfill)
 }

@@ -74,5 +74,29 @@ object SubqueryQueries {
         |ORDER BY p_partkey""".stripMargin)
   }
 
-  def entries: Seq[CatalogEntry] = Seq(scalarUncorr, correlatedExists, inSubquery)
+  /** Correlated SCALAR subquery — the third decorrelation shape after
+    * EXISTS and IN: a per-row aggregate lookup. Catalyst rewrites it to a
+    * left outer join against the pre-aggregated subquery (customers with
+    * no orders keep a NULL max) — at 100 TB that rewrite is ONE shuffle
+    * join versus |customer| re-scans of orders. PlanShapeSpec asserts the
+    * aggregate+outer-join shape. MAX is order-insensitive, so no decimal
+    * laundering is needed on a double column. */
+  private val correlatedScalar = CatalogEntry.ansi(
+    "subq_correlated_scalar",
+    """SELECT c_custkey,
+      |       (SELECT MAX(o_totalprice) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c
+      |ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey,
+        |       (SELECT MAX(o_totalprice) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  def entries: Seq[CatalogEntry] =
+    Seq(scalarUncorr, correlatedExists, inSubquery, correlatedScalar)
 }

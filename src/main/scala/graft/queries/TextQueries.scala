@@ -1508,10 +1508,88 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The composed training-data filter — what a user of this engine
+    * actually RUNS: per-doc length, richness, repetition and near-dup
+    * gates evaluated in one pass, each surfaced as its own flag plus the
+    * final keep decision (flags, not a bare boolean, because production
+    * filter pipelines audit WHY documents drop). Thresholds sit between
+    * the corpus deciles so every gate actually discriminates; all ratios
+    * are integer/integer doubles — identical on both engines, no ulp risk.
+    * Near-dup gate = shingle-fingerprint group representative (md5 of the
+    * sorted distinct token set, the `text_fingerprint` key): one hash per
+    * doc, one window — the linear first-pass dedup, with the LSH entries
+    * as the graded escalation. Scale: two token-keyed aggregations + one
+    * fingerprint window, no self-join anywhere. */
+  private val corpusFilter = CatalogEntry.dialect(
+    "pipeline_corpus_filter",
+    duckdb = """WITH cnt AS (
+               |  SELECT doc_id, MAX(c) AS topc FROM (
+               |    SELECT doc_id, token, COUNT(*) AS c
+               |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+               |    GROUP BY doc_id, token)
+               |  GROUP BY doc_id
+               |), m AS (
+               |  SELECT t.doc_id, len(t.toks) AS nt, len(list_distinct(t.toks)) AS nd, cnt.topc,
+               |         md5(array_to_string(list_sort(list_distinct(t.toks)), ' ')) AS sfp
+               |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+               |  JOIN cnt USING (doc_id)
+               |), f AS (
+               |  SELECT doc_id,
+               |         CASE WHEN nt >= 20 THEN 1 ELSE 0 END AS pass_len,
+               |         CASE WHEN nd * CAST(1.0 AS DOUBLE) / nt >= CAST(0.35 AS DOUBLE) THEN 1 ELSE 0 END AS pass_rich,
+               |         CASE WHEN topc * CAST(1.0 AS DOUBLE) / nt <= CAST(0.12 AS DOUBLE) THEN 1 ELSE 0 END AS pass_rep,
+               |         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY sfp) THEN 1 ELSE 0 END AS pass_dedup
+               |  FROM m
+               |)
+               |SELECT doc_id, pass_len, pass_rich, pass_rep, pass_dedup,
+               |       pass_len * pass_rich * pass_rep * pass_dedup AS keep
+               |FROM f ORDER BY doc_id""".stripMargin,
+    spark = """WITH cnt AS (
+              |  SELECT doc_id, MAX(c) AS topc FROM (
+              |    SELECT doc_id, token, COUNT(*) AS c
+              |    FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)
+              |    GROUP BY doc_id, token)
+              |  GROUP BY doc_id
+              |), m AS (
+              |  SELECT t.doc_id, size(t.toks) AS nt, size(array_distinct(t.toks)) AS nd, cnt.topc,
+              |         md5(array_join(sort_array(array_distinct(t.toks)), ' ')) AS sfp
+              |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents) t
+              |  JOIN cnt USING (doc_id)
+              |), f AS (
+              |  SELECT doc_id,
+              |         CASE WHEN nt >= 20 THEN 1 ELSE 0 END AS pass_len,
+              |         CASE WHEN nd * CAST(1.0 AS DOUBLE) / nt >= CAST(0.35 AS DOUBLE) THEN 1 ELSE 0 END AS pass_rich,
+              |         CASE WHEN topc * CAST(1.0 AS DOUBLE) / nt <= CAST(0.12 AS DOUBLE) THEN 1 ELSE 0 END AS pass_rep,
+              |         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY sfp) THEN 1 ELSE 0 END AS pass_dedup
+              |  FROM m
+              |)
+              |SELECT doc_id, pass_len, pass_rich, pass_rep, pass_dedup,
+              |       pass_len * pass_rich * pass_rep * pass_dedup AS keep
+              |FROM f ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    val docs = Tables.documents(spark, sfDir)
+    val cnt = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("topc"))
+    val toks = split(col("text"), " ")
+    val m = docs.select(col("doc_id"),
+        size(toks).as("nt"), size(array_distinct(toks)).as("nd"),
+        md5(array_join(sort_array(array_distinct(toks)), " ")).as("sfp"))
+      .join(cnt, "doc_id")
+    m.select(col("doc_id"),
+        when(col("nt") >= 20, 1).otherwise(0).as("pass_len"),
+        when(col("nd") * lit(1.0) / col("nt") >= 0.35, 1).otherwise(0).as("pass_rich"),
+        when(col("topc") * lit(1.0) / col("nt") <= 0.12, 1).otherwise(0).as("pass_rep"),
+        when(col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("sfp"))), 1).otherwise(0).as("pass_dedup"))
+      .withColumn("keep",
+        col("pass_len") * col("pass_rich") * col("pass_rep") * col("pass_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
     idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
-    unigramLogprob, containment)
+    unigramLogprob, containment, corpusFilter)
 }

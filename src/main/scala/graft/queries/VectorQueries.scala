@@ -312,6 +312,7 @@ object VectorQueries {
     * (PropertySpec, same ≥ 0.5 floor as IVF/SRP on this near-orthogonal
     * corpus). No oracle (iterative k-means is not SQL-expressible). */
   private val pqAnn = CatalogEntry.noOracle("vec_pq_ann") { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
     val M = 8; val D = 8; val K = 64; val lloydRounds = 3
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), vdouble(col("embedding")).as("v"))
@@ -319,6 +320,7 @@ object VectorQueries {
     val sub = corpus.select(col("vec_id"),
       posexplode(array((0 until M).map(s => slice(col("v"), s * D + 1, D)): _*))
         .as(Seq("s", "sv")))
+      .withColumn("sv2", expr("dot_product(sv, sv)"))
       .cache() // every Lloyd round and the final encode read this frame
     def l2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -331,26 +333,37 @@ object VectorQueries {
       .withColumn("c", row_number().over(seedW) - 1)
       .where(col("c") < K)
       .select(col("s"), col("c"), col("sv").as("cent"))
-      .localCheckpoint()
-    def assign(cs: org.apache.spark.sql.DataFrame) =
-      sub.join(broadcast(cs), "s")
-        .withColumn("dist", l2(col("sv"), col("cent")))
+      .cache()
+    // assign touches |corpus|×K candidate rows per round — the hot path.
+    // l2² = |sv|² + |cent|² − 2·(sv·cent) with the native codegen'd
+    // dot_product (the interpreted zip_with fold here measured 12 s for
+    // the whole entry at sf0.1; the norms are precomputed once per side)
+    def assign(cs: org.apache.spark.sql.DataFrame) = {
+      val csn = cs.withColumn("c2", expr("dot_product(cent, cent)"))
+      sub.join(broadcast(csn), "s")
+        .withColumn("dist",
+          col("sv2") + col("c2") - lit(2.0) * expr("dot_product(sv, cent)"))
         .groupBy(col("vec_id"), col("s"))
         .agg(min(struct(col("dist"), col("c"))).getField("c").as("c"))
+    }
     (1 to lloydRounds).foreach { _ =>
+      // per-cell mean in ONE grouped pass: collect the cell's subvectors,
+      // sort by member id, fold each dimension in that fixed order (same
+      // summation sequence as the former posexplode formulation — bit-
+      // identical means — minus its 128k-row shuffle and second groupBy)
       cents = assign(cents).join(sub, Seq("vec_id", "s"))
-        .select(col("s"), col("c"), col("vec_id"),
-          posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy(col("s"), col("c"), col("dim"))
-        .agg(collect_list(struct(col("vec_id").as("i"), col("x").as("x"))).as("xs"))
-        .select(col("s"), col("c"), col("dim"),
-          (aggregate(transform(array_sort(col("xs")), e => e.getField("x")),
-            lit(0.0), (acc, x) => acc + x) / size(col("xs"))).as("m"))
         .groupBy(col("s"), col("c"))
-        .agg(collect_list(struct(col("dim").as("d"), col("m").as("m"))).as("ds"))
-        .select(col("s"), col("c"),
-          transform(array_sort(col("ds")), e => e.getField("m")).as("cent"))
-        .localCheckpoint() // tiny (≤ M×K rows); truncates the iterative lineage
+        .agg(collect_list(struct(col("vec_id").as("i"), col("sv").as("sv"))).as("xs"))
+        .select(col("s"), col("c"), expr(
+          s"""transform(sequence(1, $D), d ->
+             |  aggregate(transform(array_sort(xs), e -> e.sv[d-1]),
+             |            cast(0.0 as double), (a, x) -> a + x) / size(xs))""".stripMargin)
+          .as("cent"))
+        // cache, not localCheckpoint: each round's broadcast would otherwise
+        // re-run every earlier round's plan (broadcast materializes its
+        // subtree), and the eager per-round checkpoint jobs cost more than
+        // the ≤ M×K rows they pin (measured 11.5 s → see BASELINE.md)
+        .cache()
     }
     val codes = assign(cents)
     val q = emb.where(col("vec_id") === 0).select(

@@ -206,7 +206,36 @@ object WindowQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Running DISTINCT count over a growing frame — Spark rejects DISTINCT
+    * aggregates inside windows, so the engine composes
+    * `size(collect_set(...))` over an explicit ROWS frame; the oracle uses
+    * DuckDB's native windowed COUNT(DISTINCT). The ROWS frame is explicit
+    * on BOTH sides: the default RANGE frame includes order-by peers, and
+    * only the unique (ts, event_id) order makes the two frames coincide.
+    * Scale note: the set state is bounded by the distinct-value cardinality
+    * (event types here — single digits), not the frame length; a
+    * high-cardinality column would need a sketch (`agg_hll_sketch_merge`)
+    * instead of an exact set. */
+  private val distinctFrame = CatalogEntry.dialect(
+    "win_distinct_frame",
+    duckdb = """SELECT event_id, user_id,
+               |       COUNT(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types
+               |FROM events ORDER BY event_id""".stripMargin,
+    spark = """SELECT event_id, user_id,
+              |       CAST(size(collect_set(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS n_types
+              |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        size(collect_set(col("event_type")).over(w)).cast("long").as("n_types"))
+      .orderBy(col("event_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     rowNumber, rankDense, lagLead, runningSum, movingAvg, rangeFrame,
-    ntileQuartiles, firstLast, topkPerGroup, distributionFns, nthValue)
+    ntileQuartiles, firstLast, topkPerGroup, distributionFns, nthValue,
+    distinctFrame)
 }

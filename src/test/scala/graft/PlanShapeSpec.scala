@@ -249,6 +249,15 @@ class PlanShapeSpec extends SparkSpecBase {
       s"expected shard hash partitioning in:\n$p")
   }
 
+  test("subq_correlated_scalar decorrelates to an aggregate + outer join") {
+    // per-customer MAX lookup must become ONE pre-aggregated join, not
+    // |customer| re-scans of orders
+    val p = planOf("subq_correlated_scalar")
+    assert(p.contains("Join"), s"expected the decorrelated join in:\n$p")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      s"expected the pre-aggregated subquery side in:\n$p")
+  }
+
   test("join_range_bucketed equi-joins on the bucket grid — no nested loop, no broadcast") {
     // the entry's claim: a range join both of whose sides are fact-sized
     // still plans as a keyed shuffle join via interval bucketing
