@@ -400,8 +400,24 @@ object ScanQueries {
     ensureZorderLayout(spark, sfDir)
   }
 
+  /** Line-oriented text write→read fidelity — the corpus-dump leg of the
+    * COPY surface (one doc per line; the corpus text is tokenized
+    * single-line by construction, so the line framing is lossless). The
+    * text source has no ids or schema — the roundtrip identity is over the
+    * sorted line multiset, which is exactly what a hash compare sees. */
+  private val textRoundtrip = CatalogEntry.ansi(
+    "src_text_roundtrip",
+    "SELECT text AS line FROM documents ORDER BY line") { (spark, sfDir) =>
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_text_roundtrip"
+    Tables.documents(spark, sfDir).select(col("text"))
+      .write.mode("overwrite").text(tmp)
+    graft.sources.TextSource(tmp).load(spark)
+      .select(col("value").as("line"))
+      .orderBy(col("line"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     scanProject, schemaEnforce, jsonExtract, csvRoundtrip, jsonRoundtrip,
     orcRoundtrip, csvBadRecords, partitionedWrite, bucketedJoin, jdbcSurface,
-    zorderWrite)
+    zorderWrite, textRoundtrip)
 }

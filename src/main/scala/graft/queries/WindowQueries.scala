@@ -234,8 +234,44 @@ object WindowQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Moving 7-row median — an ORDER-STATISTIC over a sliding frame, which
+    * Spark's windowed aggregates don't offer (percentile_approx is not
+    * window-able): the engine collects the frame, sorts it, and picks the
+    * middle (averaging the two middles on even frames — the same
+    * interpolation DuckDB's windowed median applies, so the two engines
+    * run identical arithmetic). The frame holds ≤7 values by construction:
+    * the sort is per-row-constant work, not a scalability term. */
+  private val movingMedian = CatalogEntry.dialect(
+    "win_moving_median",
+    duckdb = """SELECT event_id, user_id,
+               |       ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med
+               |FROM events ORDER BY event_id""".stripMargin,
+    spark = """SELECT event_id, user_id,
+              |       ROUND(CASE WHEN size(xs) % 2 = 1 THEN element_at(array_sort(xs), CAST((size(xs) + 1) DIV 2 AS INT))
+              |                  ELSE (element_at(array_sort(xs), CAST(size(xs) DIV 2 AS INT))
+              |                        + element_at(array_sort(xs), CAST(size(xs) DIV 2 + 1 AS INT))) / 2.0 END, 4) AS med
+              |FROM (
+              |  SELECT event_id, user_id,
+              |         collect_list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS xs
+              |  FROM events
+              |) ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    val xs = sort_array(collect_list(col("value")).over(w))
+    val n = size(xs)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), xs.as("xs"), n.as("n"))
+      .select(col("event_id"), col("user_id"),
+        round(when(col("n") % 2 === 1, element_at(col("xs"), ((col("n") + 1) / 2).cast("int")))
+          .otherwise((element_at(col("xs"), (col("n") / 2).cast("int"))
+            + element_at(col("xs"), (col("n") / 2 + 1).cast("int"))) / 2.0), 4).as("med"))
+      .orderBy(col("event_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     rowNumber, rankDense, lagLead, runningSum, movingAvg, rangeFrame,
     ntileQuartiles, firstLast, topkPerGroup, distributionFns, nthValue,
-    distinctFrame)
+    distinctFrame, movingMedian)
 }

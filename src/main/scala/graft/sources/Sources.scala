@@ -34,6 +34,13 @@ final case class JsonSource(path: String, schema: StructType) extends TableSourc
     spark.read.schema(schema).json(path)
 }
 
+/** Line-oriented text — the rawest ingestion format (log shipping, corpus
+  * dumps): one row per line, single `value` string column. Schema-free by
+  * nature, so unlike the other sources there is nothing to enforce. */
+final case class TextSource(path: String) extends TableSource {
+  def load(spark: SparkSession): DataFrame = spark.read.text(path)
+}
+
 /** JDBC source for warehouse interop (Redshift et al.).
   *
   * Executed for real against an embedded Derby database (the JDBC engine
