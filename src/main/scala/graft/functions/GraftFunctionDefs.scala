@@ -51,7 +51,16 @@ object GraftFunctionDefs {
       (c: Seq[Expression]) => TopKMergeAgg(c.head, kArg(c, "topk_merge_agg"))),
     (FunctionIdentifier("topk_extract"),
       new ExpressionInfo(classOf[TopKExtract].getName, "topk_extract"),
-      (c: Seq[Expression]) => TopKExtract(c(0), c(1))))
+      (c: Seq[Expression]) => TopKExtract(c(0), c(1))),
+    (FunctionIdentifier("cms_sketch_agg"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch_agg"),
+      (c: Seq[Expression]) => CmsSketchAgg(c.head, kArg(c, "cms_sketch_agg"))),
+    (FunctionIdentifier("cms_merge_agg"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge_agg"),
+      (c: Seq[Expression]) => CmsMergeAgg(c.head, kArg(c, "cms_merge_agg"))),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (c: Seq[Expression]) => CmsEstimate(c(0), c(1))))
 
   /** Idempotently register every engine function on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -473,9 +473,34 @@ object AggQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Count-Min point-frequency sketch, built per user-bucket and MERGED up
+    * (`functions/CountMinSketch.scala`) — completes the mergeable-summary
+    * family (HLL distinct / KLL quantiles / MG heavy-hitters / CMS point
+    * counts). Like `agg_topk_sketch`, the catalog instance sits in a
+    * deterministically EXACT regime: the 5 event-type strings hash (fixed
+    * MurmurHash3 row seeds) without full-row collisions at width 256, so
+    * every min-over-rows estimate equals the true count and the plain
+    * GROUP BY oracle applies; the ε-overcount bound and merge-topology
+    * invariance of the general regime are property-tested in SketchSpec. */
+  private val cmsFreq = CatalogEntry.ansi(
+    "agg_cms_freq",
+    """SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS est
+      |FROM events GROUP BY event_type ORDER BY key""".stripMargin) { (spark, sfDir) =>
+    graft.functions.SketchFunctions.ensureRegistered(spark)
+    val ev = Tables.events(spark, sfDir)
+    val global = ev
+      .groupBy(pmod(col("user_id"), lit(8)).as("bucket"))
+      .agg(expr("cms_sketch_agg(event_type, 256)").as("sk"))
+      .agg(expr("cms_merge_agg(sk, 256)").as("merged"))
+    ev.select(col("event_type").as("key")).distinct()
+      .crossJoin(broadcast(global))
+      .select(col("key"), expr("cms_estimate(merged, key)").as("est"))
+      .orderBy(col("key"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
-    kllQuantiles, modeFreq, topkSketch, histogramFixed)
+    kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq)
 }

@@ -470,8 +470,78 @@ object StreamQueries {
     }
   }
 
+  /** Update-mode windowed aggregation on the RocksDB state store — the
+    * production configuration for large state (HDFSBackedStateStore keeps
+    * every version on the executor heap; RocksDB spills to local disk and
+    * is the 100-TB default). `maxFilesPerTrigger=8` forces MULTIPLE
+    * micro-batches over the staged source so state genuinely persists and
+    * re-updates across commits; update mode re-emits a window every time
+    * it changes, and the foreachBatch sink upserts latest-per-window, so
+    * the final target equals the batch aggregate REGARDLESS of file
+    * batching order (cumulative state ⇒ each window's last emission is its
+    * complete value). No watermark on purpose: watermarked update mode
+    * DROPS updates older than the mark, and parquet file order is
+    * arbitrary — completeness here, eviction semantics in
+    * `stream_late_data`. Full DuckDB oracle = the tumbling batch query. */
+  private val updateRocksdb = CatalogEntry.dialect(
+    "stream_update_rocksdb",
+    duckdb = """SELECT date_trunc('hour', ts) AS win_start, COUNT(*) AS n,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+               |FROM events
+               |GROUP BY win_start
+               |ORDER BY win_start""".stripMargin,
+    spark = """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ) AS win_start, COUNT(*) AS n,
+              |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+              |FROM events
+              |GROUP BY win_start
+              |ORDER BY win_start""".stripMargin) { (spark, sfDir) =>
+    withStreamingConf(spark, skipNoDataBatch = true) {
+      val src = stageSource(spark, sfDir)
+      val target = s"${sys.props("java.io.tmpdir")}/graft_stream_target_rocks"
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_rocks"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      fs.delete(new org.apache.hadoop.fs.Path(target), true)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = spark.readStream.schema(eventsSchema)
+          .option("maxFilesPerTrigger", "8").parquet(src)
+        val agg = in
+          .groupBy(window(col("ts"), "1 hour").as("win"))
+          .agg(count(lit(1)).as("n"), decOut(sum(dec(col("value")))).as("sum_val"))
+          .select(col("win.start").as("win_start"), col("n"), col("sum_val"))
+        val q = agg.writeStream.outputMode("update")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val incoming = batch.persist()
+            val merged =
+              if (fs.exists(new org.apache.hadoop.fs.Path(target))) {
+                val cur = batch.sparkSession.read.parquet(target)
+                cur.join(incoming.select(col("win_start").as("k")),
+                    col("win_start") === col("k"), "left_anti")
+                  .unionByName(incoming)
+              } else incoming
+            val tmpOut = target + "_next"
+            merged.write.mode("overwrite").parquet(tmpOut)
+            incoming.unpersist()
+            val next = new org.apache.hadoop.fs.Path(tmpOut)
+            val tgt = new org.apache.hadoop.fs.Path(target)
+            fs.delete(tgt, true); fs.rename(next, tgt); ()
+          }
+          .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      spark.read.parquet(target).orderBy(col("win_start"))
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tumblingAgg, slidingAgg, sessionGaps, sessionWindowAgg, statefulSessions,
     dedupWatermark, lateData, foreachBatchUpsert, streamStreamJoin, staticJoin,
-    incrementalResume)
+    incrementalResume, updateRocksdb)
 }

@@ -188,6 +188,61 @@ class SketchSpec extends SparkSpecBase {
     assert(got.toSeq == truth, s"got=${got.toSeq}\ntruth=$truth")
   }
 
+  test("cms never undercounts; overcount within the epsilon-N bound") {
+    // adversarially small width (16) over 400 distinct keys with a zipf-ish
+    // skew — collisions guaranteed, the bounds must still hold
+    val sk = new graft.functions.CountMinSketch(4, 16)
+    val truth = scala.collection.mutable.HashMap.empty[String, Long]
+    for (i <- 0 until 400; _ <- 0 to (400 / (i + 1))) {
+      val k = s"key_$i"
+      sk.update(k)
+      truth.update(k, truth.getOrElse(k, 0L) + 1)
+    }
+    val n = sk.n
+    assert(n == truth.values.sum)
+    val eps = math.E / 16 // e/width
+    truth.foreach { case (k, c) =>
+      val est = sk.estimate(k)
+      assert(est >= c, s"$k undercounted: est=$est true=$c")
+      // depth-4 failure probability per key ~ e^-4; with 400 keys allow a
+      // generous 3x slack so the test is deterministic, not probabilistic
+      assert(est <= c + 3 * eps * n,
+        s"$k overcounted past bound: est=$est true=$c n=$n")
+    }
+  }
+
+  test("cms merge is pointwise-sum exact: any merge topology is bit-identical") {
+    def build(keys: Seq[String]): graft.functions.CountMinSketch = {
+      val sk = new graft.functions.CountMinSketch(4, 64)
+      keys.foreach(sk.update)
+      sk
+    }
+    val keys = (0 until 2000).map(i => s"k${i % 137}")
+    val flat = build(keys)
+    val chunks = keys.grouped(300).map(build).toSeq
+    // left-fold chain
+    val chain = new graft.functions.CountMinSketch(4, 64)
+    chunks.foreach(chain.merge)
+    // two-level tree
+    val tree = new graft.functions.CountMinSketch(4, 64)
+    chunks.grouped(3).foreach { g =>
+      val mid = new graft.functions.CountMinSketch(4, 64)
+      g.foreach(mid.merge)
+      tree.merge(mid)
+    }
+    assert(java.util.Arrays.equals(flat.serialize(), chain.serialize()))
+    assert(java.util.Arrays.equals(flat.serialize(), tree.serialize()))
+  }
+
+  test("agg_cms_freq sits in the exact regime: estimates equal exact counts") {
+    val got = Catalog.byKey("agg_cms_freq").run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == truth, s"got=$got\ntruth=$truth")
+  }
+
   test("agg_kll_quantiles estimates within 5% rank error of each group's data") {
     val est = Catalog.byKey("agg_kll_quantiles").run(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
