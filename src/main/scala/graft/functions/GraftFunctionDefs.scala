@@ -23,6 +23,15 @@ object GraftFunctionDefs {
       s"$fn expects (value[, k:int literal]), got ${children.length} args")
   }
 
+  /** Theta sketches size by LOG nominal entries (4..26), so they get their
+    * own default — 2^16 entries, exact past every bench SF's cardinality. */
+  private def lgKArg(children: Seq[Expression], fn: String): Int = children match {
+    case Seq(_) => 16
+    case Seq(_, Literal(v: Int, IntegerType)) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects (value[, lgK:int literal]), got ${children.length} args")
+  }
+
   /** name → (ExpressionInfo, builder). */
   val defs: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -60,7 +69,22 @@ object GraftFunctionDefs {
       (c: Seq[Expression]) => CmsMergeAgg(c.head, kArg(c, "cms_merge_agg"))),
     (FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
-      (c: Seq[Expression]) => CmsEstimate(c(0), c(1))))
+      (c: Seq[Expression]) => CmsEstimate(c(0), c(1))),
+    (FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
+      (c: Seq[Expression]) => ThetaSketchAgg(c.head, lgKArg(c, "theta_sketch_agg"))),
+    (FunctionIdentifier("theta_union_agg"),
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union_agg"),
+      (c: Seq[Expression]) => ThetaUnionAgg(c.head, lgKArg(c, "theta_union_agg"))),
+    (FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (c: Seq[Expression]) => ThetaEstimate(c(0))),
+    (FunctionIdentifier("theta_intersect_estimate"),
+      new ExpressionInfo(classOf[ThetaIntersectEstimate].getName, "theta_intersect_estimate"),
+      (c: Seq[Expression]) => ThetaIntersectEstimate(c(0), c(1))),
+    (FunctionIdentifier("theta_union_estimate"),
+      new ExpressionInfo(classOf[ThetaUnionEstimate].getName, "theta_union_estimate"),
+      (c: Seq[Expression]) => ThetaUnionEstimate(c(0), c(1))))
 
   /** Idempotently register every engine function on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -498,9 +498,46 @@ object AggQueries {
       .orderBy(col("key"))
   }
 
+  /** Theta-sketch audience overlap (`functions/ThetaSketch.scala`) — the
+    * set-operation sketch: distinct viewers, distinct purchasers, their
+    * INTERSECTION and UNION, all off two mergeable sketches with no
+    * user-level join. At 100 TB this is the "did A and B" query that a
+    * COUNT(DISTINCT)-after-join cannot afford; sketches build per
+    * partition and merge in any topology. lgK=15 (32k entries) keeps every
+    * bench SF below saturation, where theta retains ALL hashes and the
+    * estimates are EXACT and deterministic — hence the plain set-algebra
+    * oracle; estimation-mode error is property-tested in SketchSpec. */
+  private val thetaSets = CatalogEntry.ansi(
+    "agg_theta_sets",
+    """SELECT
+      |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+      |   WHERE event_type = 'view') AS view_users,
+      |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+      |   WHERE event_type = 'purchase') AS purchase_users,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+      |     SELECT user_id FROM events WHERE event_type = 'view'
+      |     INTERSECT
+      |     SELECT user_id FROM events WHERE event_type = 'purchase')) AS both_users,
+      |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+      |   WHERE event_type IN ('view', 'purchase')) AS either_users""".stripMargin) {
+    (spark, sfDir) =>
+    graft.functions.SketchFunctions.ensureRegistered(spark)
+    val sk = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(expr("theta_sketch_agg(user_id, 15)").as("sk"))
+    val v = sk.where(col("event_type") === "view").select(col("sk").as("sk_v"))
+    val p = sk.where(col("event_type") === "purchase").select(col("sk").as("sk_p"))
+    v.crossJoin(p).select(
+      expr("theta_estimate(sk_v)").as("view_users"),
+      expr("theta_estimate(sk_p)").as("purchase_users"),
+      expr("theta_intersect_estimate(sk_v, sk_p)").as("both_users"),
+      expr("theta_union_estimate(sk_v, sk_p)").as("either_users"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
-    kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq)
+    kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets)
 }

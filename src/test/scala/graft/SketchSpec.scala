@@ -243,6 +243,41 @@ class SketchSpec extends SparkSpecBase {
     assert(got == truth, s"got=$got\ntruth=$truth")
   }
 
+  test("theta estimation mode: union/intersection within 5x RSE of exact sets") {
+    // 100k and 80k member sets with 40k overlap, lgK=10 (k=1024) — deep in
+    // estimation mode; fixed hash seed makes the assertion deterministic
+    import graft.functions.ThetaSketchOps
+    val a = ThetaSketchOps.emptyUnion(10)
+    val b = ThetaSketchOps.emptyUnion(10)
+    (0L until 100000L).foreach(a.update)
+    (60000L until 140000L).foreach(b.update)
+    val rse = 5.0 / math.sqrt(1 << 10)
+    def ok(est: Double, truth: Double): Boolean = math.abs(est - truth) <= rse * truth
+    assert(ok(a.getResult().getEstimate, 100000), s"a=${a.getResult().getEstimate}")
+    assert(ok(b.getResult().getEstimate, 80000), s"b=${b.getResult().getEstimate}")
+    val u = ThetaSketchOps.emptyUnion(10)
+    u.union(a.getResult()); u.union(b.getResult())
+    assert(ok(u.getResult().getEstimate, 140000), s"u=${u.getResult().getEstimate}")
+    val inter = org.apache.datasketches.theta.SetOperation.builder().buildIntersection()
+    inter.intersect(a.getResult()); inter.intersect(b.getResult())
+    // intersection error compounds (estimated over the union's theta) —
+    // allow 3x the union tolerance
+    assert(math.abs(inter.getResult().getEstimate - 40000) <= 3 * rse * 40000,
+      s"inter=${inter.getResult().getEstimate}")
+  }
+
+  test("theta exact regime below saturation: estimates equal set algebra") {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("user_id")).collect()
+    val views = ev.filter(_.getString(0) == "view").map(_.getLong(1)).toSet
+    val purch = ev.filter(_.getString(0) == "purchase").map(_.getLong(1)).toSet
+    val got = Catalog.byKey("agg_theta_sets").run(spark, sfDir).collect().head
+    assert(got.getLong(0) == views.size && got.getLong(1) == purch.size
+      && got.getLong(2) == (views & purch).size && got.getLong(3) == (views | purch).size,
+      s"got=$got views=${views.size} purch=${purch.size}")
+  }
+
   test("agg_kll_quantiles estimates within 5% rank error of each group's data") {
     val est = Catalog.byKey("agg_kll_quantiles").run(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
