@@ -628,9 +628,37 @@ object EtlQueries {
       .orderBy(col("o_year"))
   }
 
+  /** Small-file compaction — the table-maintenance operation every
+    * long-lived partitioned warehouse runs (streaming appends and
+    * per-task writes strand thousands of KB-sized files; each costs a
+    * scan task + open/close + a metadata row, and at 100 TB the metadata
+    * alone kills planning). The entry manufactures the problem (64-way
+    * fragmented write), then compacts by size: target file count =
+    * ceil(bytes / 128 MB), reached via COALESCE — merging partitions
+    * without a shuffle, since compaction needs no redistribution
+    * (locality re-sorting is `sink_zorder_write`'s job). The oracle is
+    * content identity: compaction must move bytes, never change them.
+    * ScanSpec asserts the file count actually collapses. */
+  private val compactFiles = CatalogEntry.ansi(
+    "etl_compact_files",
+    """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey""") {
+    (spark, sfDir) =>
+    val frag = s"${sys.props("java.io.tmpdir")}/graft_compact_frag"
+    val out = s"${sys.props("java.io.tmpdir")}/graft_compact_out"
+    Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(frag)).getLength
+    val targetFiles = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+    spark.read.parquet(frag)
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).orderBy(col("o_orderkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
     trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,
-    surrogateKey, shardExport, partitionBackfill)
+    surrogateKey, shardExport, partitionBackfill, compactFiles)
 }

@@ -79,6 +79,18 @@ class ScanSpec extends SparkSpecBase {
     assert(t.tableType == "MANAGED", s"expected MANAGED, got ${t.tableType}")
   }
 
+  test("etl_compact_files collapses the fragmented file count") {
+    Catalog.byKey("etl_compact_files").run(spark, sfDir).count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def parts(dir: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .count(_.getPath.getName.startsWith("part-"))
+    val frag = parts(s"${sys.props("java.io.tmpdir")}/graft_compact_frag")
+    val out = parts(s"${sys.props("java.io.tmpdir")}/graft_compact_out")
+    assert(frag == 64, s"expected the manufactured 64-way fragmentation, got $frag")
+    assert(out <= 2, s"compaction left $out files (expected <= 2 at bench SFs)")
+  }
+
   test("FAILFAST mode rejects the malformed batch outright") {
     Catalog.byKey("src_csv_badrecords").run(spark, sfDir).count()
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_badrecords"
