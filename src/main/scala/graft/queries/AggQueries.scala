@@ -535,9 +535,77 @@ object AggQueries {
       expr("theta_union_estimate(sk_v, sk_p)").as("either_users"))
   }
 
+  /** LISTAGG / string_agg — the Redshift report-formatting staple: ordered,
+    * delimited member list per group. Spark has no ordered string_agg, so
+    * the engine composes array_join(sort_array(collect_list(...))) — the
+    * explicit ORDER BY inside the aggregate is what makes the result
+    * deterministic on both engines. Group payload is bounded by the group's
+    * member count; at 100 TB LISTAGG over an unbounded group is a bug in
+    * the QUERY, not the engine (cap with a windowed top-N first). */
+  private val stringConcat = CatalogEntry.dialect(
+    "agg_string_concat",
+    duckdb = """SELECT c_nationkey,
+               |       CAST(COUNT(*) AS BIGINT) AS n,
+               |       string_agg(c_name, ',' ORDER BY c_name) AS members
+               |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    spark = """SELECT c_nationkey,
+              |       COUNT(*) AS n,
+              |       array_join(sort_array(collect_list(c_name)), ',') AS members
+              |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) {
+    (spark, sfDir) =>
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        array_join(sort_array(collect_list(col("c_name"))), ",").as("members"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Shannon entropy of each group's event-type distribution — the
+    * data-quality "is this segment degenerate" probe (entropy 0 = one
+    * event type; ln(5) ≈ 1.609 = uniform over the 5 types). Two keyed
+    * aggregations, integer counts until the final ln. The per-group sum
+    * folds a type-SORTED list on the Spark side (§2.0.3 float-sum rule);
+    * ln agreement at round(…,4) is the accepted `text_idf_topterms`
+    * class. */
+  private val entropyAgg = CatalogEntry.dialect(
+    "agg_entropy",
+    duckdb = """WITH c AS (
+               |  SELECT user_id % 10 AS g, event_type, COUNT(*) AS c
+               |  FROM events GROUP BY user_id % 10, event_type
+               |), t AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY g)
+               |SELECT c.g, t.n,
+               |       ROUND(-SUM((c.c * CAST(1.0 AS DOUBLE) / t.n)
+               |                  * ln(c.c * CAST(1.0 AS DOUBLE) / t.n)), 4) AS entropy
+               |FROM c JOIN t USING (g)
+               |GROUP BY c.g, t.n ORDER BY c.g""".stripMargin,
+    spark = """WITH c AS (
+              |  SELECT user_id % 10 AS g, event_type, COUNT(*) AS c
+              |  FROM events GROUP BY user_id % 10, event_type
+              |), t AS (SELECT g, SUM(c) AS n FROM c GROUP BY g)
+              |SELECT c.g, t.n,
+              |       ROUND(-SUM((c.c * CAST(1.0 AS DOUBLE) / t.n)
+              |                  * ln(c.c * CAST(1.0 AS DOUBLE) / t.n)), 4) AS entropy
+              |FROM c JOIN t USING (g)
+              |GROUP BY c.g, t.n ORDER BY c.g""".stripMargin) { (spark, sfDir) =>
+    val c = Tables.events(spark, sfDir)
+      .groupBy((col("user_id") % 10).as("g"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val t = c.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    c.join(t, "g")
+      .select(col("g"), col("n"), col("event_type"),
+        ((col("c") * lit(1.0) / col("n")) * log(col("c") * lit(1.0) / col("n"))).as("term"))
+      .groupBy(col("g"), col("n"))
+      .agg(collect_list(struct(col("event_type"), col("term"))).as("xs"))
+      .select(col("g"), col("n"),
+        round(-aggregate(transform(array_sort(col("xs")), e => e.getField("term")),
+          lit(0.0), (a, x) => a + x), 4).as("entropy"))
+      .orderBy(col("g"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
-    kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets)
+    kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,
+    stringConcat, entropyAgg)
 }

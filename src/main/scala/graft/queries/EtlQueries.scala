@@ -656,9 +656,49 @@ object EtlQueries {
     spark.read.parquet(out).orderBy(col("o_orderkey"))
   }
 
+  /** Sequence-pattern detection (the MATCH_RECOGNIZE / funnels-as-regex
+    * analog): each user's event history collapses to an ordered
+    * event-initial string, and "view … click … purchase with no purchase
+    * in between" is the regex `v[^p]*c[^p]*p` counted per user.
+    * Complements `etl_event_funnel` (which asks "did the stages happen in
+    * order once") with HOW MANY complete funnels each user ran. One
+    * grouped sort per user — the sequence string is bounded by the user's
+    * event count, and the regex scan is linear in it. */
+  private val seqPattern = CatalogEntry.dialect(
+    "etl_seq_pattern",
+    duckdb = """WITH s AS (
+               |  SELECT user_id,
+               |         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+               |  FROM events GROUP BY user_id
+               |)
+               |SELECT user_id,
+               |       CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) AS BIGINT) AS n_funnels
+               |FROM s ORDER BY user_id""".stripMargin,
+    spark = """WITH s AS (
+              |  SELECT user_id,
+              |         array_join(transform(array_sort(collect_list(
+              |           named_struct('t', ts, 'e', event_id, 'i', substring(event_type, 1, 1)))),
+              |           x -> x.i), '') AS seq
+              |  FROM events GROUP BY user_id
+              |)
+              |SELECT user_id,
+              |       CAST(size(regexp_extract_all(seq, 'v[^p]*c[^p]*p', 0)) AS BIGINT) AS n_funnels
+              |FROM s ORDER BY user_id""".stripMargin) { (spark, sfDir) =>
+    val seq = array_join(transform(array_sort(collect_list(struct(
+      col("ts").as("t"), col("event_id").as("e"),
+      substring(col("event_type"), 1, 1).as("i")))), x => x.getField("i")), "")
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(seq.as("seq"))
+      .select(col("user_id"),
+        size(regexp_extract_all(col("seq"), lit("v[^p]*c[^p]*p"), lit(0)))
+          .cast("long").as("n_funnels"))
+      .orderBy(col("user_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
     trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,
-    surrogateKey, shardExport, partitionBackfill, compactFiles)
+    surrogateKey, shardExport, partitionBackfill, compactFiles, seqPattern)
 }
