@@ -602,10 +602,35 @@ object AggQueries {
       .orderBy(col("g"))
   }
 
+  /** Ordinary-least-squares aggregates — the SQL-standard REGR_* family
+    * (price-vs-quantity slope, intercept, R² per return flag). Both
+    * engines compute from the same co-moment accumulators; drift is the
+    * accepted float-agg class (`agg_stats`), hidden by round(…,4). One
+    * partial-aggregated shuffle of 5 co-moments per group — regression
+    * over 100 TB costs exactly a COUNT(*) GROUP BY. */
+  private val regression = CatalogEntry.ansi(
+    "agg_regression",
+    """SELECT l_returnflag,
+      |       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+      |       ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+      |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (spark, sfDir) =>
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").cast("long").as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
     kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,
-    stringConcat, entropyAgg)
+    stringConcat, entropyAgg, regression)
 }
