@@ -339,8 +339,155 @@ object JoinQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Null-safe equality join (`IS NOT DISTINCT FROM` / `<=>`): NULL keys
+    * MATCH each other instead of vanishing — the semantics every
+    * dimension-conformance join needs when "unknown" is itself a bucket.
+    * Spark plans EqualNullSafe as a hash-join key (no nested loop), with
+    * the NULL population hashing to ONE key — at 100 TB a null-heavy fact
+    * makes that the hot partition, and the `join_skew_salted` pattern
+    * applies verbatim. Ordering pins NULLS FIRST explicitly: Spark
+    * defaults null-first, DuckDB null-LAST — a silent §2.0 drift class. */
+  private val nullSafe = CatalogEntry.dialect(
+    "join_null_safe",
+    duckdb = """WITH o AS (
+               |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+               |              ELSE o_custkey % 100 END AS k, o_totalprice
+               |  FROM orders
+               |), d AS (
+               |  SELECT DISTINCT CASE WHEN c_custkey % 10 = 0 THEN NULL
+               |                       ELSE c_custkey % 100 END AS dk
+               |  FROM customer
+               |)
+               |SELECT dk, COUNT(*) AS n,
+               |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+               |FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.dk
+               |GROUP BY dk ORDER BY dk NULLS FIRST""".stripMargin,
+    spark = """WITH o AS (
+              |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+              |              ELSE o_custkey % 100 END AS k, o_totalprice
+              |  FROM orders
+              |), d AS (
+              |  SELECT DISTINCT CASE WHEN c_custkey % 10 = 0 THEN NULL
+              |                       ELSE c_custkey % 100 END AS dk
+              |  FROM customer
+              |)
+              |SELECT dk, COUNT(*) AS n,
+              |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+              |FROM o JOIN d ON o.k <=> d.dk
+              |GROUP BY dk ORDER BY dk NULLS FIRST""".stripMargin) { (spark, sfDir) =>
+    val o = Tables.orders(spark, sfDir).select(
+      when(col("o_orderkey") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey") % 100).as("k"),
+      col("o_totalprice"))
+    val d = Tables.customer(spark, sfDir).select(
+      when(col("c_custkey") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("c_custkey") % 100).as("dk"))
+      .distinct()
+    o.join(d, col("k") <=> col("dk"))
+      .groupBy(col("dk"))
+      .agg(count(lit(1)).as("n"), decOut(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("dk").asc_nulls_first)
+  }
+
+  /** Two-sided interval-overlap join — session concurrency: for every user
+    * session (gaps-and-islands, same algebra as `stream_session_gaps`),
+    * how many OTHER users' sessions overlap it in time. The oracle states
+    * the theta form (`b.start <= a.end AND a.start <= b.end`); the Spark
+    * implementation is the bucket-grid: both sides explode to the 1-hour
+    * buckets they span, join as an EQUI-join on the bucket, and each
+    * overlapping pair is counted exactly once at the bucket of the LATER
+    * start (the standard dedup trick — no DISTINCT pass). Replication is
+    * interval-length/W per row; a nested loop is never planned
+    * (PlanShapeSpec). This is the general two-interval case of
+    * `join_range_bucketed`'s point-in-band grid. */
+  private val intervalOverlap = CatalogEntry.dialect(
+    "join_interval_overlap",
+    duckdb = """WITH flagged AS (
+               |  SELECT user_id, event_id, ts,
+               |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               |                   > INTERVAL '30 minutes'
+               |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               |              THEN 1 ELSE 0 END AS new_session
+               |  FROM events
+               |), numbered AS (
+               |  SELECT user_id, ts,
+               |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               |  FROM flagged
+               |), s AS (
+               |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               |         min(ts) AS s_start, max(ts) AS s_end
+               |  FROM numbered GROUP BY user_id, session_id
+               |)
+               |SELECT a.user_id, a.session_id,
+               |       CAST(SUM(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_concurrent
+               |FROM s a LEFT JOIN s b
+               |  ON b.user_id <> a.user_id
+               | AND b.s_start <= a.s_end AND a.s_start <= b.s_end
+               |GROUP BY a.user_id, a.session_id
+               |ORDER BY a.user_id, a.session_id""".stripMargin,
+    spark = """WITH flagged AS (
+              |  SELECT user_id, event_id, ts,
+              |         CASE WHEN unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+              |                   > 1800000000
+              |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              |              THEN 1 ELSE 0 END AS new_session
+              |  FROM events
+              |), numbered AS (
+              |  SELECT user_id, ts,
+              |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              |  FROM flagged
+              |), s AS (
+              |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              |         min(ts) AS s_start, max(ts) AS s_end
+              |  FROM numbered GROUP BY user_id, session_id
+              |)
+              |SELECT a.user_id, a.session_id,
+              |       CAST(SUM(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_concurrent
+              |FROM s a LEFT JOIN s b
+              |  ON b.user_id <> a.user_id
+              | AND b.s_start <= a.s_end AND a.s_start <= b.s_end
+              |GROUP BY a.user_id, a.session_id
+              |ORDER BY a.user_id, a.session_id""".stripMargin) { (spark, sfDir) =>
+    val W = 3600L * 1000000L // 1-hour grid, in microseconds
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(byUser)
+    val s = Tables.events(spark, sfDir)
+      .withColumn("new_session",
+        when(prev.isNull
+          || unix_micros(col("ts").cast("timestamp"))
+             - unix_micros(prev.cast("timestamp")) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("s_start").cast("timestamp")).as("us_start"),
+        unix_micros(col("s_end").cast("timestamp")).as("us_end"))
+      .cache() // both grid sides and the zero-count backfill read this frame
+    val a = s.select(col("user_id").as("a_user"), col("session_id").as("a_sid"),
+      col("us_start").as("a_s"), col("us_end").as("a_e"))
+      .withColumn("bucket", explode(sequence(floor(col("a_s") / W), floor(col("a_e") / W))))
+    val b = s.select(col("user_id").as("b_user"),
+      col("us_start").as("b_s"), col("us_end").as("b_e"))
+      .withColumn("bucket", explode(sequence(floor(col("b_s") / W), floor(col("b_e") / W))))
+    val counts = a.join(b.hint("shuffle_hash"), Seq("bucket"))
+      .where(col("b_user") =!= col("a_user")
+        && col("b_s") <= col("a_e") && col("a_s") <= col("b_e")
+        && col("bucket") === floor(greatest(col("a_s"), col("b_s")) / W))
+      .groupBy(col("a_user"), col("a_sid"))
+      .agg(count(lit(1)).as("n"))
+    s.join(counts,
+        col("user_id") === col("a_user") && col("session_id") === col("a_sid"), "left")
+      .select(col("user_id"), col("session_id"),
+        coalesce(col("n"), lit(0L)).as("n_concurrent"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     innerEqui, bhjDims, smjFacts, leftOuter, rightOuter, fullOuter,
     leftSemi, leftAnti, crossSmall, thetaRange, asofEventOrder, asofSorted,
-    starMultiway, skewSalted, rangeBucketed)
+    starMultiway, skewSalted, rangeBucketed, nullSafe, intervalOverlap)
 }

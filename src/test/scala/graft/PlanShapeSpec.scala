@@ -269,6 +269,19 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("bucket"), s"expected the bucket key in:\n$p")
   }
 
+  test("join_interval_overlap grid-joins on the bucket — no nested loop") {
+    val p = planOf("join_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval overlap must use the bucket grid, not a nested loop:\n$p")
+    assert(p.contains("bucket"), s"expected the bucket key in:\n$p")
+  }
+
+  test("join_null_safe plans the null-safe key as a hash join") {
+    val p = planOf("join_null_safe")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"null-safe equality must stay a keyed join:\n$p")
+  }
+
   test("text_unigram_logprob broadcasts only the 1-row total") {
     // the token-count join is token-keyed (both sides shuffled); the only
     // broadcast is the single-row corpus total
