@@ -311,67 +311,92 @@ object VectorQueries {
     * Recall@10 vs the brute-force baseline is property-tested
     * (PropertySpec, same ≥ 0.5 floor as IVF/SRP on this near-orthogonal
     * corpus). No oracle (iterative k-means is not SQL-expressible). */
-  private val pqAnn = CatalogEntry.noOracle("vec_pq_ann") { (spark, sfDir) =>
-    VectorFunctions.ensureRegistered(spark)
-    val M = 8; val D = 8; val K = 64; val lloydRounds = 3
+  private val pqM = 8; private val pqD = 8; private val pqK = 64
+  private val pqRounds = 3
+
+  private def pqSlices(v: Column): Column =
+    array((0 until pqM).map(s => slice(v, s * pqD + 1, pqD)): _*)
+
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Train-once PQ model per (session, sfDir): (codebooks, corpus codes),
+    * both cached DataFrames. Training is a pure function of the corpus, so
+    * the two PQ entries (`vec_pq_ann`, `vec_ivf_pq`) share one model — in
+    * production the codebooks are an offline artifact; whichever entry
+    * runs first pays the Lloyd rounds, the other rides the cache. Keyed by
+    * session identity so sibling test sessions train their own. */
+  private val pqModels = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  private def pqModel(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    pqModels.computeIfAbsent((System.identityHashCode(spark), sfDir), { _ =>
+      VectorFunctions.ensureRegistered(spark)
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+      val sub = emb.where(col("vec_id") =!= 0)
+        .select(col("vec_id"), posexplode(pqSlices(col("v"))).as(Seq("s", "sv")))
+        .withColumn("sv2", expr("dot_product(sv, sv)"))
+        .cache() // every Lloyd round and the final encode read this frame
+      // deterministic seeding: the subvectors of the K docs ranked first by
+      // md5(vec_id) — a reproducible pseudo-random draw (SURVEY §2.0.6)
+      val seedW = Window.partitionBy(col("s"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      var cents = sub
+        .withColumn("c", row_number().over(seedW) - 1)
+        .where(col("c") < pqK)
+        .select(col("s"), col("c"), col("sv").as("cent"))
+        .cache()
+      // assign touches |corpus|×K candidate rows per round — the hot path.
+      // l2² = |sv|² + |cent|² − 2·(sv·cent) with the native codegen'd
+      // dot_product (the interpreted zip_with fold here measured 12 s for
+      // the whole entry at sf0.1; the norms are precomputed once per side)
+      def assign(cs: org.apache.spark.sql.DataFrame) = {
+        val csn = cs.withColumn("c2", expr("dot_product(cent, cent)"))
+        sub.join(broadcast(csn), "s")
+          .withColumn("dist",
+            col("sv2") + col("c2") - lit(2.0) * expr("dot_product(sv, cent)"))
+          .groupBy(col("vec_id"), col("s"))
+          .agg(min(struct(col("dist"), col("c"))).getField("c").as("c"))
+      }
+      (1 to pqRounds).foreach { _ =>
+        // per-cell mean in ONE grouped pass: collect the cell's subvectors,
+        // sort by member id, fold each dimension in that fixed order (same
+        // summation sequence as the former posexplode formulation — bit-
+        // identical means — minus its 128k-row shuffle and second groupBy)
+        cents = assign(cents).join(sub, Seq("vec_id", "s"))
+          .groupBy(col("s"), col("c"))
+          .agg(collect_list(struct(col("vec_id").as("i"), col("sv").as("sv"))).as("xs"))
+          .select(col("s"), col("c"), expr(
+            s"""transform(sequence(1, $pqD), d ->
+               |  aggregate(transform(array_sort(xs), e -> e.sv[d-1]),
+               |            cast(0.0 as double), (a, x) -> a + x) / size(xs))""".stripMargin)
+            .as("cent"))
+          // cache, not localCheckpoint: each round's broadcast would otherwise
+          // re-run every earlier round's plan (broadcast materializes its
+          // subtree), and the eager per-round checkpoint jobs cost more than
+          // the ≤ M×K rows they pin (measured 11.5 s → see BASELINE.md)
+          .cache()
+      }
+      (cents, assign(cents).cache())
+    })
+
+  /** Shared PQ query path: ADC lookup table from the codebooks, shortlist
+    * the candidate codes by approximate distance, exact-rerank the top 50
+    * (PQ is a COMPRESSOR, not the final ranker — only the shortlist ever
+    * touches full vectors again). */
+  private def pqSearch(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      cents: org.apache.spark.sql.DataFrame,
+      candCodes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), vdouble(col("embedding")).as("v"))
-    val corpus = emb.where(col("vec_id") =!= 0)
-    val sub = corpus.select(col("vec_id"),
-      posexplode(array((0 until M).map(s => slice(col("v"), s * D + 1, D)): _*))
-        .as(Seq("s", "sv")))
-      .withColumn("sv2", expr("dot_product(sv, sv)"))
-      .cache() // every Lloyd round and the final encode read this frame
-    def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    // deterministic seeding: the subvectors of the K docs ranked first by
-    // md5(vec_id) — a reproducible pseudo-random draw (SURVEY §2.0.6)
-    val seedW = Window.partitionBy(col("s"))
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    var cents = sub
-      .withColumn("c", row_number().over(seedW) - 1)
-      .where(col("c") < K)
-      .select(col("s"), col("c"), col("sv").as("cent"))
-      .cache()
-    // assign touches |corpus|×K candidate rows per round — the hot path.
-    // l2² = |sv|² + |cent|² − 2·(sv·cent) with the native codegen'd
-    // dot_product (the interpreted zip_with fold here measured 12 s for
-    // the whole entry at sf0.1; the norms are precomputed once per side)
-    def assign(cs: org.apache.spark.sql.DataFrame) = {
-      val csn = cs.withColumn("c2", expr("dot_product(cent, cent)"))
-      sub.join(broadcast(csn), "s")
-        .withColumn("dist",
-          col("sv2") + col("c2") - lit(2.0) * expr("dot_product(sv, cent)"))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("dist"), col("c"))).getField("c").as("c"))
-    }
-    (1 to lloydRounds).foreach { _ =>
-      // per-cell mean in ONE grouped pass: collect the cell's subvectors,
-      // sort by member id, fold each dimension in that fixed order (same
-      // summation sequence as the former posexplode formulation — bit-
-      // identical means — minus its 128k-row shuffle and second groupBy)
-      cents = assign(cents).join(sub, Seq("vec_id", "s"))
-        .groupBy(col("s"), col("c"))
-        .agg(collect_list(struct(col("vec_id").as("i"), col("sv").as("sv"))).as("xs"))
-        .select(col("s"), col("c"), expr(
-          s"""transform(sequence(1, $D), d ->
-             |  aggregate(transform(array_sort(xs), e -> e.sv[d-1]),
-             |            cast(0.0 as double), (a, x) -> a + x) / size(xs))""".stripMargin)
-          .as("cent"))
-        // cache, not localCheckpoint: each round's broadcast would otherwise
-        // re-run every earlier round's plan (broadcast materializes its
-        // subtree), and the eager per-round checkpoint jobs cost more than
-        // the ≤ M×K rows they pin (measured 11.5 s → see BASELINE.md)
-        .cache()
-    }
-    val codes = assign(cents)
-    val q = emb.where(col("vec_id") === 0).select(
-      posexplode(array((0 until M).map(s => slice(col("v"), s * D + 1, D)): _*))
-        .as(Seq("s", "qsv")))
+    val q = emb.where(col("vec_id") === 0)
+      .select(posexplode(pqSlices(col("v"))).as(Seq("s", "qsv")))
     val adc = q.join(cents, "s")
       .select(col("s"), col("c"), l2(col("qsv"), col("cent")).as("qd"))
-    val shortlist = codes.join(broadcast(adc), Seq("s", "c"))
+    val shortlist = candCodes.join(broadcast(adc), Seq("s", "c"))
       .groupBy(col("vec_id"))
       .agg(collect_list(struct(col("s").as("s"), col("qd").as("qd"))).as("ds"))
       .select(col("vec_id"),
@@ -379,17 +404,53 @@ object VectorQueries {
           lit(0.0), (acc, x) => acc + x), 4).as("adist"))
       .orderBy(col("adist"), col("vec_id"))
       .limit(50)
-    // rerank: PQ is a COMPRESSOR, not the final ranker — production PQ
-    // answers from an ADC shortlist re-scored with exact distances (the
-    // shortlist is 50 of |corpus|, so the exact pass is 8-byte-code cheap
-    // at any scale; only here do full vectors get touched again)
-    VectorFunctions.ensureRegistered(spark)
     val qv = emb.where(col("vec_id") === 0).select(col("v").as("qv"))
-    shortlist.join(corpus, "vec_id")
+    shortlist.join(emb.where(col("vec_id") =!= 0), "vec_id")
       .crossJoin(broadcast(qv))
       .select(col("vec_id"), round(expr("cosine_sim(qv, v)"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
+  }
+
+  private val pqAnn = CatalogEntry.noOracle("vec_pq_ann") { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
+    val (cents, codes) = pqModel(spark, sfDir)
+    pqSearch(spark, sfDir, cents, codes)
+  }
+
+  /** IVF-PQ — the production ANN composition: the IVF coarse quantizer
+    * (labels as cells, per-label mean centroids) prunes the corpus to
+    * nprobe cells, and the PQ codes answer WITHIN the probed cells via the
+    * same ADC + exact-rerank path as `vec_pq_ann`. At 100 TB this is the
+    * standard shape (FAISS IVF-PQ): the cell index prunes I/O, the codes
+    * shrink memory 64×, and only the ~50-row shortlist touches full
+    * vectors. The PQ model is the shared train-once artifact (see
+    * [[pqModel]]) — this entry adds only the probe + pruned scan. Recall
+    * floor vs brute force is property-tested (compounds IVF's cell-miss
+    * and PQ's quantization loss, so the floor matches the IVF entry's). */
+  private val ivfPq = CatalogEntry.noOracle("vec_ivf_pq") { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
+    val (cents, codes) = pqModel(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), vdouble(col("embedding")).as("v"))
+    val cellCentroids = emb.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), expr("transform(pc, p -> p.c)").as("cv"))
+    val q = emb.where(col("vec_id") === 0).select(col("v").as("qv"))
+    // IVF-PQ probes MORE cells than plain IVF at equal recall: the PQ
+    // quantization loss stacks on the cell-miss loss, and widening the
+    // probe is the standard (and cheap — codes, not vectors) compensation
+    val probeLabels = cellCentroids.crossJoin(broadcast(q))
+      .select(col("label"), expr("cosine_sim(cv, qv)").as("csim"))
+      .orderBy(col("csim").desc, col("label"))
+      .limit(graft.GraftConf.ivfNprobe(spark) + 2)
+      .collect().map(_.getInt(0)).toSeq
+    val probedMembers = emb
+      .where(col("vec_id") =!= 0 && col("label").isin(probeLabels: _*))
+      .select(col("vec_id"))
+    pqSearch(spark, sfDir, cents, codes.join(probedMembers, "vec_id"))
   }
 
   /** Threshold range search — ANN's other query shape: ALL corpus vectors
@@ -435,5 +496,5 @@ object VectorQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     normProject, cosineKnn, pairwiseTopk, centroidPerLabel, multimodalJoin,
-    dedupEmbedding, ivfKnn, lshAnn, pqAnn, rangeSearch)
+    dedupEmbedding, ivfKnn, lshAnn, pqAnn, rangeSearch, ivfPq)
 }

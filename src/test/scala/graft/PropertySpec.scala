@@ -235,6 +235,18 @@ class PropertySpec extends SparkSpecBase {
     assert(recall >= 0.5, s"PQ recall $recall too low (pq=$pq, brute=$brute)")
   }
 
+  test("vec_ivf_pq recall vs brute-force top-10") {
+    val got = Catalog.byKey("vec_ivf_pq").run(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = Catalog.byKey("vec_cosine_knn").run(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 10 && brute.size == 10)
+    val recall = (got & brute).size.toDouble / brute.size
+    // compounds IVF cell-miss and PQ quantization: same 0.5 floor as the
+    // single-index entries — below half overlap the composition is broken
+    assert(recall >= 0.5, s"IVF-PQ recall $recall too low (got=$got, brute=$brute)")
+  }
+
   test("dedup_simhash finds every exact-duplicate pair at Hamming 0") {
     val sim = Catalog.byKey("dedup_simhash").run(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
