@@ -14,18 +14,24 @@ object Plans {
     "agg_topk_sketch", "etl_incremental_load", "etl_cdc_diff")
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outFile) = args
+    val sfDir = args(0); val outFile = args(1)
+    // optional trailing keys: dump only those, EXECUTED first, so the
+    // AQE-final plan (isFinalPlan=true, runtime join strategy) is shown
+    val only = args.drop(2)
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(if (only.nonEmpty) "local[32]" else "local[4]")
+      .config("spark.sql.shuffle.partitions", if (only.nonEmpty) "32" else "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    representative.foreach { key =>
+    val keys = if (only.nonEmpty) only.toSeq else representative
+    keys.foreach { key =>
       val df = Catalog.byKey(key).run(spark, sfDir)
-      sb.append(s"\n## $key\n\n```\n")
+      if (only.nonEmpty) { val t0 = System.nanoTime(); df.collect()
+        sb.append(f"\n## $key (${(System.nanoTime() - t0) / 1e9}%.2f s executed)\n\n```\n") }
+      else sb.append(s"\n## $key\n\n```\n")
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       sb.append("```\n")

@@ -282,6 +282,17 @@ class PlanShapeSpec extends SparkSpecBase {
       s"null-safe equality must stay a keyed join:\n$p")
   }
 
+  test("graph_pagerank aggregates contributions with no collect_list buffering") {
+    // the 100-TB guarantee: a hot node's in-neighborhood is combined
+    // map-side by a plain long SUM partial aggregate — never materialized
+    // into a per-node array
+    val p = planOf("graph_pagerank")
+    assert(!p.contains("collect_list"),
+      s"pagerank must not buffer per-node contribution lists:\n$p")
+    assert(p.contains("partial_sum"),
+      s"expected map-side combine of contributions in:\n$p")
+  }
+
   test("text_unigram_logprob broadcasts only the 1-row total") {
     // the token-count join is token-keyed (both sides shuffled); the only
     // broadcast is the single-row corpus total
