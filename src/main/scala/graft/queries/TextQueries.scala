@@ -1044,14 +1044,36 @@ object TextQueries {
     * at 390k directed edges over 4.8k nodes (dense near-clique blobs)
     * and collapses to a few hundred after one round — without
     * contraction every round re-joins the full original edge list. */
+  /** Materialization primitive for the propagation loop. Default is
+    * `localCheckpoint` (executor-local blocks — fastest, fine in local
+    * mode and for ephemeral jobs). Setting `graft.cc.checkpointDir` on
+    * the session switches every loop materialization to RELIABLE
+    * `checkpoint` into that directory — the 100-TB fault-tolerance
+    * story: executor loss mid-propagation replays from the checkpoint
+    * files instead of losing the (lineage-truncated) blocks for good. */
+  private def ccCheckpoint(df: org.apache.spark.sql.DataFrame,
+      eager: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val dir = df.sparkSession.conf.get("graft.cc.checkpointDir", "")
+    if (dir.isEmpty) df.localCheckpoint(eager)
+    else {
+      val sc = df.sparkSession.sparkContext
+      // getCheckpointDir returns the QUALIFIED uri (file:/…), so compare
+      // by containment rather than equality before re-setting
+      if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+      // reliable checkpoint runs a SEPARATE write job — persist first so
+      // that job reads cached blocks instead of recomputing the lineage
+      // (the standard persist-before-checkpoint idiom)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.checkpoint(eager)
+    }
+  }
+
   private def ccLabels(edges: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    var bi = edges
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = bi.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
-      .localCheckpoint()
+    var bi = ccCheckpoint(edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = ccCheckpoint(bi.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp")))
     var converged = false
     var rounds = 0
     val maxRounds = 25 // O(log diameter) with compression; 25 is far past any real corpus
@@ -1072,9 +1094,25 @@ object TextQueries {
     // 2^20-sized ids — revisit only for synthetic id spaces near Long.Max.)
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(coalesce(sum(col("comp")).cast("long"), lit(0L))).head.getLong(0)
+    // EXACTLY two driver actions per round — the serialized
+    // action-per-round driver loop is the variance lever at scale:
+    //  1. labelSum over the LAZILY-checkpointed propagation result: the
+    //     one agg job both materializes the round's labels (blocks are
+    //     captured as they compute) and returns the convergence sum — the
+    //     old separate eager-checkpoint + sum pair, fused.
+    //  2. the eager checkpoint of the contracted edge list. Eager is
+    //     deliberate here: the NEXT round's propagation references the
+    //     edges three times in one plan, and a lazy checkpoint would let
+    //     all three references recompute the contraction join inside that
+    //     job (measured 1.7-2x slower end-to-end on dedup_cluster_lsh).
+    // Plus one TRIVIAL probe: isEmpty over the blocks action 2 just
+    // materialized (reads one cached partition, no recompute). It is kept
+    // because dropping it costs a full extra propagation round of pure
+    // stage overhead before the sum invariant notices the fixpoint —
+    // measured ~25% slower end-to-end than the ~free probe.
     var prevSum = labelSum(labels)
     while (!converged && rounds < maxRounds) {
-      val next = iterate(iterate(iterate(labels))).localCheckpoint()
+      val next = ccCheckpoint(iterate(iterate(iterate(labels))), eager = false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
@@ -1083,11 +1121,10 @@ object TextQueries {
       if (!converged) {
         val lsrc = labels.select(col("node").as("src"), col("comp").as("csrc"))
         val ldst = labels.select(col("node").as("dst"), col("comp").as("cdst"))
-        bi = bi.join(lsrc, "src").join(ldst, "dst")
+        bi = ccCheckpoint(bi.join(lsrc, "src").join(ldst, "dst")
           .where(col("csrc") =!= col("cdst"))
           .select(col("csrc").as("src"), col("cdst").as("dst"))
-          .distinct()
-          .localCheckpoint()
+          .distinct())
         converged = bi.isEmpty // no inter-cluster edges ⇒ fixpoint reached
       }
     }

@@ -83,6 +83,26 @@ class CcSpec extends SparkSpecBase {
       s"(exact=${exactPairs.size}, lsh=${lshPairs.size})")
   }
 
+  test("dedup_cluster_cc identical under reliable-checkpoint mode") {
+    // graft.cc.checkpointDir switches the propagation loop from
+    // localCheckpoint (executor-local blocks) to reliable checkpoint
+    // files — the cluster fault-tolerance mode must be result-identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_chk").toString
+    val local = Catalog.byKey("dedup_cluster_cc").run(spark, sfDir).collect().toSeq
+    spark.conf.set("graft.cc.checkpointDir", dir)
+    try {
+      val reliable = Catalog.byKey("dedup_cluster_cc").run(spark, sfDir).collect().toSeq
+      assert(reliable == local, "reliable-checkpoint labels differ from local mode")
+    } finally {
+      spark.conf.unset("graft.cc.checkpointDir")
+      // best-effort scratch cleanup; checkpoint files are per-test temp
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("dedup_cluster_cc labels are component minima and edge-consistent") {
     val es = edges()
     val got = Catalog.byKey("dedup_cluster_cc").run(spark, sfDir)
