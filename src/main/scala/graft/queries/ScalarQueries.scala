@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import Util._
 
@@ -329,8 +330,119 @@ object ScalarQueries {
       .orderBy(col("c_custkey"), col("hi"), col("lo").asc_nulls_first)
   }
 
+  /** CONVERT_TIMEZONE battery — the warehouse genre's tz-shift operator.
+    * Storage stays NTZ/UTC (§2.0.6 pin); this entry renders the stored UTC
+    * wall clock in named zones via `from_utc_timestamp` (DST-aware through
+    * the JVM tzdata) and round-trips one of them back with
+    * `to_utc_timestamp`. Zones cover a negative offset (New_York), a
+    * positive one (Paris), a half-hour offset (Kolkata) and a southern-
+    * hemisphere DST zone (Sydney). The events corpus spans January 2024
+    * only — no zone in the battery crosses a DST transition inside the data
+    * range, so every conversion is a fixed shift and the round-trip is
+    * exact by construction (ambiguous-local-time policies never engage).
+    * Oracle: DuckDB's double `AT TIME ZONE` (naive→tz-aware as UTC, then
+    * tz-aware→naive local), validated against python zoneinfo. All outputs
+    * cast back to NTZ so the written parquet stays naive (§2.0.6). */
+  private val tzConvert = CatalogEntry.dialect(
+    "scalar_tz_convert",
+    duckdb = """SELECT event_id,
+               |       CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS TIMESTAMP) AS ny_local,
+               |       CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Paris' AS TIMESTAMP) AS paris_local,
+               |       CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata' AS TIMESTAMP) AS kolkata_local,
+               |       CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Australia/Sydney' AS TIMESTAMP) AS sydney_local,
+               |       CAST((((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS TIMESTAMP) AS back_utc,
+               |       CAST(EXTRACT(hour FROM (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS INTEGER) AS ny_hour
+               |FROM events ORDER BY event_id""".stripMargin,
+    spark = """SELECT event_id,
+              |       CAST(from_utc_timestamp(CAST(ts AS TIMESTAMP), 'America/New_York') AS TIMESTAMP_NTZ) AS ny_local,
+              |       CAST(from_utc_timestamp(CAST(ts AS TIMESTAMP), 'Europe/Paris') AS TIMESTAMP_NTZ) AS paris_local,
+              |       CAST(from_utc_timestamp(CAST(ts AS TIMESTAMP), 'Asia/Kolkata') AS TIMESTAMP_NTZ) AS kolkata_local,
+              |       CAST(from_utc_timestamp(CAST(ts AS TIMESTAMP), 'Australia/Sydney') AS TIMESTAMP_NTZ) AS sydney_local,
+              |       CAST(to_utc_timestamp(from_utc_timestamp(CAST(ts AS TIMESTAMP), 'America/New_York'), 'America/New_York') AS TIMESTAMP_NTZ) AS back_utc,
+              |       CAST(hour(from_utc_timestamp(CAST(ts AS TIMESTAMP), 'America/New_York')) AS INTEGER) AS ny_hour
+              |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    def local(tz: String) =
+      from_utc_timestamp(col("ts").cast("timestamp"), tz).cast("timestamp_ntz")
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        local("America/New_York").as("ny_local"),
+        local("Europe/Paris").as("paris_local"),
+        local("Asia/Kolkata").as("kolkata_local"),
+        local("Australia/Sydney").as("sydney_local"),
+        to_utc_timestamp(
+          from_utc_timestamp(col("ts").cast("timestamp"), "America/New_York"),
+          "America/New_York").cast("timestamp_ntz").as("back_utc"),
+        hour(from_utc_timestamp(col("ts").cast("timestamp"), "America/New_York"))
+          .cast("int").as("ny_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Business-day (Mon-Fri) calendar arithmetic via a portable closed form —
+    * no engine-specific calendars (§2.0 determinism): every date maps to a
+    * business-day INDEX `f(d) = 5·⌊n/7⌋ + min(n mod 7, 5)` where n = days
+    * since the Monday anchor 1992-01-06 (before all data; n ≥ 0 so ⌊·⌋ and
+    * mod agree across engines). Index differences count business days
+    * (validated against numpy busday_count); the inverse map
+    * `anchor + 7·⌊i/5⌋ + (i mod 5)` lands add-N-business-days on a weekday
+    * always. Weekend dates collapse to the FOLLOWING Monday's index — the
+    * documented convention (an order stamped Saturday has the same
+    * business-day index as Monday). */
+  private val businessDays = CatalogEntry.dialect(
+    "date_business_days",
+    duckdb = """WITH f AS (
+               |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+               |         date_diff('day', DATE '1992-01-06', CAST(o_orderdate AS DATE)) AS n
+               |  FROM orders
+               |), g AS (
+               |  SELECT o_orderkey, od,
+               |         5 * CAST(FLOOR(n / 7.0) AS BIGINT) + LEAST(n % 7, 5) AS bidx,
+               |         (n % 7) >= 5 AS is_weekend
+               |  FROM f
+               |)
+               |SELECT o_orderkey, od, bidx, is_weekend,
+               |       (5 * CAST(FLOOR(date_diff('day', DATE '1992-01-06', DATE '2002-01-07') / 7.0) AS BIGINT)
+               |          + LEAST(date_diff('day', DATE '1992-01-06', DATE '2002-01-07') % 7, 5)) - bidx AS bdays_to_anchor,
+               |       DATE '1992-01-06' + CAST(7 * CAST(FLOOR((bidx + 5) / 5.0) AS BIGINT) + ((bidx + 5) % 5) AS INT) AS plus5_bd,
+               |       DATE '1992-01-06' + CAST(7 * CAST(FLOOR((bidx + 20) / 5.0) AS BIGINT) + ((bidx + 20) % 5) AS INT) AS plus20_bd
+               |FROM g ORDER BY o_orderkey""".stripMargin,
+    spark = """WITH f AS (
+              |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+              |         datediff(CAST(o_orderdate AS DATE), DATE '1992-01-06') AS n
+              |  FROM orders
+              |), g AS (
+              |  SELECT o_orderkey, od,
+              |         5 * CAST(FLOOR(n / 7.0) AS BIGINT) + LEAST(n % 7, 5) AS bidx,
+              |         (n % 7) >= 5 AS is_weekend
+              |  FROM f
+              |)
+              |SELECT o_orderkey, od, bidx, is_weekend,
+              |       (5 * CAST(FLOOR(datediff(DATE '2002-01-07', DATE '1992-01-06') / 7.0) AS BIGINT)
+              |          + LEAST(datediff(DATE '2002-01-07', DATE '1992-01-06') % 7, 5)) - bidx AS bdays_to_anchor,
+              |       date_add(DATE '1992-01-06', CAST(7 * CAST(FLOOR((bidx + 5) / 5.0) AS BIGINT) + ((bidx + 5) % 5) AS INT)) AS plus5_bd,
+              |       date_add(DATE '1992-01-06', CAST(7 * CAST(FLOOR((bidx + 20) / 5.0) AS BIGINT) + ((bidx + 20) % 5) AS INT)) AS plus20_bd
+              |FROM g ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
+    val anchor = lit("1992-01-06").cast("date")
+    val n = datediff(col("o_orderdate").cast("date"), anchor)
+    def bIndex(days: Column): Column =
+      lit(5) * floor(days / 7.0).cast("long") + least(days % 7, lit(5))
+    def bDate(idx: Column): Column =
+      date_add(anchor, (lit(7) * floor(idx / 5.0).cast("long") + idx % 5).cast("int"))
+    val anchorDays = datediff(lit("2002-01-07").cast("date"), anchor)
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        bIndex(n).as("bidx"),
+        (n % 7 >= 5).as("is_weekend"),
+        (bIndex(anchorDays) - bIndex(n)).as("bdays_to_anchor"),
+        bDate(bIndex(n) + 5).as("plus5_bd"),
+        bDate(bIndex(n) + 20).as("plus20_bd"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
     strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
-    greatestLeast)
+    greatestLeast, tzConvert, businessDays)
 }

@@ -270,8 +270,59 @@ object WindowQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Time-interval RANGE frames — the event-time form of `win_range_frame`:
+    * per user, the frame is every event whose ts lies within the trailing
+    * interval of the current row's ts (peers included, so ties need no
+    * tie-break — RANGE semantics make the frame deterministic by value).
+    * Two widths: a 7-day frame that is well-populated at every sf (~2
+    * events/user/day) and a 1-hour frame exercising sub-day intervals.
+    * Money math follows §2.0.3: cast to DECIMAL before summing, DOUBLE out.
+    * The partition key is user_id, so the one shuffle hash-distributes and
+    * the per-partition sort is bounded by a user's history — the
+    * 100-TB-safe shape (no global-order window). Expressed through the SQL
+    * window spec: interval RANGE bounds are SQL-only surface in Spark (the
+    * DataFrame rangeBetween API takes numeric offsets). */
+  private val rangeInterval = CatalogEntry.dialect(
+    "win_range_interval",
+    duckdb = """SELECT event_id,
+               |       COUNT(*) OVER w7 AS cnt_7d,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w7 AS DOUBLE) AS sum_7d,
+               |       COUNT(*) OVER w1 AS cnt_1h,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w1 AS DOUBLE) AS sum_1h
+               |FROM events
+               |WINDOW
+               |  w7 AS (PARTITION BY user_id ORDER BY ts
+               |         RANGE BETWEEN INTERVAL '7 days' PRECEDING AND CURRENT ROW),
+               |  w1 AS (PARTITION BY user_id ORDER BY ts
+               |         RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+               |ORDER BY event_id""".stripMargin,
+    spark = """SELECT event_id,
+              |       COUNT(*) OVER w7 AS cnt_7d,
+              |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w7 AS DOUBLE) AS sum_7d,
+              |       COUNT(*) OVER w1 AS cnt_1h,
+              |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w1 AS DOUBLE) AS sum_1h
+              |FROM events
+              |WINDOW
+              |  w7 AS (PARTITION BY user_id ORDER BY ts
+              |         RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW),
+              |  w1 AS (PARTITION BY user_id ORDER BY ts
+              |         RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    val w7 = "(PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW)"
+    val w1 = "(PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)"
+    Tables.events(spark, sfDir)
+      .withColumn("vd", col("value").cast("decimal(18,4)"))
+      .select(
+        col("event_id"),
+        expr(s"COUNT(*) OVER $w7").as("cnt_7d"),
+        expr(s"SUM(vd) OVER $w7").cast("double").as("sum_7d"),
+        expr(s"COUNT(*) OVER $w1").as("cnt_1h"),
+        expr(s"SUM(vd) OVER $w1").cast("double").as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     rowNumber, rankDense, lagLead, runningSum, movingAvg, rangeFrame,
     ntileQuartiles, firstLast, topkPerGroup, distributionFns, nthValue,
-    distinctFrame, movingMedian)
+    distinctFrame, movingMedian, rangeInterval)
 }
