@@ -157,7 +157,10 @@ case class ThetaUnionEstimate(left: Expression, right: Expression)
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val u = ThetaSketchOps.emptyUnion(20)
+    // scratch union at the max supported lgK: a smaller nominal-entry
+    // count would silently DOWNSAMPLE inputs built with a larger lgK,
+    // inflating error past what the caller's per-sketch lgK paid for
+    val u = ThetaSketchOps.emptyUnion(26)
     u.union(Memory.wrap(a.asInstanceOf[Array[Byte]]))
     u.union(Memory.wrap(b.asInstanceOf[Array[Byte]]))
     math.round(u.getResult().getEstimate)

@@ -96,7 +96,13 @@ final class TopKSketch(val capacity: Int) extends Serializable {
     out.writeInt(capacity)
     out.writeLong(total)
     out.writeInt(counts.size)
-    counts.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    // keys as length-prefixed raw UTF-8 (writeUTF throws past 64 KiB — an
+    // aggregation over long keys, e.g. document text, must degrade to a
+    // bigger buffer, not crash at partial serialization)
+    counts.foreach { case (k, c) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -110,7 +116,10 @@ object TopKSketch {
     val size = in.readInt()
     var i = 0
     while (i < size) {
-      sk.counts.update(in.readUTF(), in.readLong())
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      sk.counts.update(
+        new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
       i += 1
     }
     sk

@@ -544,11 +544,13 @@ object EtlQueries {
   }
 
   /** Deterministic shuffle + shard assignment — the training-data export
-    * step: each document lands in a hash shard (two md5 hex chars → 16
-    * buckets, engine-portable where xxhash64 is not) and gets a stable
-    * position within its shard by hash order, i.e. a reproducible global
-    * shuffle with no RNG state. Per-shard sequence numbers come from a
-    * window PARTITIONED by shard — never a global ORDER BY window.
+    * step: each document lands in a hash shard (the VALUE of the first md5
+    * hex digit → 16 balanced buckets, engine-portable where xxhash64 is
+    * not; the earlier ascii-codepoint arithmetic collapsed to 10 skewed
+    * buckets because 256 ≡ 0 mod 16) and gets a stable position within its
+    * shard by hash order, i.e. a reproducible global shuffle with no RNG
+    * state. Per-shard sequence numbers come from a window PARTITIONED by
+    * shard — never a global ORDER BY window.
     *
     * Scale design: shard count scales with the corpus (100 TB exports use
     * thousands of shards, not 16) so one window partition stays
@@ -562,7 +564,7 @@ object EtlQueries {
                |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents
                |), s AS (
                |  SELECT doc_id, hk,
-               |         (ascii(substring(hk, 1, 1)) * 256 + ascii(substring(hk, 2, 1))) % 16 AS shard
+               |         CAST(strpos('0123456789abcdef', substring(hk, 1, 1)) - 1 AS INTEGER) AS shard
                |  FROM h
                |)
                |SELECT doc_id, shard,
@@ -573,7 +575,7 @@ object EtlQueries {
               |  SELECT doc_id, md5(CAST(doc_id AS STRING)) AS hk FROM documents
               |), s AS (
               |  SELECT doc_id, hk,
-              |         (ascii(substring(hk, 1, 1)) * 256 + ascii(substring(hk, 2, 1))) % 16 AS shard
+              |         CAST(conv(substring(hk, 1, 1), 16, 10) AS INT) AS shard
               |  FROM h
               |)
               |SELECT doc_id, shard,
@@ -583,7 +585,7 @@ object EtlQueries {
     val h = Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("hk"))
       .withColumn("shard",
-        (ascii(substring(col("hk"), 1, 1)) * 256 + ascii(substring(col("hk"), 2, 1))) % 16)
+        conv(substring(col("hk"), 1, 1), 16, 10).cast("int"))
     val byShard = Window.partitionBy(col("shard"))
     h.select(col("doc_id"), col("shard"),
         row_number().over(byShard.orderBy(col("hk"), col("doc_id"))).cast("long").as("pos"),
@@ -607,7 +609,7 @@ object EtlQueries {
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n,
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, sfDir) =>
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_backfill_sink"
+    val tmp = scratchDir("backfill_sink", sfDir)
     val base = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
       .withColumn("o_year", year(col("o_orderdate")))
@@ -643,8 +645,8 @@ object EtlQueries {
     "etl_compact_files",
     """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey""") {
     (spark, sfDir) =>
-    val frag = s"${sys.props("java.io.tmpdir")}/graft_compact_frag"
-    val out = s"${sys.props("java.io.tmpdir")}/graft_compact_out"
+    val frag = scratchDir("compact_frag", sfDir)
+    val out = scratchDir("compact_out", sfDir)
     Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
       .repartition(64).write.mode("overwrite").parquet(frag)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

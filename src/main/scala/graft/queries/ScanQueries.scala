@@ -68,7 +68,7 @@ object ScanQueries {
     "src_csv_roundtrip",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") {
     (spark, sfDir) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip"
+      val tmp = scratchDir("csv_roundtrip", sfDir)
       Tables.nation(spark, sfDir)
         .write.mode("overwrite").option("header", "true").csv(tmp)
       val schema = StructType(Seq(
@@ -85,7 +85,7 @@ object ScanQueries {
     "sink_partitioned_write",
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, sfDir) =>
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_partitioned_sink"
+    val tmp = scratchDir("partitioned_sink", sfDir)
     Tables.orders(spark, sfDir)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
@@ -129,7 +129,7 @@ object ScanQueries {
     "src_json_roundtrip",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") {
     (spark, sfDir) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip"
+      val tmp = scratchDir("json_roundtrip", sfDir)
       Tables.nation(spark, sfDir)
         .write.mode("overwrite").json(tmp)
       val schema = StructType(Seq(
@@ -170,7 +170,7 @@ object ScanQueries {
         spark.catalog.tableExists("graft_customer_bkt")
     if (!(bucketedStaged.contains(sfDir) && tablesExist)) bucketedStaged.synchronized {
       if (!bucketedStaged.contains(sfDir) || !tablesExist) {
-        val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
+        val base = scratchDir("bucketed", sfDir)
         val basePath = new org.apache.hadoop.fs.Path(base)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(basePath, "_staged_for")
@@ -256,7 +256,7 @@ object ScanQueries {
     "src_csv_badrecords",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") {
     (spark, sfDir) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_badrecords"
+      val tmp = scratchDir("csv_badrecords", sfDir)
       Tables.nation(spark, sfDir)
         .write.mode("overwrite").option("header", "false").csv(tmp)
       // inject a malformed part-file alongside the clean ones
@@ -289,7 +289,7 @@ object ScanQueries {
     "src_orc_roundtrip",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") {
     (spark, sfDir) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_roundtrip"
+      val tmp = scratchDir("orc_roundtrip", sfDir)
       Tables.nation(spark, sfDir).write.mode("overwrite").orc(tmp)
       spark.read.orc(tmp)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
@@ -343,7 +343,7 @@ object ScanQueries {
 
   private def ensureZorderLayout(spark: org.apache.spark.sql.SparkSession,
                                  sfDir: String): String = {
-    val base = s"${sys.props("java.io.tmpdir")}/graft_zorder_sink"
+    val base = scratchDir("zorder_sink", sfDir)
     if (!zorderStaged.contains(sfDir)) zorderStaged.synchronized {
       if (!zorderStaged.contains(sfDir)) {
         val basePath = new org.apache.hadoop.fs.Path(base)
@@ -408,7 +408,7 @@ object ScanQueries {
   private val textRoundtrip = CatalogEntry.ansi(
     "src_text_roundtrip",
     "SELECT text AS line FROM documents ORDER BY line") { (spark, sfDir) =>
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_text_roundtrip"
+    val tmp = scratchDir("text_roundtrip", sfDir)
     Tables.documents(spark, sfDir).select(col("text"))
       .write.mode("overwrite").text(tmp)
     graft.sources.TextSource(tmp).load(spark)

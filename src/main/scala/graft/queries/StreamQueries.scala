@@ -186,8 +186,11 @@ object StreamQueries {
       skipNoDataBatch: Boolean = false)(
       transform: DataFrame => DataFrame): DataFrame =
     withStreamingConf(spark, skipNoDataBatch) {
-    val sink = s"${sys.props("java.io.tmpdir")}/graft_stream_sink_$name"
-    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_$name"
+    // suffix by the (already sfDir-derived) source path: concurrent runs at
+    // different scale factors must not share a sink or checkpoint
+    val sfx = src.replaceAll("[^A-Za-z0-9]", "_")
+    val sink = s"${sys.props("java.io.tmpdir")}/graft_stream_sink_${name}_$sfx"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_${name}_$sfx"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     // fresh checkpoint AND sink every run — a stale sink would accumulate
     // duplicate appends once its checkpoint is gone
@@ -236,8 +239,8 @@ object StreamQueries {
   private val foreachBatchUpsert = CatalogEntry.noOracle("stream_foreachbatch_upsert") {
     (spark, sfDir) => withStreamingConf(spark, skipNoDataBatch = false) {
       val src = stageSource(spark, sfDir)
-      val target = s"${sys.props("java.io.tmpdir")}/graft_stream_target_upsert"
-      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_upsert"
+      val target = Util.scratchDir("stream_target_upsert", sfDir)
+      val ckpt = Util.scratchDir("stream_ckpt_upsert", sfDir)
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
       fs.delete(new org.apache.hadoop.fs.Path(target), true)
@@ -330,8 +333,8 @@ object StreamQueries {
       import spark.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val src = stageSource(spark, sfDir)
-      val sink = s"${sys.props("java.io.tmpdir")}/graft_stream_sink_stateful"
-      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_stateful"
+      val sink = Util.scratchDir("stream_sink_stateful", sfDir)
+      val ckpt = Util.scratchDir("stream_ckpt_stateful", sfDir)
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
       fs.delete(new org.apache.hadoop.fs.Path(sink), true)
@@ -497,8 +500,8 @@ object StreamQueries {
               |ORDER BY win_start""".stripMargin) { (spark, sfDir) =>
     withStreamingConf(spark, skipNoDataBatch = true) {
       val src = stageSource(spark, sfDir)
-      val target = s"${sys.props("java.io.tmpdir")}/graft_stream_target_rocks"
-      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_rocks"
+      val target = Util.scratchDir("stream_target_rocks", sfDir)
+      val ckpt = Util.scratchDir("stream_ckpt_rocks", sfDir)
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
       fs.delete(new org.apache.hadoop.fs.Path(target), true)

@@ -24,4 +24,13 @@ object Util {
     * Matching oracle columns are wrapped in CAST(… AS DOUBLE).
     */
   def decOut(c: Column): Column = c.cast("double")
+
+  /** Scratch sink/checkpoint directory for write-path entries, suffixed by
+    * the sanitized sfDir: two concurrent runs at different scale factors
+    * (or interleaved test suites) must never read each other's staged
+    * output. Mirrors the spelling `stream_incremental_resume` pioneered.
+    */
+  def scratchDir(name: String, sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${name}_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
 }

@@ -326,13 +326,23 @@ object VectorQueries {
     * the two PQ entries (`vec_pq_ann`, `vec_ivf_pq`) share one model — in
     * production the codebooks are an offline artifact; whichever entry
     * runs first pays the Lloyd rounds, the other rides the cache. Keyed by
-    * session identity so sibling test sessions train their own. */
+    * the session REFERENCE (ConcurrentHashMap compares keys by equals —
+    * SparkSession doesn't override it, so this is reference identity and
+    * can never collide, unlike the previous identityHashCode key, which
+    * could alias a GC'd session and hand out DataFrames bound to a dead
+    * SparkContext). Entries for stopped sessions are evicted on the next
+    * lookup so long-lived processes don't accumulate dead plans. */
   private val pqModels = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
 
   private def pqModel(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    pqModels.computeIfAbsent((System.identityHashCode(spark), sfDir), { _ =>
+      sfDir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // evict models of stopped sessions before looking up
+    pqModels.forEach { (k, _) =>
+      if (k._1.sparkContext.isStopped) pqModels.remove(k)
+    }
+    pqModels.computeIfAbsent((spark, sfDir), { _ =>
       VectorFunctions.ensureRegistered(spark)
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), vdouble(col("embedding")).as("v"))
@@ -382,6 +392,7 @@ object VectorQueries {
       }
       (cents, assign(cents).cache())
     })
+  }
 
   /** Shared PQ query path: ADC lookup table from the codebooks, shortlist
     * the candidate codes by approximate distance, exact-rerank the top 50
