@@ -22,10 +22,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
-      else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      else {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        // entry-scoped caches must not accumulate across the 160+-query
+        // dump (same hygiene as Bench's between-query sweep)
+        graft.queries.Util.sweepEntryCaches(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -33,4 +33,18 @@ object Util {
   def scratchDir(name: String, sfDir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${name}_" +
       sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Entry-cache sweep: query bodies `.cache()` intermediates (LSH
+    * canonicalization, PQ codebooks, edge lists…) that are correct within
+    * one query but must not accumulate across a catalog-wide run — by the
+    * alphabetical tail of a 150+-query pass the executor heap is otherwise
+    * GC-bound on dead cached blocks. Entries return LAZY DataFrames (the
+    * cache materializes only when the caller evaluates), so the unpersist
+    * has to happen harness-side after evaluation, not in a try/finally
+    * inside the entry. Blocks are freed; CacheManager registrations stay,
+    * so a later identical plan (the shared PQ model) transparently
+    * re-materializes instead of breaking. */
+  def sweepEntryCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
 }

@@ -59,6 +59,20 @@ class SelfCheckSpec extends SparkSpecBase {
     assert(missing.isEmpty, s"catalog keys absent from SURVEY.md: $missing")
   }
 
+  /** Cache-hygiene guard (round-9): Verify/Bench sweep entry-scoped caches
+    * between queries so a catalog-wide run's heap stays bounded. Rehearse
+    * it on cache-heavy entries (clustering caches an edge list, pagerank
+    * the degree frame): evaluate, sweep, assert nothing stays persisted. */
+  test("entry caches are fully unpersisted by the harness sweep") {
+    for (key <- Seq("graph_pagerank", "dedup_cluster_cc")) {
+      Catalog.byKey(key).run(spark, sfDir).count()
+      graft.queries.Util.sweepEntryCaches(spark)
+      val left = spark.sparkContext.getPersistentRDDs
+      assert(left.isEmpty,
+        s"$key left ${left.size} persistent RDDs after the sweep")
+    }
+  }
+
   /** Round-2 output-representation lint (VERDICT.md r1 #2): the driver's
     * hash-compare rejects DECIMAL and tz-aware TIMESTAMP physical types
     * even when values are bit-equal (34/101 round-1 failures). Decimal
