@@ -627,10 +627,35 @@ object AggQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Boolean-aggregate battery (Redshift BOOL_AND/BOOL_OR + COUNT_IF):
+    * predicate roll-ups per group. One hash-agg shuffle with map-side
+    * combine — booleans partial-aggregate as AND/OR, counts as sums. */
+  private val boolCountIf = CatalogEntry.dialect(
+    "agg_bool_count_if",
+    duckdb = """SELECT user_id,
+               |       bool_and(value > 1.0) AS all_above,
+               |       bool_or(event_type = 'purchase') AS any_purchase,
+               |       count(*) FILTER (WHERE event_type = 'error') AS n_errors
+               |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    spark = """SELECT user_id,
+              |       bool_and(value > 1.0) AS all_above,
+              |       bool_or(event_type = 'purchase') AS any_purchase,
+              |       count_if(event_type = 'error') AS n_errors
+              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+    (spark, sfDir) =>
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        bool_and(col("value") > 1.0).as("all_above"),
+        bool_or(col("event_type") === "purchase").as("any_purchase"),
+        count_if(col("event_type") === "error").as("n_errors"))
+      .orderBy(col("user_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
     kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,
-    stringConcat, entropyAgg, regression)
+    stringConcat, entropyAgg, regression, boolCountIf)
 }

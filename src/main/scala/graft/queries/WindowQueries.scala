@@ -321,8 +321,84 @@ object WindowQueries {
       .orderBy(col("event_id"))
   }
 
+  /** IGNORE NULLS navigation battery — the Redshift forms of lag/first/
+    * last that skip nulls (last known price, previous purchase…). The null
+    * pattern is manufactured deterministically (value only on 'purchase'
+    * rows). DuckDB 1.0 has no IGNORE NULLS syntax, so the oracle states
+    * the same semantics as arg_max/arg_min window aggregates with a FILTER
+    * over a rank column: "the latest non-null before/at this row" is
+    * exactly arg_max(pv, rn) over the corresponding frame. The Spark side
+    * uses the real ignoreNulls API — which is the operator under test. */
+  private val ignoreNulls = CatalogEntry.dialect(
+    "win_ignore_nulls",
+    duckdb = """WITH base AS (
+               |  SELECT event_id, user_id, ts,
+               |         CASE WHEN event_type = 'purchase' THEN ROUND(value, 4) END AS pv,
+               |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               |  FROM events
+               |)
+               |SELECT event_id,
+               |  arg_max(pv, rn) FILTER (pv IS NOT NULL) OVER
+               |    (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase,
+               |  arg_min(pv, rn) FILTER (pv IS NOT NULL) OVER
+               |    (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_purchase_so_far,
+               |  arg_max(pv, rn) FILTER (pv IS NOT NULL) OVER
+               |    (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_so_far
+               |FROM base ORDER BY event_id""".stripMargin,
+    spark = """WITH base AS (
+              |  SELECT event_id, user_id, ts,
+              |         CASE WHEN event_type = 'purchase' THEN ROUND(value, 4) END AS pv
+              |  FROM events
+              |)
+              |SELECT event_id,
+              |  lag(pv) IGNORE NULLS OVER w AS prev_purchase,
+              |  first_value(pv) IGNORE NULLS OVER
+              |    (PARTITION BY user_id ORDER BY ts, event_id
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_purchase_so_far,
+              |  last_value(pv) IGNORE NULLS OVER
+              |    (PARTITION BY user_id ORDER BY ts, event_id
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_so_far
+              |FROM base
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              |ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("pv",
+        when(col("event_type") === "purchase", round(col("value"), 4)))
+      .select(
+        col("event_id"),
+        lag(col("pv"), 1, null, ignoreNulls = true).over(w).as("prev_purchase"),
+        first(col("pv"), ignoreNulls = true).over(running).as("first_purchase_so_far"),
+        last(col("pv"), ignoreNulls = true).over(running).as("last_purchase_so_far"))
+      .orderBy(col("event_id"))
+  }
+
+  /** RATIO_TO_REPORT analog: each row's share of its partition total. The
+    * operands are exact decimals on both sides (one shuffle for the
+    * partition-total window), and the division is cast to DOUBLE before
+    * rounding — DuckDB's decimal division yields DOUBLE natively, Spark's
+    * would stay decimal (§2.0 dialect trap). */
+  private val ratioToReport = CatalogEntry.dialect(
+    "win_ratio_to_report",
+    duckdb = """SELECT event_id,
+               |       ROUND(CAST(value AS DECIMAL(18,4)) /
+               |             SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id), 6) AS ratio
+               |FROM events ORDER BY event_id""".stripMargin,
+    spark = """SELECT event_id,
+              |       ROUND(CAST(CAST(value AS DECIMAL(18,4)) /
+              |             SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id) AS DOUBLE), 6) AS ratio
+              |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("vd", dec(col("value")))
+      .select(col("event_id"),
+        round((col("vd") / sum(col("vd")).over(w)).cast("double"), 6).as("ratio"))
+      .orderBy(col("event_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     rowNumber, rankDense, lagLead, runningSum, movingAvg, rangeFrame,
     ntileQuartiles, firstLast, topkPerGroup, distributionFns, nthValue,
-    distinctFrame, movingMedian, rangeInterval)
+    distinctFrame, movingMedian, rangeInterval, ignoreNulls, ratioToReport)
 }
