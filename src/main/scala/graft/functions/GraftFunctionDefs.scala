@@ -84,7 +84,13 @@ object GraftFunctionDefs {
       (c: Seq[Expression]) => ThetaIntersectEstimate(c(0), c(1))),
     (FunctionIdentifier("theta_union_estimate"),
       new ExpressionInfo(classOf[ThetaUnionEstimate].getName, "theta_union_estimate"),
-      (c: Seq[Expression]) => ThetaUnionEstimate(c(0), c(1))))
+      (c: Seq[Expression]) => ThetaUnionEstimate(c(0), c(1))),
+    (FunctionIdentifier("sq8_encode"),
+      new ExpressionInfo(classOf[Sq8Encode].getName, "sq8_encode"),
+      (c: Seq[Expression]) => Sq8Encode(c(0), c(1), c(2))),
+    (FunctionIdentifier("sq8_cosine"),
+      new ExpressionInfo(classOf[Sq8Cosine].getName, "sq8_cosine"),
+      (c: Seq[Expression]) => Sq8Cosine(c(0), c(1), c(2), c(3))))
 
   /** Idempotently register every engine function on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -105,6 +105,123 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Scalar (int8) quantization encode: per-dimension affine code
+  * `c_i = clamp(⌊(x_i − min_i)/scale_i + 0.5⌋, 0, 255)` packed into one
+  * BINARY — 8× smaller than the double array, which at 100 TB is the
+  * difference between an in-memory candidate scan and a spilling one.
+  * A zero scale (constant dimension) encodes 0. The rounding spelling
+  * `⌊x + 0.5⌋` is chosen because DuckDB can state it verbatim, making the
+  * whole SQ8 pipeline oracle-checkable (unlike banker's/half-even). */
+case class Sq8Encode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sq8_encode"
+
+  override protected def nullSafeEval(v: Any, mins: Any, scales: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val mn = mins.asInstanceOf[ArrayData]
+    val sc = scales.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val s = sc.getDouble(i)
+      var c = 0L
+      if (s > 0) {
+        c = math.floor((x.getDouble(i) - mn.getDouble(i)) / s + 0.5).toLong
+        if (c < 0) c = 0L else if (c > 255) c = 255L
+      }
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mn, sc) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $v.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $s = $sc.getDouble($i);
+         |  long $c = 0L;
+         |  if ($s > 0) {
+         |    $c = (long) java.lang.Math.floor(($v.getDouble($i) - $mn.getDouble($i)) / $s + 0.5);
+         |    if ($c < 0) $c = 0L; else if ($c > 255) $c = 255L;
+         |  }
+         |  $out[$i] = (byte) $c;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Sq8Encode =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Fused asymmetric cosine for SQ8 codes: decodes each byte back to
+  * `min_i + scale_i·c_i` inline and accumulates dot and both norms in the
+  * same single pass as [[CosineSimilarity]] — the quantized candidate scan
+  * never materializes a decoded array and stays in whole-stage codegen.
+  * Summation order is index order, matching the oracle's range fold. */
+case class Sq8Cosine(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_cosine"
+
+  override protected def nullSafeEval(q: Any, codes: Any, mins: Any, scales: Any): Any = {
+    val qa = q.asInstanceOf[ArrayData]
+    val cb = codes.asInstanceOf[Array[Byte]]
+    val mn = mins.asInstanceOf[ArrayData]
+    val sc = scales.asInstanceOf[ArrayData]
+    val n = math.min(qa.numElements(), cb.length)
+    var dot = 0.0; var nq = 0.0; var nx = 0.0
+    var i = 0
+    while (i < n) {
+      val qi = qa.getDouble(i)
+      val xi = mn.getDouble(i) + sc.getDouble(i) * (cb(i) & 0xFF)
+      dot += qi * xi; nq += qi * qi; nx += xi * xi
+      i += 1
+    }
+    dot / (math.sqrt(nq) * math.sqrt(nx))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, codes, mn, sc) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nq = ctx.freshName("nq")
+      val nx = ctx.freshName("nx")
+      val qi = ctx.freshName("qi")
+      val xi = ctx.freshName("xi")
+      s"""
+         |int $n = java.lang.Math.min($q.numElements(), $codes.length);
+         |double $dot = 0.0; double $nq = 0.0; double $nx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $qi = $q.getDouble($i);
+         |  double $xi = $mn.getDouble($i) + $sc.getDouble($i) * ($codes[$i] & 0xFF);
+         |  $dot += $qi * $xi; $nq += $qi * $qi; $nx += $xi * $xi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nq) * java.lang.Math.sqrt($nx));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Sq8Cosine =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
 }
 
 /** Runtime registration — works on ANY session handed to us (the driver

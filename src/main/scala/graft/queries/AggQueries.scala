@@ -652,10 +652,29 @@ object AggQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Quantity-weighted average discount per supplier — the weighted-mean
+    * pattern every pricing rollup needs. Numerator and denominator are
+    * exact decimal sums (order-free); the one double division of exact
+    * operands is correctly rounded identically on both engines (§2.0.3). */
+  private val weightedAvg = CatalogEntry.ansi(
+    "agg_weighted_avg",
+    """SELECT l_suppkey,
+      |       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) /
+      |             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS wavg_discount
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) {
+    (spark, sfDir) =>
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey"))
+      .agg(round(
+        sum(dec(col("l_discount")) * dec(col("l_quantity"))).cast("double") /
+          sum(dec(col("l_quantity"))).cast("double"), 6).as("wavg_discount"))
+      .orderBy(col("l_suppkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
     kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,
-    stringConcat, entropyAgg, regression, boolCountIf)
+    stringConcat, entropyAgg, regression, boolCountIf, weightedAvg)
 }

@@ -397,8 +397,25 @@ object WindowQueries {
       .orderBy(col("event_id"))
   }
 
+  /** CUME_DIST — the peers-inclusive rank fraction (completes the
+    * distribution-function family beside percent_rank/ntile). The value is
+    * an exact small rational (peer count / partition count) computed by the
+    * identical division on both engines, so round(…,6) is safely inside
+    * the representable-double class. */
+  private val cumeDist = CatalogEntry.ansi(
+    "win_cume_dist",
+    """SELECT o_orderkey,
+      |       ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS cd
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     rowNumber, rankDense, lagLead, runningSum, movingAvg, rangeFrame,
     ntileQuartiles, firstLast, topkPerGroup, distributionFns, nthValue,
-    distinctFrame, movingMedian, rangeInterval, ignoreNulls, ratioToReport)
+    distinctFrame, movingMedian, rangeInterval, ignoreNulls, ratioToReport,
+    cumeDist)
 }
