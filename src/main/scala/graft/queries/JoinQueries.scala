@@ -486,8 +486,44 @@ object JoinQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** LATERAL correlated subquery — the top-N-per-row join form Redshift
+    * users write as a lateral/correlated derived table. Catalyst
+    * decorrelates the per-customer ORDER BY … LIMIT 2 into a window +
+    * filter over ONE hash-partitioned join — semantically the
+    * `win_topk_per_group` plan, reached from the LATERAL surface (the API
+    * under test here; the impl goes through spark.sql because LATERAL is
+    * SQL-only surface). Deterministic: price ties broken by o_orderkey. */
+  private val lateralTopk = CatalogEntry.dialect(
+    "join_lateral_topk",
+    duckdb = """SELECT c_custkey, o_orderkey, rnk FROM customer,
+               |LATERAL (
+               |  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               |  FROM orders WHERE o_custkey = c_custkey
+               |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+               |) t
+               |ORDER BY c_custkey, rnk""".stripMargin,
+    spark = """SELECT c_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM customer,
+              |LATERAL (
+              |  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+              |  FROM orders WHERE o_custkey = c_custkey
+              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+              |) t
+              |ORDER BY c_custkey, rnk""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_lat_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_lat_orders")
+    spark.sql(
+      """SELECT c_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM graft_lat_customer,
+        |LATERAL (
+        |  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM graft_lat_orders WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) t
+        |ORDER BY c_custkey, rnk""".stripMargin)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     innerEqui, bhjDims, smjFacts, leftOuter, rightOuter, fullOuter,
     leftSemi, leftAnti, crossSmall, thetaRange, asofEventOrder, asofSorted,
-    starMultiway, skewSalted, rangeBucketed, nullSafe, intervalOverlap)
+    starMultiway, skewSalted, rangeBucketed, nullSafe, intervalOverlap,
+    lateralTopk)
 }

@@ -441,8 +441,40 @@ object ScalarQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Bitwise-operator battery (Redshift supports the full C set) — masks,
+    * flags and shift arithmetic over BIGINT keys. Pure codegen'd integer
+    * ops; DuckDB spells xor as a function where Spark uses `^`. */
+  private val bitwiseOps = CatalogEntry.dialect(
+    "scalar_bitwise",
+    duckdb = """SELECT p_partkey,
+               |       p_partkey & 255 AS band,
+               |       p_partkey | 4096 AS bor,
+               |       xor(p_partkey, 1365) AS bxor,
+               |       p_partkey << 2 AS shl,
+               |       p_partkey >> 3 AS shr,
+               |       ~p_partkey AS bnot
+               |FROM part ORDER BY p_partkey""".stripMargin,
+    spark = """SELECT p_partkey,
+              |       p_partkey & 255 AS band,
+              |       p_partkey | 4096 AS bor,
+              |       p_partkey ^ 1365 AS bxor,
+              |       shiftleft(p_partkey, 2) AS shl,
+              |       shiftright(p_partkey, 3) AS shr,
+              |       ~p_partkey AS bnot
+              |FROM part ORDER BY p_partkey""".stripMargin) { (spark, sfDir) =>
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        col("p_partkey").bitwiseAND(255).as("band"),
+        col("p_partkey").bitwiseOR(4096).as("bor"),
+        col("p_partkey").bitwiseXOR(1365).as("bxor"),
+        shiftleft(col("p_partkey"), 2).as("shl"),
+        shiftright(col("p_partkey"), 3).as("shr"),
+        bitwise_not(col("p_partkey")).as("bnot"))
+      .orderBy(col("p_partkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
     strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
-    greatestLeast, tzConvert, businessDays)
+    greatestLeast, tzConvert, businessDays, bitwiseOps)
 }
