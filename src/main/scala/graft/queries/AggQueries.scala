@@ -671,10 +671,40 @@ object AggQueries {
       .orderBy(col("l_suppkey"))
   }
 
+  /** GROUPING_ID-labeled ROLLUP — the composed-bitmask twin of
+    * `agg_grouping_sets`'s single-column grouping() flags. Both engines put
+    * the LEFTMOST grouping column in the MOST significant bit (verified in
+    * DuckDB: (g1,g2)=(1,1) → id 3), so the id and its CASE decode to level
+    * names transfer directly; cast to INT since Spark's grouping_id() is
+    * BIGINT and DuckDB's is also wider than INT32. */
+  private val groupingIdRollup = CatalogEntry.ansi(
+    "agg_grouping_id",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+      |       CASE CAST(grouping_id(o_orderstatus, o_orderpriority) AS INTEGER)
+      |            WHEN 0 THEN 'detail' WHEN 1 THEN 'status' ELSE 'total' END AS lvl,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS tot
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+    (spark, sfDir) =>
+      val gid = grouping_id().cast("int")
+      Tables.orders(spark, sfDir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(gid.as("gid"),
+          when(gid === 0, "detail").when(gid === 1, "status").otherwise("total").as("lvl"),
+          count(lit(1)).as("n"),
+          decOut(sum(dec(col("o_totalprice")))).as("tot"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
     kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,
-    stringConcat, entropyAgg, regression, boolCountIf, weightedAvg)
+    stringConcat, entropyAgg, regression, boolCountIf, weightedAvg,
+    groupingIdRollup)
 }

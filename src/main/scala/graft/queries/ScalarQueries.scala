@@ -473,8 +473,43 @@ object ScalarQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** TO_CHAR-style timestamp → string formatting battery. Pattern dialects
+    * differ (Spark date_format/DateTimeFormatter vs DuckDB strftime), so the
+    * twin translates each pattern; only numeric, locale-free patterns are
+    * used — month/day NAMES are locale-dependent and deliberately excluded
+    * (SURVEY §2.0 dialect-drift class). `%j`/`DDD` both zero-pad day-of-year
+    * to 3 digits; quarter has no strftime code so both sides concat it. */
+  private val dateFormatToChar = CatalogEntry.dialect(
+    "date_format_tochar",
+    duckdb = """SELECT event_id,
+               |       strftime(ts, '%Y-%m') AS ym,
+               |       strftime(ts, '%d/%m/%Y') AS dmy,
+               |       strftime(ts, '%j') AS doy,
+               |       strftime(ts, '%H:%M') AS hm,
+               |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS full_ts,
+               |       'Q' || CAST(quarter(ts) AS VARCHAR) AS qtr
+               |FROM events ORDER BY event_id""".stripMargin,
+    spark = """SELECT event_id,
+              |       date_format(ts, 'yyyy-MM') AS ym,
+              |       date_format(ts, 'dd/MM/yyyy') AS dmy,
+              |       date_format(ts, 'DDD') AS doy,
+              |       date_format(ts, 'HH:mm') AS hm,
+              |       date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS full_ts,
+              |       CONCAT('Q', CAST(quarter(ts) AS STRING)) AS qtr
+              |FROM events ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM").as("ym"),
+        date_format(col("ts"), "dd/MM/yyyy").as("dmy"),
+        date_format(col("ts"), "DDD").as("doy"),
+        date_format(col("ts"), "HH:mm").as("hm"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("full_ts"),
+        concat(lit("Q"), quarter(col("ts")).cast("string")).as("qtr"))
+      .orderBy(col("event_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
     strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
-    greatestLeast, tzConvert, businessDays, bitwiseOps)
+    greatestLeast, tzConvert, businessDays, bitwiseOps, dateFormatToChar)
 }

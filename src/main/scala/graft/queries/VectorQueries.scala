@@ -609,7 +609,50 @@ object VectorQueries {
       .orderBy(col("sim").desc, col("vec_id"))
   }
 
+  /** Per-dimension z-score standardization — the feature-normalization ETL
+    * step upstream of any distance-based index. Corpus-wide per-dim
+    * mean/stddev (64 groups, map-side partial agg) broadcast-joined back to
+    * a bounded probe slice, emitted long-form like `vec_centroid_per_label`.
+    * 100-TB shape: linear explode + 64-row broadcast — no all-pairs, no
+    * driver state; the probe filter bounds only the OUTPUT, stats cover the
+    * full corpus. ROUND(,4) absorbs summation-order ulp (same guard as the
+    * centroid entry); STDDEV_SAMP spelled explicitly since `stddev` defaults
+    * agree today but the sample/population choice is the dialect trap. */
+  private val standardize = CatalogEntry.dialect(
+    "vec_standardize",
+    duckdb = """WITH e AS (
+               |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+               |         CAST(unnest(embedding) AS DOUBLE) AS v
+               |  FROM embeddings
+               |), s AS (
+               |  SELECT pos, AVG(v) AS mu, STDDEV_SAMP(v) AS sigma FROM e GROUP BY pos
+               |)
+               |SELECT e.vec_id, e.pos, ROUND((e.v - s.mu) / s.sigma, 4) AS z
+               |FROM e JOIN s ON e.pos = s.pos
+               |WHERE e.vec_id < 20
+               |ORDER BY e.vec_id, e.pos""".stripMargin,
+    spark = """WITH e AS (
+              |  SELECT vec_id, posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos, v) FROM embeddings
+              |), s AS (
+              |  SELECT pos, AVG(v) AS mu, STDDEV_SAMP(v) AS sigma FROM e GROUP BY pos
+              |)
+              |SELECT e.vec_id, e.pos, ROUND((e.v - s.mu) / s.sigma, 4) AS z
+              |FROM e JOIN s ON e.pos = s.pos
+              |WHERE e.vec_id < 20
+              |ORDER BY e.vec_id, e.pos""".stripMargin) { (spark, sfDir) =>
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(vdouble(col("embedding"))).as(Seq("pos", "v")))
+    val stats = e.groupBy(col("pos"))
+      .agg(avg(col("v")).as("mu"), stddev_samp(col("v")).as("sigma"))
+    e.where(col("vec_id") < 20)
+      .join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        round((col("v") - col("mu")) / col("sigma"), 4).as("z"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     normProject, cosineKnn, pairwiseTopk, centroidPerLabel, multimodalJoin,
-    dedupEmbedding, ivfKnn, lshAnn, pqAnn, rangeSearch, ivfPq, sqInt8)
+    dedupEmbedding, ivfKnn, lshAnn, pqAnn, rangeSearch, ivfPq, sqInt8,
+    standardize)
 }
