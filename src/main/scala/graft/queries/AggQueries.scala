@@ -700,11 +700,37 @@ object AggQueries {
           col("o_orderpriority").asc_nulls_first)
   }
 
+  /** Inverse-distribution PERCENTILE_DISC — the discrete companion of
+    * `agg_percentile_exact`'s interpolating percentile_cont: returns an
+    * actual member value (first value with cume_dist ≥ fraction, the SQL
+    * standard both engines implement), so the result is exact with no
+    * rounding guard needed. One shuffle on the group key; the sort is
+    * per-group inside the aggregate. */
+  private val percentileDisc = CatalogEntry.ansi(
+    "agg_percentile_disc",
+    """SELECT o_orderstatus,
+      |       percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1_disc,
+      |       percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med_disc,
+      |       percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_disc,
+      |       COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("q1_disc"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("med_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
     kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,
     stringConcat, entropyAgg, regression, boolCountIf, weightedAvg,
-    groupingIdRollup)
+    groupingIdRollup, percentileDisc)
 }

@@ -508,8 +508,59 @@ object ScalarQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Oracle-heritage conditional shorthands — DECODE / NVL / NVL2 — that
+    * Redshift ships and Spark implements natively (3.2+). DuckDB has none
+    * of the three, so the twin restates them as CASE / COALESCE: the entry
+    * pins that the shorthand and its expansion are the same function.
+    * `null_handling` covers COALESCE/NULLIF themselves. */
+  private val decodeNvl = CatalogEntry.dialect(
+    "scalar_decode_nvl",
+    duckdb = """SELECT p_partkey,
+               |       CASE p_type WHEN 'ECONOMY' THEN 'budget' WHEN 'PROMO' THEN 'promo' ELSE 'mid' END AS tier,
+               |       COALESCE(NULLIF(p_brand, 'Brand#13'), 'generic') AS brand_nn,
+               |       CASE WHEN NULLIF(p_name, '') IS NOT NULL THEN upper(p_type) ELSE 'untyped' END AS nvl2_t
+               |FROM part ORDER BY p_partkey""".stripMargin,
+    spark = """SELECT p_partkey,
+              |       decode(p_type, 'ECONOMY', 'budget', 'PROMO', 'promo', 'mid') AS tier,
+              |       nvl(NULLIF(p_brand, 'Brand#13'), 'generic') AS brand_nn,
+              |       nvl2(NULLIF(p_name, ''), upper(p_type), 'untyped') AS nvl2_t
+              |FROM part ORDER BY p_partkey""".stripMargin) { (spark, sfDir) =>
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        expr("decode(p_type, 'ECONOMY', 'budget', 'PROMO', 'promo', 'mid')").as("tier"),
+        expr("nvl(NULLIF(p_brand, 'Brand#13'), 'generic')").as("brand_nn"),
+        expr("nvl2(NULLIF(p_name, ''), upper(p_type), 'untyped')").as("nvl2_t"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Numeric TO_CHAR battery — zero-pad, explicit sign, thousands grouping.
+    * Grouping is applied to the floor'd BIGINT only (DuckDB refuses `{:,}`
+    * on floats, and re-rounding a 2-dp double at a coarser scale is the
+    * HALF_UP-vs-half-even tie trap); `%.2f` on the already-2-dp prices is
+    * tie-free, so printf ↔ format_string agree byte-for-byte. */
+  private val numberFormat = CatalogEntry.dialect(
+    "str_number_format",
+    duckdb = """SELECT o_orderkey,
+               |       printf('%012.2f', o_totalprice) AS padded,
+               |       printf('%+.2f', o_totalprice) AS signed,
+               |       format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) AS commas
+               |FROM orders ORDER BY o_orderkey""".stripMargin,
+    spark = """SELECT o_orderkey,
+              |       format_string('%012.2f', o_totalprice) AS padded,
+              |       format_string('%+.2f', o_totalprice) AS signed,
+              |       format_number(CAST(floor(o_totalprice) AS BIGINT), 0) AS commas
+              |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        format_string("%012.2f", col("o_totalprice")).as("padded"),
+        format_string("%+.2f", col("o_totalprice")).as("signed"),
+        format_number(floor(col("o_totalprice")).cast("bigint"), 0).as("commas"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
     strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
-    greatestLeast, tzConvert, businessDays, bitwiseOps, dateFormatToChar)
+    greatestLeast, tzConvert, businessDays, bitwiseOps, dateFormatToChar,
+    decodeNvl, numberFormat)
 }
