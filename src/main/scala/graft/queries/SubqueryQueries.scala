@@ -97,6 +97,80 @@ object SubqueryQueries {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** NOT IN three-valued-logic pin. Three flavors union'd with tags:
+    * a null-free NOT IN (rows survive), a NULL-containing NOT IN (MUST
+    * return zero rows — `x <> NULL` is unknown, so nothing passes; the
+    * empty tag group is the semantic assertion), and IN over the same
+    * nullable set (present keys still match). The NULL-containing NOT IN
+    * is the plan exercise: Catalyst compiles it to a null-aware anti join
+    * instead of a plain anti join — the variant engines get wrong. */
+  private val notInNulls = CatalogEntry.ansi(
+    "subq_not_in_nulls",
+    """SELECT flavor, c_custkey FROM (
+      |  SELECT 'clean_not_in' AS flavor, c_custkey FROM customer
+      |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      |  UNION ALL
+      |  SELECT 'null_not_in' AS flavor, c_custkey FROM customer
+      |  WHERE c_custkey NOT IN (SELECT CASE WHEN o_totalprice > 400000 THEN NULL ELSE o_custkey END
+      |                          FROM orders WHERE o_totalprice > 300000)
+      |  UNION ALL
+      |  SELECT 'null_in' AS flavor, c_custkey FROM customer
+      |  WHERE c_custkey IN (SELECT CASE WHEN o_totalprice > 400000 THEN NULL ELSE o_custkey END
+      |                      FROM orders WHERE o_totalprice > 300000)
+      |) t ORDER BY flavor, c_custkey""".stripMargin) { (spark, sfDir) =>
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT flavor, c_custkey FROM (
+        |  SELECT 'clean_not_in' AS flavor, c_custkey FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |  UNION ALL
+        |  SELECT 'null_not_in' AS flavor, c_custkey FROM customer
+        |  WHERE c_custkey NOT IN (SELECT CASE WHEN o_totalprice > 400000 THEN NULL ELSE o_custkey END
+        |                          FROM orders WHERE o_totalprice > 300000)
+        |  UNION ALL
+        |  SELECT 'null_in' AS flavor, c_custkey FROM customer
+        |  WHERE c_custkey IN (SELECT CASE WHEN o_totalprice > 400000 THEN NULL ELSE o_custkey END
+        |                      FROM orders WHERE o_totalprice > 300000)
+        |) t ORDER BY flavor, c_custkey""".stripMargin)
+  }
+
+  /** WITH RECURSIVE ancestor walk over the implicit binary tree on part
+    * keys (parent = node div 2) — table-driven recursion, ~⌈log₂ key⌉
+    * rounds from each seed, terminating at the root. Spark 4.x executes
+    * recursive CTEs as an iterative union-loop plan; integer division is
+    * the dialect split (`//` vs `DIV` — `/` would widen to DOUBLE in both
+    * engines and diverge the walk). */
+  private val recursiveCte = CatalogEntry.dialect(
+    "subq_recursive_cte",
+    duckdb = """WITH RECURSIVE anc AS (
+               |  SELECT p_partkey AS start, p_partkey AS node, 0 AS depth
+               |  FROM part WHERE p_partkey BETWEEN 190 AND 199
+               |  UNION ALL
+               |  SELECT start, node // 2, depth + 1 FROM anc WHERE node > 0
+               |)
+               |SELECT start, node, CAST(depth AS INTEGER) AS depth
+               |FROM anc ORDER BY start, depth""".stripMargin,
+    spark = """WITH RECURSIVE anc AS (
+              |  SELECT p_partkey AS start, p_partkey AS node, 0 AS depth
+              |  FROM part WHERE p_partkey BETWEEN 190 AND 199
+              |  UNION ALL
+              |  SELECT start, node DIV 2, depth + 1 FROM anc WHERE node > 0
+              |)
+              |SELECT start, node, CAST(depth AS INTEGER) AS depth
+              |FROM anc ORDER BY start, depth""".stripMargin) { (spark, sfDir) =>
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS start, p_partkey AS node, 0 AS depth
+        |  FROM part WHERE p_partkey BETWEEN 190 AND 199
+        |  UNION ALL
+        |  SELECT start, node DIV 2, depth + 1 FROM anc WHERE node > 0
+        |)
+        |SELECT start, node, CAST(depth AS INTEGER) AS depth
+        |FROM anc ORDER BY start, depth""".stripMargin)
+  }
+
   def entries: Seq[CatalogEntry] =
-    Seq(scalarUncorr, correlatedExists, inSubquery, correlatedScalar)
+    Seq(scalarUncorr, correlatedExists, inSubquery, correlatedScalar,
+      notInNulls, recursiveCte)
 }

@@ -53,6 +53,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(planOf("join_left_anti").toLowerCase.contains("anti"))
   }
 
+  test("subq_not_in_nulls plans a NULL-aware anti join for the nullable set") {
+    // the null_not_in flavor must NOT degrade to a plain anti join — Spark
+    // prints BroadcastHashJoinExec's isNullAwareAntiJoin flag as a trailing
+    // bare `true` on the LeftAnti node (no "NAAJ" label in 4.1's toString)
+    val p = planOf("subq_not_in_nulls")
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"no null-aware anti join in:\n${p.take(4000)}")
+  }
+
+  test("subq_recursive_cte runs the iterative union loop, not a cartesian") {
+    val p = planOf("subq_recursive_cte")
+    assert(!p.contains("CartesianProduct"), s"cartesian in recursion:\n${p.take(2000)}")
+  }
+
   test("vec_cosine_knn broadcasts the query vector side") {
     assert(planOf("vec_cosine_knn").contains("Broadcast"))
   }
