@@ -91,6 +91,13 @@ object GraftConf {
   def ivfNprobe(spark: SparkSession): Int =
     get(spark, "graft.ann.ivf.nprobe", "3").toInt
 
+  /** PQ Lloyd-training sample modulus: rounds train on vectors with
+    * `vec_id % mod == 1` (ids are dense, so a uniform 1/mod draw); 1 =
+    * train on the full corpus. Only training is sampled — the final
+    * encode always covers every vector. */
+  def pqTrainSampleMod(spark: SparkSession): Int =
+    get(spark, "graft.ann.pq.trainSampleMod", "4").toInt
+
   /** SRP-LSH ANN (`vec_lsh_ann`): number of hash tables and bits per
     * table. Recall rises with tables, candidate count falls with bits —
     * scale nBits ≈ log2(corpus / target_bucket_size) as data grows; the

@@ -333,7 +333,7 @@ object VectorQueries {
     * SparkContext). Entries for stopped sessions are evicted on the next
     * lookup so long-lived processes don't accumulate dead plans. */
   private val pqModels = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.SparkSession, String, Int),
     (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
 
   private def pqModel(spark: org.apache.spark.sql.SparkSession,
@@ -342,7 +342,8 @@ object VectorQueries {
     pqModels.forEach { (k, _) =>
       if (k._1.sparkContext.isStopped) pqModels.remove(k)
     }
-    pqModels.computeIfAbsent((spark, sfDir), { _ =>
+    val trainMod = graft.GraftConf.pqTrainSampleMod(spark)
+    pqModels.computeIfAbsent((spark, sfDir, trainMod), { _ =>
       VectorFunctions.ensureRegistered(spark)
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), vdouble(col("embedding")).as("v"))
@@ -350,22 +351,31 @@ object VectorQueries {
         .select(col("vec_id"), posexplode(pqSlices(col("v"))).as(Seq("s", "sv")))
         .withColumn("sv2", expr("dot_product(sv, sv)"))
         .cache() // every Lloyd round and the final encode read this frame
+      // Lloyd rounds train on a deterministic 1/mod sample (vec_id mod —
+      // ids are dense, so this is a uniform draw): k-means centroids are a
+      // statistic of the distribution, not the corpus, and sample-training
+      // is the standard FAISS move — at 100 TB nobody Lloyd-iterates every
+      // vector. Only the one-time final encode below touches all rows, so
+      // training cost drops ~mod× with the same recall floor (PropertySpec).
+      val subTrain =
+        if (trainMod <= 1) sub else sub.where(col("vec_id") % trainMod === 1)
       // deterministic seeding: the subvectors of the K docs ranked first by
       // md5(vec_id) — a reproducible pseudo-random draw (SURVEY §2.0.6)
       val seedW = Window.partitionBy(col("s"))
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      var cents = sub
+      var cents = subTrain
         .withColumn("c", row_number().over(seedW) - 1)
         .where(col("c") < pqK)
         .select(col("s"), col("c"), col("sv").as("cent"))
         .cache()
-      // assign touches |corpus|×K candidate rows per round — the hot path.
+      // assign touches |rows|×K candidate rows per round — the hot path.
       // l2² = |sv|² + |cent|² − 2·(sv·cent) with the native codegen'd
       // dot_product (the interpreted zip_with fold here measured 12 s for
       // the whole entry at sf0.1; the norms are precomputed once per side)
-      def assign(cs: org.apache.spark.sql.DataFrame) = {
+      def assign(rows: org.apache.spark.sql.DataFrame,
+          cs: org.apache.spark.sql.DataFrame) = {
         val csn = cs.withColumn("c2", expr("dot_product(cent, cent)"))
-        sub.join(broadcast(csn), "s")
+        rows.join(broadcast(csn), "s")
           .withColumn("dist",
             col("sv2") + col("c2") - lit(2.0) * expr("dot_product(sv, cent)"))
           .groupBy(col("vec_id"), col("s"))
@@ -376,7 +386,7 @@ object VectorQueries {
         // sort by member id, fold each dimension in that fixed order (same
         // summation sequence as the former posexplode formulation — bit-
         // identical means — minus its 128k-row shuffle and second groupBy)
-        cents = assign(cents).join(sub, Seq("vec_id", "s"))
+        cents = assign(subTrain, cents).join(subTrain, Seq("vec_id", "s"))
           .groupBy(col("s"), col("c"))
           .agg(collect_list(struct(col("vec_id").as("i"), col("sv").as("sv"))).as("xs"))
           .select(col("s"), col("c"), expr(
@@ -390,7 +400,7 @@ object VectorQueries {
           // the ≤ M×K rows they pin (measured 11.5 s → see BASELINE.md)
           .cache()
       }
-      (cents, assign(cents).cache())
+      (cents, assign(sub, cents).cache())
     })
   }
 
