@@ -702,10 +702,15 @@ object EtlQueries {
     * language at N documents, chosen by deterministic md5 order (never
     * rand — §2.0.4), i.e. a reproducible uniform draw per group. The
     * companion of `etl_stratified_sample` (which takes a fraction; quotas
-    * take a COUNT — how corpus mixes are actually specified). One window
-    * shuffle on the group key; at 100 TB the quota window partitions by
-    * (lang, salt) with a second capped pass when groups are huge, but the
-    * per-group cap keeps output worker-sized by construction. */
+    * take a COUNT — how corpus mixes are actually specified). Two-level
+    * salted top-k: level 1 windows over (lang, salt-of-16) and keeps each
+    * bucket's top-quota by the md5 key, level 2 re-ranks the ≤ 16×quota
+    * survivors per lang — bit-identical to the single global window (a
+    * global top-50 row is outranked by < 50 rows, so it is top-50 in its
+    * bucket too), but no language ever funnels through one partition's
+    * sort: at 100 TB a 50 %-English corpus is the difference between a
+    * working plan and a single straggler executor. The oracle states the
+    * single-window form; the hash-match IS the equivalence proof. */
   private val quotaSample = CatalogEntry.dialect(
     "pipeline_quota_sample",
     duckdb = """SELECT doc_id, lang FROM (
@@ -722,10 +727,14 @@ object EtlQueries {
               |  FROM documents
               |) WHERE rn <= 50
               |ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val mdKey = md5(col("doc_id").cast("string"))
+    val w1 = Window.partitionBy(col("lang"), col("salt")).orderBy(mdKey, col("doc_id"))
+    val w2 = Window.partitionBy(col("lang")).orderBy(mdKey, col("doc_id"))
     Tables.documents(spark, sfDir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
+      .withColumn("rn1", row_number().over(w1))
+      .where(col("rn1") <= 50)
+      .withColumn("rn", row_number().over(w2))
       .where(col("rn") <= 50)
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
