@@ -657,11 +657,22 @@ object TextQueries {
     val docs = Tables.documents(spark, sfDir)
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
+    // two-level salted top-20 (same move as pipeline_quota_sample): the
+    // per-lang vocab is millions of rows at corpus scale, and a single
+    // PARTITION BY lang window funnels each language through one sort
+    // task. A global top-20 token is outranked by < 20 tokens, so it is
+    // top-20 in its salt bucket too — level 2 re-ranks ≤ 16×20 survivors.
+    val profW1 = Window.partitionBy(col("lang"), col("psalt"))
+      .orderBy(col("cnt").desc, col("token"))
+    val profW2 = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("token"))
     val prof = docs
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
-        .orderBy(col("cnt").desc, col("token"))))
+      .withColumn("psalt", pmod(xxhash64(col("token")), lit(16)))
+      .withColumn("rn1", row_number().over(profW1))
+      .where(col("rn1") <= 20)
+      .withColumn("rn", row_number().over(profW2))
       .where(col("rn") <= 20)
       .select(col("lang"), col("token"))
     val score = tok.join(prof, "token")
