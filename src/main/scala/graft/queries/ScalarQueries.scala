@@ -558,9 +558,42 @@ object ScalarQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Error-safe TRY arithmetic — the ETL guard family. Spark 4 runs ANSI
+    * mode by default (bad casts and x/0 THROW), so `try_cast`/`try_divide`
+    * are the idiomatic guards; DuckDB's TRY_CAST and its NULL-on-zero
+    * division are the exact twins. The valid/invalid mix in each column
+    * pins both the success and the NULL path. Timestamps pinned to NTZ on
+    * the Spark side (same move as `date_parts`). */
+  private val tryArith = CatalogEntry.dialect(
+    "scalar_try_arith",
+    duckdb = """SELECT c_custkey,
+               |       TRY_CAST(c_mktsegment AS DOUBLE) AS bad_num,
+               |       TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) AS id_num,
+               |       c_acctbal / (c_custkey % 5) AS safe_div,
+               |       TRY_CAST(CONCAT('1997-01-', lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0')) AS TIMESTAMP) AS ts_ok,
+               |       TRY_CAST(c_mktsegment AS TIMESTAMP) AS ts_bad
+               |FROM customer ORDER BY c_custkey""".stripMargin,
+    spark = """SELECT c_custkey,
+              |       TRY_CAST(c_mktsegment AS DOUBLE) AS bad_num,
+              |       TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) AS id_num,
+              |       try_divide(c_acctbal, c_custkey % 5) AS safe_div,
+              |       CAST(TRY_CAST(CONCAT('1997-01-', lpad(CAST(c_custkey % 28 + 1 AS STRING), 2, '0')) AS TIMESTAMP) AS TIMESTAMP_NTZ) AS ts_ok,
+              |       CAST(TRY_CAST(c_mktsegment AS TIMESTAMP) AS TIMESTAMP_NTZ) AS ts_bad
+              |FROM customer ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        expr("TRY_CAST(c_mktsegment AS DOUBLE)").as("bad_num"),
+        expr("TRY_CAST(split_part(c_name, '#', 2) AS BIGINT)").as("id_num"),
+        try_divide(col("c_acctbal"), col("c_custkey") % 5).as("safe_div"),
+        expr("TRY_CAST(CONCAT('1997-01-', lpad(CAST(c_custkey % 28 + 1 AS STRING), 2, '0')) AS TIMESTAMP)")
+          .cast("timestamp_ntz").as("ts_ok"),
+        expr("TRY_CAST(c_mktsegment AS TIMESTAMP)").cast("timestamp_ntz").as("ts_bad"))
+      .orderBy(col("c_custkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
     strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
     greatestLeast, tzConvert, businessDays, bitwiseOps, dateFormatToChar,
-    decodeNvl, numberFormat)
+    decodeNvl, numberFormat, tryArith)
 }
