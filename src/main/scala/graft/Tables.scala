@@ -15,33 +15,32 @@ object Tables {
     "region", "nation", "supplier", "customer", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    * timestamp at all (inference and explicit schema both fail). Read it as
-    * raw nanos (legacy.parquet.nanosAsLong) and truncate to µs with integer
-    * division — bit-identical to how DuckDB reads the same column
-    * (FIXTURES.md: "both engines read at µs precision").
+  /** events.ts has shipped in two parquet spellings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark cannot read as a timestamp
+    * at all — inference and explicit schema both fail) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (a plain TIMESTAMP_NTZ read). Sniff which one
+    * this file is from the inferred schema under `nanosAsLong`: a nanos file
+    * surfaces `ts` as LongType (rebuild it by truncating to µs — bit-identical
+    * to how DuckDB reads the same column), a µs file surfaces TIMESTAMP_NTZ
+    * (take it as-is; DuckDB reads the very same µs values).
     *
-    * The rebuilt column is TIMESTAMP_NTZ (round-2 fix, VERDICT.md r1 #2):
-    * session-tz TimestampType writes parquet as isAdjustedToUTC=true, which
-    * DuckDB's naive TIMESTAMP schema-mismatches. Building from the NTZ epoch
-    * via timestampadd is timezone-independent by construction, so every
-    * derived timestamp (window bounds, date_trunc, lag) stays naive
-    * end-to-end and matches DuckDB's epoch_ms-style reading.
+    * Either way the column the engine sees is TIMESTAMP_NTZ (round-2 fix,
+    * VERDICT.md r1 #2): session-tz TimestampType writes parquet as
+    * isAdjustedToUTC=true, which DuckDB's naive TIMESTAMP schema-mismatches.
+    * Building from the NTZ epoch via timestampadd is timezone-independent by
+    * construction, so every derived timestamp (window bounds, date_trunc,
+    * lag) stays naive end-to-end and matches DuckDB's reading.
     */
-  private val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // TIMESTAMP(NANOS) read as raw nanos: truncate to µs
+          raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+        case _ => raw // TIMESTAMP(MICROS) NTZ: already what the engine wants
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
