@@ -807,10 +807,115 @@ object EtlQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Gap-fill with last-observation-carried-forward — the reporting-layer
+    * companion of `etl_date_spine_fill`: that entry builds the spine; this
+    * one FILLS it, carrying each user's last known daily revenue across
+    * silent days (the standard balance/metric forward-fill). The LOCF is the
+    * portable two-window trick — `grp = count(rev) over (user order by dt)`
+    * is constant across each null run, then `max(rev) over (user, grp)`
+    * broadcasts the run's single non-null head — because DuckDB 1.0 lacks
+    * `IGNORE NULLS` (same workaround family as `win_ignore_nulls`). Spines
+    * are per-user min→max (never the global range: a 100-TB user set with a
+    * long-lived tail would otherwise explode every short-lived user to the
+    * full calendar), and both windows share one (user_id, dt) sort. Daily
+    * revenue sums go through DECIMAL(18,4) per §2.0.3; the spine starts at
+    * each user's first active day, so every null run has a non-null head and
+    * `rev_filled` is total. */
+  private val gapFillLocf = CatalogEntry.dialect(
+    "etl_gap_fill_locf",
+    duckdb = """WITH daily AS (
+               |  SELECT user_id, CAST(ts AS DATE) AS dt,
+               |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rev
+               |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, CAST(ts AS DATE)
+               |), spine AS (
+               |  SELECT b.user_id, CAST(gs.g AS DATE) AS dt
+               |  FROM (SELECT user_id, MIN(dt) AS lo, MAX(dt) AS hi FROM daily GROUP BY user_id) b,
+               |       LATERAL (SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS g) gs
+               |), j AS (
+               |  SELECT s.user_id, s.dt, d.rev,
+               |         COUNT(d.rev) OVER (PARTITION BY s.user_id ORDER BY s.dt) AS grp
+               |  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.dt = d.dt
+               |)
+               |SELECT user_id, dt,
+               |       CAST(CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap,
+               |       MAX(rev) OVER (PARTITION BY user_id, grp) AS rev_filled
+               |FROM j ORDER BY user_id, dt""".stripMargin,
+    spark = """WITH daily AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS dt,
+              |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rev
+              |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, CAST(ts AS DATE)
+              |), spine AS (
+              |  SELECT user_id, explode(sequence(lo, hi, interval 1 day)) AS dt
+              |  FROM (SELECT user_id, MIN(dt) AS lo, MAX(dt) AS hi FROM daily GROUP BY user_id)
+              |), j AS (
+              |  SELECT s.user_id, s.dt, d.rev,
+              |         COUNT(d.rev) OVER (PARTITION BY s.user_id ORDER BY s.dt) AS grp
+              |  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.dt = d.dt
+              |)
+              |SELECT user_id, dt,
+              |       CAST(CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap,
+              |       MAX(rev) OVER (PARTITION BY user_id, grp) AS rev_filled
+              |FROM j ORDER BY user_id, dt""".stripMargin) { (spark, sfDir) =>
+    val daily = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").cast("date").as("dt"))
+      .agg(decOut(sum(dec(col("value")))).as("rev"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("dt")).as("lo"), max(col("dt")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("dt"))
+    val wGrp = Window.partitionBy(col("user_id")).orderBy(col("dt"))
+    spine.join(daily, Seq("user_id", "dt"), "left")
+      .withColumn("grp", count(col("rev")).over(wGrp))
+      .withColumn("was_gap", when(col("rev").isNull, 1L).otherwise(0L))
+      .withColumn("rev_filled",
+        max(col("rev")).over(Window.partitionBy(col("user_id"), col("grp"))))
+      .select(col("user_id"), col("dt"), col("was_gap"), col("rev_filled"))
+      .orderBy(col("user_id"), col("dt"))
+  }
+
+  /** Late-arriving dimension — the fact stream references dimension members
+    * the dim table hasn't loaded yet (here: every 7th customer is "not yet
+    * arrived"), and the warehouse answer is the UNKNOWN fallback member:
+    * facts are NEVER dropped or held back, they roll up under the sentinel
+    * and re-attribute once the member lands (Kimball's late-arriving-dim
+    * pattern; the inner-join spelling silently loses the revenue, which is
+    * the bug this entry pins against). Plan shape: broadcast-able dim left
+    * join + coalesce to the sentinel, then one aggregation — the fact side
+    * streams, nothing buffers per member. */
+  private val lateArrivingDim = CatalogEntry.ansi(
+    "etl_late_arriving_dim",
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 <> 0
+      |), f AS (
+      |  SELECT e.user_id, e.value,
+      |         COALESCE(d.c_mktsegment, 'UNKNOWN') AS segment
+      |  FROM events e LEFT JOIN dim d ON e.user_id = d.c_custkey
+      |  WHERE e.event_type = 'purchase'
+      |)
+      |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM f GROUP BY segment ORDER BY segment""".stripMargin) { (spark, sfDir) =>
+    val dim = Tables.customer(spark, sfDir)
+      .where(col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        col("user_id"), col("value"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("user_id")).cast("long").as("n_users"),
+        decOut(sum(dec(col("value")))).as("revenue"))
+      .orderBy(col("segment"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
     trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,
     surrogateKey, shardExport, partitionBackfill, compactFiles, seqPattern,
-    quotaSample, sessionizeBatch)
+    quotaSample, sessionizeBatch, gapFillLocf, lateArrivingDim)
 }

@@ -591,9 +591,71 @@ object ScalarQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Cryptographic-hash battery — MD5 and SHA-256 over names, plus the
+    * hash-key idiom every warehouse uses for surrogate/diff keys:
+    * `md5(concat_ws('|', cols…))` (one string hash replaces a multi-column
+    * compare in CDC and audit joins — cf. `etl_train_test_split`, which
+    * already leans on md5 for deterministic splitting). Pure per-row map,
+    * stays in one codegen span; both engines emit lowercase hex so the
+    * compare is byte-exact. The delimiter pin matters: without it
+    * ('ab','c') and ('a','bc') would collide. DuckDB spells SHA-256
+    * `sha256(x)`, Spark `sha2(x, 256)` — the one dialect split. */
+  private val hashFuncs = CatalogEntry.dialect(
+    "scalar_hash_funcs",
+    duckdb = """SELECT c_custkey,
+               |       md5(c_name) AS h_md5,
+               |       sha256(c_name) AS h_sha256,
+               |       md5(c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment) AS h_key
+               |FROM customer ORDER BY c_custkey""".stripMargin,
+    spark = """SELECT c_custkey,
+              |       md5(c_name) AS h_md5,
+              |       sha2(c_name, 256) AS h_sha256,
+              |       md5(c_name || '|' || CAST(c_nationkey AS STRING) || '|' || c_mktsegment) AS h_key
+              |FROM customer ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        md5(col("c_name")).as("h_md5"),
+        sha2(col("c_name"), 256).as("h_sha256"),
+        md5(concat_ws("|", col("c_name"), col("c_nationkey"), col("c_mktsegment")))
+          .as("h_key"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** ISO-8601 week parts — day-of-week (Monday=1), week number, and ISO
+    * week-numbering year, the fiscal-calendar trio behind every weekly
+    * rollup. Spark has no `isoyear`, so it is derived by the portable
+    * Thursday rule (the ISO year of a date is the calendar year of the
+    * Thursday in its week: `year(dt + (3 − weekday(dt)) days)`), and
+    * `isodow = weekday(dt) + 1` off Spark's Monday=0 `weekday` — closed-form
+    * arithmetic, no engine-specific calendars (same policy as
+    * `date_business_days`). The year-boundary rows (early-January dates in
+    * ISO week 52/53 of the prior year, late-December dates in week 1 of the
+    * next) are the assertion. Distinct dates only: the parts are functional
+    * in the date, so the compare stays small. */
+  private val isoWeek = CatalogEntry.dialect(
+    "date_iso_week",
+    duckdb = """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
+               |SELECT dt, CAST(isodow(dt) AS BIGINT) AS iso_dow,
+               |       CAST(week(dt) AS BIGINT) AS iso_week,
+               |       CAST(isoyear(dt) AS BIGINT) AS iso_year
+               |FROM d ORDER BY dt""".stripMargin,
+    spark = """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
+              |SELECT dt, CAST(weekday(dt) + 1 AS BIGINT) AS iso_dow,
+              |       CAST(weekofyear(dt) AS BIGINT) AS iso_week,
+              |       CAST(year(date_add(dt, 3 - weekday(dt))) AS BIGINT) AS iso_year
+              |FROM d ORDER BY dt""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderdate").cast("date").as("dt")).distinct()
+      .select(col("dt"),
+        (weekday(col("dt")) + 1).cast("long").as("iso_dow"),
+        weekofyear(col("dt")).cast("long").as("iso_week"),
+        year(date_add(col("dt"), lit(3) - weekday(col("dt")))).cast("long").as("iso_year"))
+      .orderBy(col("dt"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
     strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
     greatestLeast, tzConvert, businessDays, bitwiseOps, dateFormatToChar,
-    decodeNvl, numberFormat, tryArith)
+    decodeNvl, numberFormat, tryArith, hashFuncs, isoWeek)
 }

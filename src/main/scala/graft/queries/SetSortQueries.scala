@@ -84,6 +84,35 @@ object SetSortQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL, the
+    * multiplicity-preserving forms the DISTINCT variants above erase (the
+    * SQL-standard pair Redshift-genre reconciliation queries lean on:
+    * "which rows appear in both extracts, counted with duplicates" is how
+    * double-load audits are written). Both engines implement them as one
+    * hash aggregation per side keyed on the row (count per key, emit
+    * min/diff of the counts) — a single narrow-key shuffle each, no join
+    * explosion, which is the 100-TB shape. The two legs are tagged and
+    * unioned so one compare covers both; identical rows make the ORDER BY
+    * total despite duplicates. */
+  private val setOpsAll = CatalogEntry.ansi(
+    "set_ops_all",
+    """WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+      |     b AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A')
+      |SELECT tag, k FROM (
+      |  SELECT 'int' AS tag, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+      |  UNION ALL
+      |  SELECT 'exc' AS tag, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+      |) u ORDER BY tag, k""".stripMargin) { (spark, sfDir) =>
+    val li = Tables.lineitem(spark, sfDir)
+    val a = li.where(col("l_returnflag") === "R").select(col("l_partkey").as("k"))
+    val b = li.where(col("l_returnflag") === "A").select(col("l_partkey").as("k"))
+    a.intersectAll(b).withColumn("tag", lit("int"))
+      .union(a.exceptAll(b).withColumn("tag", lit("exc")))
+      .select(col("tag"), col("k"))
+      .orderBy(col("tag"), col("k"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    sortMultiLimit, unionAll, unionDistinct, intersectSegs, exceptSegs)
+    sortMultiLimit, unionAll, unionDistinct, intersectSegs, exceptSegs,
+    setOpsAll)
 }

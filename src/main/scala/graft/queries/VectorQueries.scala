@@ -736,8 +736,99 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Prefix-dimension shortlist + full-dimension rerank — the
+    * matryoshka-retrieval shape (coarse scoring on the first 16 of 64 dims,
+    * exact rerank of the survivors), and unlike the trained index families
+    * (IVF/LSH/PQ/SQ8) it is fully deterministic end-to-end, so it gets a
+    * complete DuckDB oracle rather than a recall floor: both engines
+    * compute the same rounded prefix scores, cut the same 50-candidate
+    * shortlist (round-4 score + cid tie-break makes the boundary exact),
+    * and rerank with the same full cosine. Cost shape: the prefix stage
+    * touches 16/64 dims (4× less arithmetic and, with a dim-sliced layout,
+    * 4× less IO), the full vectors are only read for 50 rows per query.
+    * Per-query top-k goes through the same two-level salted window as
+    * `vec_hamming_knn` — no query funnels its full candidate stream through
+    * one partition's sort. */
+  private val prefixRerank = CatalogEntry.dialect(
+    "vec_prefix_rerank",
+    duckdb = """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               |q AS (SELECT vec_id AS qid, v AS qv FROM t WHERE vec_id % 167 = 0),
+               |c AS (SELECT vec_id AS cid, v AS cv FROM t WHERE vec_id % 167 <> 0),
+               |stage1 AS (
+               |  SELECT qid, cid, cv, qv,
+               |         ROUND(list_sum(list_transform(range(1, 17), i -> qv[i] * cv[i])) /
+               |               (sqrt(list_sum(list_transform(range(1, 17), i -> qv[i] * qv[i]))) *
+               |                sqrt(list_sum(list_transform(range(1, 17), i -> cv[i] * cv[i])))), 4) AS psim
+               |  FROM q, c
+               |), short AS (
+               |  SELECT qid, cid, cv, qv,
+               |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY psim DESC, cid) AS prk
+               |  FROM stage1
+               |), rer AS (
+               |  SELECT qid, cid,
+               |         ROUND(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+               |               (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+               |                sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS sim
+               |  FROM short WHERE prk <= 50
+               |)
+               |SELECT qid, CAST(rk AS BIGINT) AS rk, cid, sim FROM (
+               |  SELECT qid, cid, sim,
+               |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+               |  FROM rer
+               |) r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    spark = """WITH t AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+              |q AS (SELECT vec_id AS qid, v AS qv FROM t WHERE vec_id % 167 = 0),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM t WHERE vec_id % 167 <> 0),
+              |stage1 AS (
+              |  SELECT qid, cid, cv, qv,
+              |         ROUND(aggregate(zip_with(slice(qv, 1, 16), slice(cv, 1, 16), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) /
+              |               (sqrt(aggregate(transform(slice(qv, 1, 16), x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) *
+              |                sqrt(aggregate(transform(slice(cv, 1, 16), x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))), 4) AS psim
+              |  FROM q CROSS JOIN c
+              |), short AS (
+              |  SELECT qid, cid, cv, qv,
+              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY psim DESC, cid) AS prk
+              |  FROM stage1
+              |), rer AS (
+              |  SELECT qid, cid,
+              |         ROUND(aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) /
+              |               (sqrt(aggregate(transform(qv, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) *
+              |                sqrt(aggregate(transform(cv, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))), 4) AS sim
+              |  FROM short WHERE prk <= 50
+              |)
+              |SELECT qid, CAST(rk AS BIGINT) AS rk, cid, sim FROM (
+              |  SELECT qid, cid, sim,
+              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+              |  FROM rer
+              |) r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin) { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
+    val t = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+    val q = t.where(col("vec_id") % 167 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        slice(col("v"), 1, 16).as("qp"))
+    val c = t.where(col("vec_id") % 167 =!= 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        slice(col("v"), 1, 16).as("cp"))
+    val wS1a = Window.partitionBy(col("qid"), col("salt"))
+      .orderBy(col("psim").desc, col("cid"))
+    val wS1b = Window.partitionBy(col("qid"))
+      .orderBy(col("psim").desc, col("cid"))
+    val short = c.join(broadcast(q))
+      .withColumn("psim", round(expr("cosine_sim(qp, cp)"), 4))
+      .withColumn("salt", pmod(xxhash64(col("cid")), lit(16)))
+      .withColumn("rk1", row_number().over(wS1a)).where(col("rk1") <= 50)
+      .withColumn("prk", row_number().over(wS1b)).where(col("prk") <= 50)
+    val wS2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    short
+      .withColumn("sim", round(expr("cosine_sim(qv, cv)"), 4))
+      .withColumn("rk", row_number().over(wS2).cast("long")).where(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     normProject, cosineKnn, pairwiseTopk, centroidPerLabel, multimodalJoin,
     dedupEmbedding, ivfKnn, lshAnn, pqAnn, rangeSearch, ivfPq, sqInt8,
-    standardize, hammingKnn)
+    standardize, hammingKnn, prefixRerank)
 }
