@@ -912,10 +912,118 @@ object EtlQueries {
       .orderBy(col("segment"))
   }
 
+  /** Sequence packing — assign documents to fixed token-budget training
+    * bins (512 tokens) by running cumulative sum in a deterministic order,
+    * the data-parallel stand-in for greedy first-fit packing (true first-fit
+    * is inherently sequential; the cumsum discretization `bin =
+    * floor((cum − n_tok)/512)` is the standard distributed approximation —
+    * a document goes to the bin its prefix sum opens, so bins overflow by
+    * at most one document and never split one). Packing is per-source
+    * (PARTITION BY source), which is the scale decision: a single global
+    * running sum would funnel the whole corpus through one partition's
+    * sort, while per-shard packing — which is how export shards are laid
+    * out anyway, cf. `etl_shard_export` — keeps every window local to its
+    * hash partition. */
+  private val packSequences = CatalogEntry.dialect(
+    "etl_pack_sequences",
+    duckdb = """WITH t AS (
+               |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+               |), c AS (
+               |  SELECT source, doc_id, n_tok,
+               |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               |                          ROWS UNBOUNDED PRECEDING) AS cum
+               |  FROM t
+               |), b AS (
+               |  SELECT source, doc_id, n_tok,
+               |         CAST(floor(CAST(cum - n_tok AS BIGINT) / 512) AS BIGINT) AS bin
+               |  FROM c
+               |)
+               |SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               |       CAST(SUM(n_tok) AS BIGINT) AS tokens,
+               |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+               |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    spark = """WITH t AS (
+              |  SELECT source, doc_id, size(split(text, ' ')) AS n_tok FROM documents
+              |), c AS (
+              |  SELECT source, doc_id, n_tok,
+              |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              |                          ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM t
+              |), b AS (
+              |  SELECT source, doc_id, n_tok,
+              |         CAST(floor(CAST(cum - n_tok AS BIGINT) / 512) AS BIGINT) AS bin
+              |  FROM c
+              |)
+              |SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |       CAST(SUM(n_tok) AS BIGINT) AS tokens,
+              |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+              |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tok")).cast("long") / 512).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tok")).cast("long").as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** FK-orphan audit — the referential-integrity sweep every load pipeline
+    * runs before publishing: count child rows whose foreign key has no
+    * parent. Two dims are deliberately holed (every 11th customer, every
+    * 13th part — late/failed dim loads) so the orphan counts are non-zero
+    * and the healthy lineitem→orders edge pins the zero case. Each
+    * relationship is one broadcast-or-shuffle left join + conditional
+    * count — the anti-join-shaped audit that scales as the joins it
+    * mirrors; no row data crosses, only counts. */
+  private val fkOrphans = CatalogEntry.ansi(
+    "etl_fk_orphans",
+    """WITH dim_cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 0),
+      |     dim_part AS (SELECT p_partkey FROM part WHERE p_partkey % 13 <> 0)
+      |SELECT rel, n_child, n_orphan FROM (
+      |  SELECT 'orders->customer' AS rel, CAST(COUNT(*) AS BIGINT) AS n_child,
+      |         CAST(SUM(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+      |  FROM orders o LEFT JOIN dim_cust d ON o.o_custkey = d.c_custkey
+      |  UNION ALL
+      |  SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT),
+      |         CAST(SUM(CASE WHEN d.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN dim_part d ON l.l_partkey = d.p_partkey
+      |  UNION ALL
+      |  SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT),
+      |         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |) u ORDER BY rel""".stripMargin) { (spark, sfDir) =>
+    def audit(rel: String, child: DataFrame, fk: String,
+              parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+      val p = if (bcast) broadcast(parent) else parent
+      child.join(p, col(fk) === col(pk), "left")
+        .agg(count(lit(1)).cast("long").as("n_child"),
+          sum(when(col(pk).isNull, 1).otherwise(0)).cast("long").as("n_orphan"))
+        .select(lit(rel).as("rel"), col("n_child"), col("n_orphan"))
+    }
+    val cust = Tables.customer(spark, sfDir)
+      .where(col("c_custkey") % 11 =!= 0).select(col("c_custkey"))
+    val prt = Tables.part(spark, sfDir)
+      .where(col("p_partkey") % 13 =!= 0).select(col("p_partkey"))
+    val orders = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    audit("orders->customer", orders, "o_custkey", cust, "c_custkey", bcast = true)
+      .union(audit("lineitem->part", li, "l_partkey", prt, "p_partkey", bcast = true))
+      .union(audit("lineitem->orders", li, "l_orderkey",
+        orders.select(col("o_orderkey")), "o_orderkey", bcast = false))
+      .orderBy(col("rel"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
     trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,
     surrogateKey, shardExport, partitionBackfill, compactFiles, seqPattern,
-    quotaSample, sessionizeBatch, gapFillLocf, lateArrivingDim)
+    quotaSample, sessionizeBatch, gapFillLocf, lateArrivingDim, packSequences,
+    fkOrphans)
 }

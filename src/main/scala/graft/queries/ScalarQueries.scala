@@ -653,9 +653,60 @@ object ScalarQueries {
       .orderBy(col("dt"))
   }
 
+  /** URL decomposition — protocol/host/path/query plus one named query
+    * parameter, via Spark's dedicated `parse_url` (a real surface Spark
+    * ships that generic SQL lacks: the DuckDB oracle restates each part as
+    * an RFC-3986-shaped regex, which doubles as the spec of what parse_url
+    * is asserted to return). URLs are manufactured deterministically from
+    * document attributes — same technique as `text_url_canonicalize`, which
+    * handles the messy-variant canonicalization; this entry is the clean
+    * structural-extraction half. Pure per-row map in one codegen span. */
+  private val urlParse = CatalogEntry.dialect(
+    "scalar_url_parse",
+    duckdb = """WITH urls AS (
+               |  SELECT doc_id,
+               |    'https://www.' || source || '.example.com/docs/p' || CAST(doc_id % 50 AS VARCHAR) ||
+               |    '?id=' || CAST(doc_id % 100 AS VARCHAR) || '&lang=' || lang || '#top' AS url
+               |  FROM documents
+               |)
+               |SELECT doc_id,
+               |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+               |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+               |  regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+               |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+               |  regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param
+               |FROM urls ORDER BY doc_id""".stripMargin,
+    spark = """WITH urls AS (
+              |  SELECT doc_id,
+              |    'https://www.' || source || '.example.com/docs/p' || CAST(doc_id % 50 AS STRING) ||
+              |    '?id=' || CAST(doc_id % 100 AS STRING) || '&lang=' || lang || '#top' AS url
+              |  FROM documents
+              |)
+              |SELECT doc_id,
+              |  parse_url(url, 'PROTOCOL') AS proto,
+              |  parse_url(url, 'HOST') AS host,
+              |  parse_url(url, 'PATH') AS path,
+              |  parse_url(url, 'QUERY') AS query,
+              |  parse_url(url, 'QUERY', 'id') AS id_param
+              |FROM urls ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".example.com/docs/p"),
+          (col("doc_id") % 50).cast("string"),
+          lit("?id="), (col("doc_id") % 100).cast("string"),
+          lit("&lang="), col("lang"), lit("#top")).as("url"))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("id")).as("id_param"))
+      .orderBy(col("doc_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
     strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
     greatestLeast, tzConvert, businessDays, bitwiseOps, dateFormatToChar,
-    decodeNvl, numberFormat, tryArith, hashFuncs, isoWeek)
+    decodeNvl, numberFormat, tryArith, hashFuncs, isoWeek, urlParse)
 }

@@ -1769,10 +1769,77 @@ object TextQueries {
       .orderBy(col("host"))
   }
 
+  /** Sliding-window chunking — the training-sample preparation step that
+    * turns variable-length documents into fixed-size overlapping token
+    * windows (32-token chunks, stride 16: every LM data pipeline runs this
+    * between cleaning and packing, and the 50% overlap is the standard
+    * don't-split-context hedge). Chunk count is closed-form
+    * (`ceil(max(n−16,1)/16)`), so the whole operator is one generate +
+    * slice per document — per-row work linear in document length, no
+    * shuffle until the output sort, embarrassingly parallel at 100 TB. Tail
+    * chunks shorter than 8 tokens are dropped (they carry no trainable
+    * context and double-count the overlap); each chunk ships its md5 so
+    * chunk-level exact dedup can run directly on this output. */
+  private val chunkWindows = CatalogEntry.dialect(
+    "text_chunk_windows",
+    duckdb = """WITH t AS (
+               |  SELECT doc_id, string_split(text, ' ') AS toks,
+               |         len(string_split(text, ' ')) AS n
+               |  FROM documents
+               |), idx AS (
+               |  SELECT doc_id, toks, n,
+               |         unnest(range(0, CAST(ceil(GREATEST(n - 16, 1) / 16.0) AS BIGINT))) AS ci
+               |  FROM t
+               |), ch AS (
+               |  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+               |         toks[ci*16 + 1 : LEAST(ci*16 + 32, n)] AS chunk
+               |  FROM idx
+               |)
+               |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+               |       chunk[1] AS first_tok, chunk[len(chunk)] AS last_tok,
+               |       md5(array_to_string(chunk, ' ')) AS chunk_hash
+               |FROM ch WHERE len(chunk) >= 8
+               |ORDER BY doc_id, chunk_idx""".stripMargin,
+    spark = """WITH t AS (
+              |  SELECT doc_id, split(text, ' ') AS toks, size(split(text, ' ')) AS n
+              |  FROM documents
+              |), idx AS (
+              |  SELECT doc_id, toks, n,
+              |         explode(sequence(0, CAST(ceil(GREATEST(n - 16, 1) / 16.0) AS INT) - 1)) AS ci
+              |  FROM t
+              |), ch AS (
+              |  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+              |         slice(toks, ci*16 + 1, LEAST(32, n - ci*16)) AS chunk
+              |  FROM idx
+              |)
+              |SELECT doc_id, chunk_idx, CAST(size(chunk) AS BIGINT) AS n_tokens,
+              |       element_at(chunk, 1) AS first_tok,
+              |       element_at(chunk, size(chunk)) AS last_tok,
+              |       md5(array_join(chunk, ' ')) AS chunk_hash
+              |FROM ch WHERE size(chunk) >= 8
+              |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("ci",
+        explode(sequence(lit(0),
+          ceil(greatest(col("n") - 16, lit(1)) / 16.0).cast("int") - 1)))
+      .withColumn("chunk",
+        slice(col("toks"), col("ci") * 16 + 1, least(lit(32), col("n") - col("ci") * 16)))
+      .where(size(col("chunk")) >= 8)
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        element_at(col("chunk"), 1).as("first_tok"),
+        element_at(col("chunk"), size(col("chunk"))).as("last_tok"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
     idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
-    unigramLogprob, containment, corpusFilter, ngramTopk, urlCanonicalize)
+    unigramLogprob, containment, corpusFilter, ngramTopk, urlCanonicalize,
+    chunkWindows)
 }
