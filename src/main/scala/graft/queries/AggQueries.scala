@@ -726,11 +726,45 @@ object AggQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Higher-moment distribution shape — population skewness and excess
+    * kurtosis per group, completing the `agg_stats` family upward (stddev/
+    * corr are 2nd-moment; these are 3rd/4th). Spark's built-ins compute the
+    * population definitions (g₁ = m₃/m₂^1.5, g₂ = m₄/m₂² − 3 over central
+    * moments mₖ = Σ(x−μ)ᵏ/n); the oracle states those formulas explicitly
+    * rather than trusting DuckDB's differently-bias-corrected built-ins —
+    * the restated form IS the semantics pin. One co-moment shuffle in
+    * Spark (the built-ins merge partial moment sums — the mergeable-partial
+    * 100-TB shape, same as `agg_regression`); round-4 absorbs the
+    * accumulation-order FP drift per the established convention. */
+  private val skewKurt = CatalogEntry.dialect(
+    "agg_skew_kurt",
+    duckdb = """WITH m AS (
+               |  SELECT l_returnflag, l_quantity,
+               |         AVG(l_quantity) OVER (PARTITION BY l_returnflag) AS mu
+               |  FROM lineitem
+               |)
+               |SELECT l_returnflag,
+               |       ROUND((SUM(POW(l_quantity - mu, 3)) / COUNT(*)) /
+               |             POW(SUM(POW(l_quantity - mu, 2)) / COUNT(*), 1.5), 4) AS skew,
+               |       ROUND((SUM(POW(l_quantity - mu, 4)) / COUNT(*)) /
+               |             POW(SUM(POW(l_quantity - mu, 2)) / COUNT(*), 2) - 3, 4) AS kurt
+               |FROM m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    spark = """SELECT l_returnflag,
+              |       ROUND(skewness(l_quantity), 4) AS skew,
+              |       ROUND(kurtosis(l_quantity), 4) AS kurt
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, sfDir) =>
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(skewness(col("l_quantity")), 4).as("skew"),
+        round(kurtosis(col("l_quantity")), 4).as("kurt"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
     kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,
     stringConcat, entropyAgg, regression, boolCountIf, weightedAvg,
-    groupingIdRollup, percentileDisc)
+    groupingIdRollup, percentileDisc, skewKurt)
 }

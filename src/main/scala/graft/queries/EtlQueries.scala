@@ -1019,11 +1019,62 @@ object EtlQueries {
       .orderBy(col("rel"))
   }
 
+  /** Column profiling — the per-column statistics sweep (rows / nulls /
+    * distinct / min / max) every ingestion pipeline publishes next to a new
+    * table, emitted long-form (one row per column) so downstream checks can
+    * join on column name. Built programmatically over a column list — the
+    * DataFrame is assembled from one agg per column and unioned, and
+    * Catalyst collapses the shared scan; a 100-TB profiler would instead
+    * fuse all columns into ONE aggregation pass (count_distinct per column
+    * in a single agg) — spelled here as separate legs because exact
+    * COUNT(DISTINCT) per column in one pass expands to the same
+    * multi-distinct plan `agg_multi_distinct` already exercises. Min/max
+    * cast to DOUBLE so one schema fits every numeric column. */
+  private val profileColumns = CatalogEntry.ansi(
+    "etl_profile_columns",
+    """SELECT col, n_rows, n_nulls, n_distinct, mn, mx FROM (
+      |  SELECT 'l_quantity' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |         CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+      |         CAST(MIN(l_quantity) AS DOUBLE) AS mn, CAST(MAX(l_quantity) AS DOUBLE) AS mx
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+      |         CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+      |         CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+      |         CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+      |         CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_tax', CAST(COUNT(*) AS BIGINT),
+      |         CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+      |         CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE)
+      |  FROM lineitem
+      |) u ORDER BY col""".stripMargin) { (spark, sfDir) =>
+    val li = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_quantity", "l_discount", "l_extendedprice", "l_tax")
+    cols.map { c =>
+      li.agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_nulls"),
+          countDistinct(col(c)).cast("long").as("n_distinct"),
+          min(col(c)).cast("double").as("mn"),
+          max(col(c)).cast("double").as("mx"))
+        .select(lit(c).as("col"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("mn"), col("mx"))
+    }.reduce(_ union _).orderBy(col("col"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
     trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,
     surrogateKey, shardExport, partitionBackfill, compactFiles, seqPattern,
     quotaSample, sessionizeBatch, gapFillLocf, lateArrivingDim, packSequences,
-    fkOrphans)
+    fkOrphans, profileColumns)
 }

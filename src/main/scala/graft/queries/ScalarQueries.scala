@@ -704,9 +704,73 @@ object ScalarQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** SQL-standard WIDTH_BUCKET — equi-width histogram bucketing with the
+    * standard's edge semantics (below-range → 0, at-or-above the upper
+    * bound → n+1, else floor((x−lo)·n/(hi−lo))+1). Spark ships the function;
+    * DuckDB 1.0 does not, so the oracle restates the definition in
+    * arithmetic — which doubles as the semantics pin, exactly like
+    * `scalar_url_parse`'s regex restatement. Bounds 0/50 over the integral
+    * quantity column put every input and bucket edge on exact FP values, so
+    * the floor can't straddle an ulp between engines. The per-bucket
+    * rollup keeps the compare small; `agg_histogram_fixed` is the
+    * hand-rolled cousin without the standard's edge rows. */
+  private val widthBucket = CatalogEntry.dialect(
+    "scalar_width_bucket",
+    duckdb = """SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM (
+               |  SELECT CASE WHEN l_quantity < 0 THEN 0
+               |              WHEN l_quantity >= 50 THEN 11
+               |              ELSE CAST(floor(l_quantity * 10 / 50) AS BIGINT) + 1 END AS b
+               |  FROM lineitem) t GROUP BY b ORDER BY b""".stripMargin,
+    spark = """SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM (
+              |  SELECT width_bucket(l_quantity, 0, 50, 10) AS b
+              |  FROM lineitem) t GROUP BY b ORDER BY b""".stripMargin) { (spark, sfDir) =>
+    Tables.lineitem(spark, sfDir)
+      .select(width_bucket(col("l_quantity"), lit(0), lit(50), lit(10)).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("b"))
+  }
+
+  /** Fiscal-calendar parts — FY starting July 1 (the most common
+    * off-calendar fiscal year): fiscal year, fiscal quarter, and fiscal
+    * day-of-year, all closed-form arithmetic off `month()` and a
+    * `make_date` fiscal anchor (same no-engine-calendars policy as
+    * `date_business_days` / `date_iso_week`; the explicit `floor` in the
+    * quarter guards DuckDB's round-half-up BIGINT cast, a §2.0 drift
+    * class). Distinct dates only — the parts are functional in the date. */
+  private val fiscalCalendar = CatalogEntry.dialect(
+    "date_fiscal_calendar",
+    duckdb = """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
+               |SELECT dt,
+               |  CAST(year(dt) + CASE WHEN month(dt) >= 7 THEN 1 ELSE 0 END AS BIGINT) AS fy,
+               |  CAST(floor((month(dt) + 5) % 12 / 3) AS BIGINT) + 1 AS fq,
+               |  CAST(date_diff('day',
+               |       make_date(year(dt) - CASE WHEN month(dt) >= 7 THEN 0 ELSE 1 END, 7, 1),
+               |       dt) + 1 AS BIGINT) AS f_doy
+               |FROM d ORDER BY dt""".stripMargin,
+    spark = """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
+              |SELECT dt,
+              |  CAST(year(dt) + CASE WHEN month(dt) >= 7 THEN 1 ELSE 0 END AS BIGINT) AS fy,
+              |  CAST(floor((month(dt) + 5) % 12 / 3) AS BIGINT) + 1 AS fq,
+              |  CAST(datediff(dt,
+              |       make_date(year(dt) - CASE WHEN month(dt) >= 7 THEN 0 ELSE 1 END, 7, 1)) + 1 AS BIGINT) AS f_doy
+              |FROM d ORDER BY dt""".stripMargin) { (spark, sfDir) =>
+    val m = month(col("dt"))
+    val fyStart = make_date(
+      year(col("dt")) - when(m >= 7, 0).otherwise(1), lit(7), lit(1))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderdate").cast("date").as("dt")).distinct()
+      .select(col("dt"),
+        (year(col("dt")) + when(m >= 7, 1).otherwise(0)).cast("long").as("fy"),
+        (floor((m + 5) % 12 / 3).cast("long") + 1).as("fq"),
+        (datediff(col("dt"), fyStart) + 1).cast("long").as("f_doy"))
+      .orderBy(col("dt"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
     strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
     greatestLeast, tzConvert, businessDays, bitwiseOps, dateFormatToChar,
-    decodeNvl, numberFormat, tryArith, hashFuncs, isoWeek, urlParse)
+    decodeNvl, numberFormat, tryArith, hashFuncs, isoWeek, urlParse,
+    widthBucket, fiscalCalendar)
 }
