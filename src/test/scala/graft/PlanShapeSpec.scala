@@ -93,7 +93,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // must show the predicate as a PartitionFilter (directory pruning),
     // not a data filter
     Catalog.byKey("sink_partitioned_write").run(spark, sfDir).collect()
-    val sink = s"${sys.props("java.io.tmpdir")}/graft_partitioned_sink"
+    val sink = graft.queries.Util.scratchDir("partitioned_sink", sfDir)
     val pruned = spark.read.parquet(sink)
       .where(org.apache.spark.sql.functions.col("o_year") === 1997)
     val plan = pruned.queryExecution.executedPlan.toString
@@ -314,5 +314,67 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"expected the 1-row total broadcast in:\n$p")
     assert(p.contains("partial_count"), s"expected map-side combine in:\n$p")
+  }
+
+  test("vec_hamming_knn broadcasts the query side — corpus never shuffles for the join") {
+    val p = planOf("vec_hamming_knn")
+    assert(p.contains("BroadcastExchange"),
+      s"expected broadcast query side in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"hamming scan must not shuffle the corpus for the join:\n$p")
+  }
+
+  test("vec_prefix_rerank broadcasts the query side — corpus never shuffles for the join") {
+    val p = planOf("vec_prefix_rerank")
+    assert(p.contains("BroadcastExchange"),
+      s"expected broadcast query side in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"prefix-rerank must not shuffle the corpus for the join:\n$p")
+  }
+
+  test("etl_sessionize_batch runs both windows and the rollup on one user_id shuffle") {
+    // two stacked windows + the session rollup must all reuse the single
+    // hashpartitioning(user_id) exchange; the only other exchange is the
+    // output ORDER BY's range partitioning
+    val p = planOf("etl_sessionize_batch")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx in:\n$p")
+  }
+
+  test("etl_pack_sequences windows per source — never a global running sum") {
+    val p = planOf("etl_pack_sequences")
+    assert(p.contains("windowspecdefinition(source"),
+      s"expected the cumsum window partitioned by source in:\n$p")
+    assert(p.contains("Exchange hashpartitioning(source"),
+      s"expected a source-keyed exchange, not SinglePartition, in:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"packing must not funnel through one partition:\n$p")
+  }
+
+  test("win_gaps_islands collapses runs with windows only — no self-join") {
+    val p = planOf("win_gaps_islands")
+    assert(!p.toLowerCase.contains("join"),
+      s"gaps-and-islands must not self-join on date+1:\n$p")
+  }
+
+  test("text_chunk_windows is generate-only — no shuffle before the output sort") {
+    val p = planOf("text_chunk_windows")
+    assert(p.contains("Generate explode"), s"expected chunk explode in:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0,
+      s"chunking must be per-row only (no hash exchange), got $hashEx in:\n$p")
+  }
+
+  test("etl_late_arriving_dim broadcasts the dim and keeps facts streaming") {
+    val p = planOf("etl_late_arriving_dim")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast dim left join in:\n$p")
+  }
+
+  test("etl_fk_orphans broadcasts the dims on the audit edges") {
+    val p = planOf("etl_fk_orphans")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast dim joins in:\n$p")
   }
 }
