@@ -726,6 +726,29 @@ object AggQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** LISTAGG DISTINCT — the deduplicating variant of `agg_string_concat`
+    * (Redshift's LISTAGG(DISTINCT x, ',') WITHIN GROUP (ORDER BY x)):
+    * the member list collapses duplicates before joining, which is the
+    * form catalog/label rollups actually use. Spark spells it
+    * `array_join(array_sort(collect_set(x)))` — collect_set is safe here
+    * because the sort happens AFTER collection, so partition order never
+    * leaks into the output; state is bounded by the distinct-value count
+    * per group (tiny for enum-like columns), the same bound the DISTINCT
+    * keyword itself implies. */
+  private val listaggDistinct = CatalogEntry.dialect(
+    "agg_listagg_distinct",
+    duckdb = """SELECT c_nationkey,
+               |       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+               |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    spark = """SELECT c_nationkey,
+              |       array_join(array_sort(collect_set(c_mktsegment)), ',') AS segs
+              |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segs"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Higher-moment distribution shape — population skewness and excess
     * kurtosis per group, completing the `agg_stats` family upward (stddev/
     * corr are 2nd-moment; these are 3rd/4th). Spark's built-ins compute the
@@ -766,5 +789,5 @@ object AggQueries {
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
     kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,
     stringConcat, entropyAgg, regression, boolCountIf, weightedAvg,
-    groupingIdRollup, percentileDisc, skewKurt)
+    groupingIdRollup, percentileDisc, skewKurt, listaggDistinct)
 }

@@ -767,10 +767,44 @@ object ScalarQueries {
       .orderBy(col("dt"))
   }
 
+  /** Month arithmetic with end-of-month clamping — add_months forward and
+    * back plus LAST_DAY and days-remaining-in-month, the billing/aging
+    * quartet. The semantics pin is the clamp: Jan 31 + 1 month is Feb 29,
+    * not Mar 2, and BOTH engines agree (Spark `add_months`, DuckDB
+    * `+ INTERVAL n MONTH`) — but DuckDB's interval addition returns
+    * TIMESTAMP where Spark's add_months returns DATE, so the oracle casts
+    * back (a §2.0 physical-type drift class, same family as the BIGINT
+    * rounding cast in `date_fiscal_calendar`). Distinct dates only. */
+  private val monthArith = CatalogEntry.dialect(
+    "date_month_arith",
+    duckdb = """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
+               |SELECT dt,
+               |  CAST(dt + INTERVAL 2 MONTH AS DATE) AS plus2m,
+               |  CAST(dt - INTERVAL 1 MONTH AS DATE) AS minus1m,
+               |  last_day(dt) AS mon_end,
+               |  CAST(date_diff('day', dt, last_day(dt)) AS BIGINT) AS days_to_end
+               |FROM d ORDER BY dt""".stripMargin,
+    spark = """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
+              |SELECT dt,
+              |  add_months(dt, 2) AS plus2m,
+              |  add_months(dt, -1) AS minus1m,
+              |  last_day(dt) AS mon_end,
+              |  CAST(datediff(last_day(dt), dt) AS BIGINT) AS days_to_end
+              |FROM d ORDER BY dt""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderdate").cast("date").as("dt")).distinct()
+      .select(col("dt"),
+        add_months(col("dt"), 2).as("plus2m"),
+        add_months(col("dt"), -1).as("minus1m"),
+        last_day(col("dt")).as("mon_end"),
+        datediff(last_day(col("dt")), col("dt")).cast("long").as("days_to_end"))
+      .orderBy(col("dt"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
     strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
     greatestLeast, tzConvert, businessDays, bitwiseOps, dateFormatToChar,
     decodeNvl, numberFormat, tryArith, hashFuncs, isoWeek, urlParse,
-    widthBucket, fiscalCalendar)
+    widthBucket, fiscalCalendar, monthArith)
 }

@@ -416,8 +416,38 @@ object ScanQueries {
       .orderBy(col("line"))
   }
 
+  /** Schema evolution across parquet generations — an old extract without
+    * `priority` and a new extract with it land in the same lake, and a
+    * `mergeSchema` read reconciles them: the union schema comes back with
+    * NULLs where the old files lack the column (exactly how a long-lived
+    * 100-TB table accretes columns without rewriting history; per-file
+    * footer schemas are merged at planning time, no data pass). The oracle
+    * restates the merge from the source table: rows from the old
+    * generation carry NULL priority. mergeSchema is opt-in because footer
+    * merging costs a planning-time scan of file footers — exactly the
+    * option surface this entry pins. */
+  private val schemaMerge = CatalogEntry.ansi(
+    "src_schema_merge",
+    """SELECT o_orderkey, o_totalprice,
+      |       CASE WHEN year(o_orderdate) >= 1998 THEN o_orderpriority END AS priority
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, sfDir) =>
+    val base = scratchDir("schema_merge", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    orders.where(year(col("o_orderdate")) < 1998)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$base/gen1")
+    orders.where(year(col("o_orderdate")) >= 1998)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority").as("priority"))
+      .write.mode("overwrite").parquet(s"$base/gen2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen1", s"$base/gen2")
+      .select(col("o_orderkey"), col("o_totalprice"), col("priority"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     scanProject, schemaEnforce, jsonExtract, csvRoundtrip, jsonRoundtrip,
     orcRoundtrip, csvBadRecords, partitionedWrite, bucketedJoin, jdbcSurface,
-    zorderWrite, textRoundtrip)
+    zorderWrite, textRoundtrip, schemaMerge)
 }

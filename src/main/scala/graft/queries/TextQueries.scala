@@ -1835,11 +1835,94 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Bigram-LM perplexity proxy — the order-2 upgrade of
+    * `text_unigram_logprob`: per-doc mean log probability under an
+    * add-one-smoothed corpus bigram model, p(w₂|w₁) = (c(w₁w₂)+1) /
+    * (c(w₁·)+V). This is the cheap stand-in for the KenLM-style perplexity
+    * filter every LLM corpus pipeline runs (low logprob ⇒ disfluent /
+    * boilerplate / wrong-language text), and smoothing keeps unseen
+    * continuations finite so the score is total. All shuffles are
+    * bigram-/token-keyed (counts, then two broadcast-able probability
+    * joins); the only broadcast is the 1-row vocabulary size. Per-doc mean
+    * via the bigram-sorted fold — same partition-invariance move as the
+    * unigram entry — and round-4 on the way out. */
+  private val perplexityBigram = CatalogEntry.dialect(
+    "text_perplexity_bigram",
+    duckdb = """WITH t AS (
+               |  SELECT doc_id, string_split(text, ' ') AS toks,
+               |         len(string_split(text, ' ')) AS n FROM documents
+               |), bg AS (
+               |  SELECT doc_id,
+               |         unnest(list_transform(range(1, n), i -> toks[i] || ' ' || toks[i+1])) AS b
+               |  FROM t WHERE n >= 2
+               |), cb AS (SELECT b, COUNT(*) AS c12 FROM bg GROUP BY b),
+               |c1 AS (SELECT string_split(b, ' ')[1] AS w1, CAST(SUM(c12) AS BIGINT) AS c1dot
+               |       FROM cb GROUP BY w1),
+               |tok AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+               |v AS (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS vocab FROM tok),
+               |db AS (SELECT doc_id, b, COUNT(*) AS dc FROM bg GROUP BY doc_id, b)
+               |SELECT db.doc_id, CAST(SUM(db.dc) AS BIGINT) AS n_bigrams,
+               |       ROUND(SUM(db.dc * ln((cb.c12 + 1) * CAST(1.0 AS DOUBLE) / (c1.c1dot + v.vocab)))
+               |             / SUM(db.dc), 4) AS avg_logprob
+               |FROM db JOIN cb USING (b)
+               |JOIN c1 ON string_split(db.b, ' ')[1] = c1.w1
+               |CROSS JOIN v
+               |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
+    spark = """WITH t AS (
+              |  SELECT doc_id, split(text, ' ') AS toks, size(split(text, ' ')) AS n FROM documents
+              |), bg AS (
+              |  SELECT doc_id,
+              |         explode(transform(sequence(1, n - 1),
+              |                 i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS b
+              |  FROM t WHERE n >= 2
+              |), cb AS (SELECT b, COUNT(*) AS c12 FROM bg GROUP BY b),
+              |c1 AS (SELECT split(b, ' ')[0] AS w1, CAST(SUM(c12) AS BIGINT) AS c1dot
+              |       FROM cb GROUP BY w1),
+              |tok AS (SELECT explode(split(text, ' ')) AS tk FROM documents),
+              |v AS (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS vocab FROM tok),
+              |db AS (SELECT doc_id, b, COUNT(*) AS dc FROM bg GROUP BY doc_id, b)
+              |SELECT db.doc_id, CAST(SUM(db.dc) AS BIGINT) AS n_bigrams,
+              |       ROUND(SUM(db.dc * ln((cb.c12 + 1) * CAST(1.0 AS DOUBLE) / (c1.c1dot + v.vocab)))
+              |             / SUM(db.dc), 4) AS avg_logprob
+              |FROM db JOIN cb USING (b)
+              |JOIN c1 ON split(db.b, ' ')[0] = c1.w1
+              |CROSS JOIN v
+              |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin) { (spark, sfDir) =>
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") >= 2)
+    val bg = t.select(col("doc_id"),
+      explode(expr("transform(sequence(1, n - 1), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("b"))
+    val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("c12"))
+    val c1 = cb.groupBy(split(col("b"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c12")).as("c1dot"))
+    val v = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tk"))
+      .agg(countDistinct(col("tk")).as("vocab"))
+    val db = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("dc"))
+    db.join(cb, "b")
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+      .join(c1, "w1")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("b"), col("dc"),
+        (col("dc") * log((col("c12") + 1) * lit(1.0) / (col("c1dot") + col("vocab"))))
+          .as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dc")).as("n_bigrams"),
+        collect_list(struct(col("b"), col("lp"))).as("xs"))
+      .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+        round(aggregate(transform(array_sort(col("xs")), e => e.getField("lp")),
+          lit(0.0), (a, x) => a + x) / col("n_bigrams"), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
     idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
     unigramLogprob, containment, corpusFilter, ngramTopk, urlCanonicalize,
-    chunkWindows)
+    chunkWindows, perplexityBigram)
 }

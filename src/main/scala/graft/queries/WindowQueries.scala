@@ -472,9 +472,50 @@ object WindowQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Running peak and drawdown — the high-water-mark pair (finance's
+    * drawdown, ops' record-to-date gap): cumulative revenue, its running
+    * maximum, and the distance below it, per user over event time. Three
+    * stacked window functions on ONE (user_id; ts, event_id) sort — the
+    * running max composes over the running sum with no extra shuffle, and
+    * the whole thing is a single pass per partition at any scale. Sums stay
+    * DECIMAL(18,4) internally so cum/peak/drawdown are exact before the
+    * DOUBLE output cast (§2.0.3); the event_id tie-break pins same-µs
+    * purchases. */
+  private val drawdown = CatalogEntry.ansi(
+    "win_drawdown",
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,4)) AS v
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, ts, event_id,
+      |         SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM p
+      |)
+      |SELECT user_id, event_id,
+      |       CAST(cum AS DOUBLE) AS cum_rev,
+      |       CAST(MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS peak,
+      |       CAST(MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) - cum AS DOUBLE) AS drawdown
+      |FROM c ORDER BY user_id, event_id""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), dec(col("value")).as("v"))
+      .withColumn("cum", sum(col("v")).over(w))
+      .withColumn("peak", max(col("cum")).over(w))
+      .select(col("user_id"), col("event_id"),
+        decOut(col("cum")).as("cum_rev"),
+        decOut(col("peak")).as("peak"),
+        decOut(col("peak") - col("cum")).as("drawdown"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     rowNumber, rankDense, lagLead, runningSum, movingAvg, rangeFrame,
     ntileQuartiles, firstLast, topkPerGroup, distributionFns, nthValue,
     distinctFrame, movingMedian, rangeInterval, ignoreNulls, ratioToReport,
-    cumeDist, gapsIslands)
+    cumeDist, gapsIslands, drawdown)
 }
