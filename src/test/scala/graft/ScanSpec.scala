@@ -11,7 +11,7 @@ class ScanSpec extends SparkSpecBase {
     // exists and the clean output is materialized
     val clean = Catalog.byKey("src_csv_badrecords").run(spark, sfDir)
     assert(clean.count() == Tables.nation(spark, sfDir).count())
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_badrecords"
+    val tmp = graft.queries.Util.scratchDir("csv_badrecords", sfDir)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType),
@@ -60,7 +60,7 @@ class ScanSpec extends SparkSpecBase {
     val entry = Catalog.byKey("sink_bucketed_join")
     entry.run(spark, sfDir).collect()
     def partFiles = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_bucketed/orders")
+      s"${graft.queries.Util.scratchDir("bucketed", sfDir)}/orders")
       .listFiles().map(_.getName).filter(_.startsWith("part-")).toSet
     val staged = partFiles
     assert(staged.nonEmpty)
@@ -85,15 +85,15 @@ class ScanSpec extends SparkSpecBase {
     def parts(dir: String): Int =
       fs.listStatus(new org.apache.hadoop.fs.Path(dir))
         .count(_.getPath.getName.startsWith("part-"))
-    val frag = parts(s"${sys.props("java.io.tmpdir")}/graft_compact_frag")
-    val out = parts(s"${sys.props("java.io.tmpdir")}/graft_compact_out")
+    val frag = parts(graft.queries.Util.scratchDir("compact_frag", sfDir))
+    val out = parts(graft.queries.Util.scratchDir("compact_out", sfDir))
     assert(frag == 64, s"expected the manufactured 64-way fragmentation, got $frag")
     assert(out <= 2, s"compaction left $out files (expected <= 2 at bench SFs)")
   }
 
   test("FAILFAST mode rejects the malformed batch outright") {
     Catalog.byKey("src_csv_badrecords").run(spark, sfDir).count()
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_badrecords"
+    val tmp = graft.queries.Util.scratchDir("csv_badrecords", sfDir)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType),
