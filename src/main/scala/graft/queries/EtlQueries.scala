@@ -1070,11 +1070,45 @@ object EtlQueries {
     }.reduce(_ union _).orderBy(col("col"))
   }
 
+  /** Dead-letter routing — classify every inbound row as clean or into a
+    * first-match reason code (the quarantine pattern: bad rows are never
+    * dropped, they are ROUTED with a reason so reprocessing can target
+    * them; `src_csv_badrecords` quarantines rows that fail to PARSE, this
+    * entry quarantines rows that parse fine but fail BUSINESS rules).
+    * First-match CASE ordering is deliberate and pinned — a row violating
+    * two rules lands in the first bucket, keeping routes disjoint so the
+    * per-route revenue reconciles to the table total. One scan, one
+    * aggregation, no shuffle beyond the 4-row rollup. */
+  private val quarantineRouting = CatalogEntry.ansi(
+    "etl_quarantine_routing",
+    """WITH r AS (
+      |  SELECT l_extendedprice,
+      |    CASE WHEN l_quantity > 45 THEN 'qty_out_of_range'
+      |         WHEN l_discount > 0.08 THEN 'discount_excessive'
+      |         WHEN l_tax > 0.06 THEN 'tax_excessive'
+      |         ELSE 'ok' END AS route
+      |  FROM lineitem
+      |)
+      |SELECT route, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM r GROUP BY route ORDER BY route""".stripMargin) { (spark, sfDir) =>
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice"),
+        when(col("l_quantity") > 45, "qty_out_of_range")
+          .when(col("l_discount") > 0.08, "discount_excessive")
+          .when(col("l_tax") > 0.06, "tax_excessive")
+          .otherwise("ok").as("route"))
+      .groupBy(col("route"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        decOut(sum(dec(col("l_extendedprice")))).as("revenue"))
+      .orderBy(col("route"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
     trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,
     surrogateKey, shardExport, partitionBackfill, compactFiles, seqPattern,
     quotaSample, sessionizeBatch, gapFillLocf, lateArrivingDim, packSequences,
-    fkOrphans, profileColumns)
+    fkOrphans, profileColumns, quarantineRouting)
 }

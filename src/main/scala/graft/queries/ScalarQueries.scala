@@ -801,10 +801,54 @@ object ScalarQueries {
       .orderBy(col("dt"))
   }
 
+  /** Case-insensitive semantics via Spark 4 collations — COUNT(DISTINCT)
+    * under `UTF8_LCASE` collapses case variants where binary collation
+    * keeps them apart (the Redshift CASE_INSENSITIVE column analog, and a
+    * genuinely new Spark-4 surface: the collation travels with the VALUE,
+    * so every comparison — grouping, distinct, joins — picks it up without
+    * rewriting expressions). Mixed-case data is manufactured three ways per
+    * customer (UPPER / lower / Initcap by key mod 3); the oracle restates
+    * case-insensitive distinct as DISTINCT lower(x), which is exactly
+    * UTF8_LCASE's definition for ASCII — the restatement is the
+    * semantics pin. */
+  private val collationGroup = CatalogEntry.dialect(
+    "str_collation_group",
+    duckdb = """WITH m AS (
+               |  SELECT c_nationkey,
+               |    CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+               |         WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+               |         ELSE concat(upper(substr(c_mktsegment, 1, 1)), lower(substr(c_mktsegment, 2))) END AS seg
+               |  FROM customer
+               |)
+               |SELECT c_nationkey, CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_raw,
+               |       CAST(COUNT(DISTINCT lower(seg)) AS BIGINT) AS n_ci
+               |FROM m GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    spark = """WITH m AS (
+              |  SELECT c_nationkey,
+              |    CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+              |         WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+              |         ELSE concat(upper(substr(c_mktsegment, 1, 1)), lower(substr(c_mktsegment, 2))) END AS seg
+              |  FROM customer
+              |)
+              |SELECT c_nationkey, CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_raw,
+              |       CAST(COUNT(DISTINCT collate(seg, 'UTF8_LCASE')) AS BIGINT) AS n_ci
+              |FROM m GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (spark, sfDir) =>
+    val seg = when(col("c_custkey") % 3 === 0, upper(col("c_mktsegment")))
+      .when(col("c_custkey") % 3 === 1, lower(col("c_mktsegment")))
+      .otherwise(concat(upper(substring(col("c_mktsegment"), 1, 1)),
+        lower(expr("substr(c_mktsegment, 2)"))))
+    Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), seg.as("seg"))
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("seg")).cast("long").as("n_raw"),
+        countDistinct(collate(col("seg"), "UTF8_LCASE")).cast("long").as("n_ci"))
+      .orderBy(col("c_nationkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
     strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
     greatestLeast, tzConvert, businessDays, bitwiseOps, dateFormatToChar,
     decodeNvl, numberFormat, tryArith, hashFuncs, isoWeek, urlParse,
-    widthBucket, fiscalCalendar, monthArith)
+    widthBucket, fiscalCalendar, monthArith, collationGroup)
 }

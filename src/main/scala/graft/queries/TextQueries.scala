@@ -1918,11 +1918,80 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk-level exact dedup — close the `text_chunk_windows` → dedup
+    * loop: hash every 32/16 sliding chunk, count DISTINCT documents per
+    * hash, and score each document by the fraction of its chunks shared
+    * with some other document (the chunk-granular cross-doc overlap signal:
+    * doc-level exact dedup misses partial copies, `dedup_exact_substring`
+    * finds 8-gram spans — this is the training-sample-granularity middle).
+    * Everything is hash-keyed: chunk explode (linear), one count-distinct
+    * per hash, one hash-keyed join back, one per-doc rollup — no pair
+    * enumeration anywhere, so the plan survives 100 TB by construction.
+    * COUNT(DISTINCT doc_id) per hash — not COUNT(*) — so a doc repeating
+    * its own chunk (stride overlap does this) never self-flags. */
+  private val dedupChunk = CatalogEntry.dialect(
+    "dedup_chunk_exact",
+    duckdb = """WITH t AS (
+               |  SELECT doc_id, string_split(text, ' ') AS toks,
+               |         len(string_split(text, ' ')) AS n FROM documents
+               |), idx AS (
+               |  SELECT doc_id, toks, n,
+               |         unnest(range(0, CAST(ceil(GREATEST(n - 16, 1) / 16.0) AS BIGINT))) AS ci
+               |  FROM t
+               |), ch AS (
+               |  SELECT doc_id, md5(array_to_string(toks[ci*16 + 1 : LEAST(ci*16 + 32, n)], ' ')) AS h
+               |  FROM idx WHERE len(toks[ci*16 + 1 : LEAST(ci*16 + 32, n)]) >= 8
+               |), hc AS (
+               |  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h
+               |)
+               |SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               |       CAST(SUM(CASE WHEN hc.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               |       ROUND(SUM(CASE WHEN hc.nd > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_frac
+               |FROM ch JOIN hc USING (h)
+               |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+    spark = """WITH t AS (
+              |  SELECT doc_id, split(text, ' ') AS toks, size(split(text, ' ')) AS n FROM documents
+              |), idx AS (
+              |  SELECT doc_id, toks, n,
+              |         explode(sequence(0, CAST(ceil(GREATEST(n - 16, 1) / 16.0) AS INT) - 1)) AS ci
+              |  FROM t
+              |), ch AS (
+              |  SELECT doc_id, md5(array_join(slice(toks, ci*16 + 1, LEAST(32, n - ci*16)), ' ')) AS h
+              |  FROM idx WHERE size(slice(toks, ci*16 + 1, LEAST(32, n - ci*16))) >= 8
+              |), hc AS (
+              |  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h
+              |)
+              |SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              |       CAST(SUM(CASE WHEN hc.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+              |       ROUND(SUM(CASE WHEN hc.nd > 1 THEN 1 ELSE 0 END) * CAST(1.0 AS DOUBLE) / COUNT(*), 4) AS dup_frac
+              |FROM ch JOIN hc USING (h)
+              |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin) { (spark, sfDir) =>
+    val ch = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("ci",
+        explode(sequence(lit(0),
+          ceil(greatest(col("n") - 16, lit(1)) / 16.0).cast("int") - 1)))
+      .withColumn("chunk",
+        slice(col("toks"), col("ci") * 16 + 1, least(lit(32), col("n") - col("ci") * 16)))
+      .where(size(col("chunk")) >= 8)
+      .select(col("doc_id"), md5(array_join(col("chunk"), " ")).as("h"))
+    val hc = ch.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    ch.join(hc, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("nd") > 1, 1).otherwise(0)).cast("long").as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        round(col("n_dup") * lit(1.0) / col("n_chunks"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
     idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
     unigramLogprob, containment, corpusFilter, ngramTopk, urlCanonicalize,
-    chunkWindows, perplexityBigram)
+    chunkWindows, perplexityBigram, dedupChunk)
 }

@@ -513,9 +513,63 @@ object WindowQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Exponentially-weighted moving average over a bounded 10-row frame —
+    * the smoothing companion of `win_moving_avg` (recent rows dominate:
+    * weight 0.2·0.8ⁱ on the i-th row back, renormalized over however much
+    * history the frame holds, so early rows get a full-weight average, not
+    * a damped one). True infinite-history EWMA is a sequential recurrence;
+    * the bounded frame makes it a per-row pure function of 10 values —
+    * embarrassingly parallel, and the dropped tail is < 0.8¹⁰ ≈ 10% of
+    * weight. Same collect-frame-then-fold move as `win_moving_median`
+    * (order statistics and weighted folds both need the frame as data);
+    * the fold runs oldest-last via reverse, so weights attach by recency,
+    * and both engines fold the same 10 doubles in the same order. */
+  private val ewmaFrame = CatalogEntry.dialect(
+    "win_ewma_frame",
+    duckdb = """WITH p AS (
+               |  SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+               |  FROM events WHERE event_type = 'view'
+               |), l AS (
+               |  SELECT user_id, event_id,
+               |         list_reverse(list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               |                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS r
+               |  FROM p
+               |)
+               |SELECT user_id, event_id,
+               |  ROUND(list_sum(list_transform(range(1, len(r)+1), i -> r[i] * 0.2 * pow(0.8, i-1))) /
+               |        list_sum(list_transform(range(1, len(r)+1), i -> 0.2 * pow(0.8, i-1))), 4) AS ewma
+               |FROM l ORDER BY user_id, event_id""".stripMargin,
+    spark = """WITH p AS (
+              |  SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+              |  FROM events WHERE event_type = 'view'
+              |), l AS (
+              |  SELECT user_id, event_id,
+              |         reverse(collect_list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS r
+              |  FROM p
+              |)
+              |SELECT user_id, event_id,
+              |  ROUND(aggregate(transform(sequence(1, size(r)), i -> element_at(r, i) * 0.2D * pow(0.8D, i-1)), 0D, (a, x) -> a + x) /
+              |        aggregate(transform(sequence(1, size(r)), i -> 0.2D * pow(0.8D, i-1)), 0D, (a, x) -> a + x), 4) AS ewma
+              |FROM l ORDER BY user_id, event_id""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("double").as("v"))
+      .withColumn("r", reverse(collect_list(col("v")).over(w)))
+      .select(col("user_id"), col("event_id"),
+        round(
+          expr("aggregate(transform(sequence(1, size(r)), i -> element_at(r, i) * 0.2D * pow(0.8D, i-1)), 0D, (a, x) -> a + x)") /
+          expr("aggregate(transform(sequence(1, size(r)), i -> 0.2D * pow(0.8D, i-1)), 0D, (a, x) -> a + x)"),
+          4).as("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     rowNumber, rankDense, lagLead, runningSum, movingAvg, rangeFrame,
     ntileQuartiles, firstLast, topkPerGroup, distributionFns, nthValue,
     distinctFrame, movingMedian, rangeInterval, ignoreNulls, ratioToReport,
-    cumeDist, gapsIslands, drawdown)
+    cumeDist, gapsIslands, drawdown, ewmaFrame)
 }
