@@ -726,6 +726,36 @@ object AggQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Cohort retention — the signup-cohort × activity-age matrix (the BI
+    * staple: of customers whose FIRST order fell in year Y, how many were
+    * active Y+k years later). Two passes, both customer-keyed: min-year
+    * per customer (the cohort), then one distinct (customer, year) join
+    * back — the join is on the same key as both aggregations, so a 100-TB
+    * plan shuffles once on customer and reuses the partitioning
+    * throughout; the matrix itself is tiny (|years|² rows). Age 0 row per
+    * cohort doubles as the cohort-size denominator. */
+  private val cohortRetention = CatalogEntry.ansi(
+    "agg_cohort_retention",
+    """WITH f AS (
+      |  SELECT o_custkey, MIN(year(o_orderdate)) AS cohort FROM orders GROUP BY o_custkey
+      |), act AS (
+      |  SELECT DISTINCT o.o_custkey, f.cohort, year(o.o_orderdate) AS yr
+      |  FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+      |)
+      |SELECT CAST(cohort AS BIGINT) AS cohort, CAST(yr - cohort AS BIGINT) AS age,
+      |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active
+      |FROM act GROUP BY cohort, age ORDER BY cohort, age""".stripMargin) { (spark, sfDir) =>
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+    val f = orders.groupBy(col("o_custkey")).agg(min(col("yr")).as("cohort"))
+    orders.join(f, "o_custkey")
+      .select(col("o_custkey"), col("cohort"), col("yr")).distinct()
+      .groupBy(col("cohort").cast("long").as("cohort"),
+        (col("yr") - col("cohort")).cast("long").as("age"))
+      .agg(countDistinct(col("o_custkey")).cast("long").as("n_active"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
   /** LISTAGG DISTINCT — the deduplicating variant of `agg_string_concat`
     * (Redshift's LISTAGG(DISTINCT x, ',') WITHIN GROUP (ORDER BY x)):
     * the member list collapses duplicates before joining, which is the
@@ -789,5 +819,6 @@ object AggQueries {
     percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
     kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,
     stringConcat, entropyAgg, regression, boolCountIf, weightedAvg,
-    groupingIdRollup, percentileDisc, skewKurt, listaggDistinct)
+    groupingIdRollup, percentileDisc, skewKurt, listaggDistinct,
+    cohortRetention)
 }

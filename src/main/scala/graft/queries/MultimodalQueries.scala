@@ -80,5 +80,58 @@ object MultimodalQueries {
       .orderBy(col("asset_id"), col("frame_idx"))
   }
 
-  def entries: Seq[CatalogEntry] = Seq(binaryStats, resizeMeta, decodeFeatures, frameSample)
+  /** Binary-asset exact dedup — content-hash the payload BLOB, group
+    * identical assets, and report the copy-count distribution plus the
+    * bytes a dedup pass would reclaim (the asset-store dedup every
+    * multimodal corpus runs before feature extraction: the same image
+    * arrives under many asset ids, and hashing is the only sane identity
+    * for opaque bytes). Assets are manufactured with a shared content pool
+    * (asset i carries the payload of document i mod 350, so 150 of 500
+    * assets are copies). The whole operator is hash-keyed — linear scan,
+    * one hash rollup, one distribution rollup; the oracle hashes the same
+    * UTF-8 bytes via DuckDB's VARCHAR md5 (same digest, no BLOB overload
+    * needed). */
+  private val binaryDedup = CatalogEntry.dialect(
+    "mm_binary_dedup",
+    duckdb = """WITH a AS (
+               |  SELECT d.doc_id AS asset_id, md5(s.text) AS h,
+               |         CAST(octet_length(encode(s.text)) AS BIGINT) AS nb
+               |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 350
+               |), g AS (
+               |  SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies,
+               |         CAST(MIN(nb) AS BIGINT) AS bytes
+               |  FROM a GROUP BY h
+               |)
+               |SELECT n_copies, CAST(COUNT(*) AS BIGINT) AS n_payloads,
+               |       CAST(SUM(bytes * (n_copies - 1)) AS BIGINT) AS reclaimable_bytes
+               |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
+    spark = """WITH a AS (
+              |  SELECT d.doc_id AS asset_id, md5(encode(s.text, 'UTF-8')) AS h,
+              |         CAST(octet_length(encode(s.text, 'UTF-8')) AS BIGINT) AS nb
+              |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 350
+              |), g AS (
+              |  SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies,
+              |         CAST(MIN(nb) AS BIGINT) AS bytes
+              |  FROM a GROUP BY h
+              |)
+              |SELECT n_copies, CAST(COUNT(*) AS BIGINT) AS n_payloads,
+              |       CAST(SUM(bytes * (n_copies - 1)) AS BIGINT) AS reclaimable_bytes
+              |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin) { (spark, sfDir) =>
+    val docs = Tables.documents(spark, sfDir)
+    val pool = docs.select(col("doc_id").as("src_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+    docs.select((col("doc_id") % 350).as("src_id"))
+      .join(broadcast(pool), "src_id")
+      .select(md5(col("payload")).as("h"),
+        octet_length(col("payload")).cast("long").as("nb"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).cast("long").as("n_copies"), min(col("nb")).as("bytes"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).cast("long").as("n_payloads"),
+        sum(col("bytes") * (col("n_copies") - 1)).cast("long").as("reclaimable_bytes"))
+      .orderBy(col("n_copies"))
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(binaryStats, resizeMeta, decodeFeatures, frameSample,
+    binaryDedup)
 }

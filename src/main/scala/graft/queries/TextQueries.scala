@@ -1987,11 +1987,69 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document keyword extraction — top-3 terms by tf·idf within each
+    * document (`text_idf_topterms` ranks the CORPUS's discriminative
+    * terms; this ranks each DOC's, which is the topic-tagging /
+    * metadata-enrichment pass). Counts are token-keyed shuffles, the
+    * per-doc ranking is a doc-partitioned window over ≤|vocab∩doc| rows,
+    * and the round-4 score + term tie-break pins the cut. The 1-row
+    * doc-count is the only broadcast. */
+  private val docKeywords = CatalogEntry.dialect(
+    "text_doc_keywords",
+    duckdb = """WITH tok AS (
+               |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+               |), tf AS (
+               |  SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t
+               |), dfreq AS (
+               |  SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t
+               |), nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+               |sc AS (
+               |  SELECT tf.doc_id, tf.t,
+               |         ROUND(tf.tf * ln(nd.n * CAST(1.0 AS DOUBLE) / dfreq.df), 4) AS score
+               |  FROM tf JOIN dfreq USING (t) CROSS JOIN nd
+               |)
+               |SELECT doc_id, CAST(rk AS BIGINT) AS rk, t AS term, score FROM (
+               |  SELECT doc_id, t, score,
+               |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rk
+               |  FROM sc
+               |) r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    spark = """WITH tok AS (
+              |  SELECT doc_id, explode(split(text, ' ')) AS t FROM documents
+              |), tf AS (
+              |  SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t
+              |), dfreq AS (
+              |  SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t
+              |), nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+              |sc AS (
+              |  SELECT tf.doc_id, tf.t,
+              |         ROUND(tf.tf * ln(nd.n * CAST(1.0 AS DOUBLE) / dfreq.df), 4) AS score
+              |  FROM tf JOIN dfreq USING (t) CROSS JOIN nd
+              |)
+              |SELECT doc_id, CAST(rk AS BIGINT) AS rk, t AS term, score FROM (
+              |  SELECT doc_id, t, score,
+              |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rk
+              |  FROM sc
+              |) r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (spark, sfDir) =>
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    val nd = tok.agg(countDistinct(col("doc_id")).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))
+    tf.join(dfreq, "t").crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("t"),
+        round(col("tf") * log(col("n") * lit(1.0) / col("df")), 4).as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("t").as("term"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
     idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
     unigramLogprob, containment, corpusFilter, ngramTopk, urlCanonicalize,
-    chunkWindows, perplexityBigram, dedupChunk)
+    chunkWindows, perplexityBigram, dedupChunk, docKeywords)
 }
