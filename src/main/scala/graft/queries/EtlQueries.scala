@@ -1104,11 +1104,65 @@ object EtlQueries {
       .orderBy(col("route"))
   }
 
+  /** SCD2 change application — the MERGE-into-history step
+    * (`etl_scd2_intervals` DERIVES intervals from an event log; this entry
+    * APPLIES a change batch to a versioned dim): every changed key's
+    * current row is CLOSED at the effective date, and a new current
+    * version is INSERTED; untouched keys pass through. One key-partitioned
+    * left join + a union with the change batch — the exact 100-TB shape of
+    * warehouse MERGE (both legs hash on the business key, nothing is
+    * rewritten but the touched keys' rows... and in a real lake the union
+    * lands as a partition overwrite, cf. `etl_partition_backfill`).
+    * Balance math stays DECIMAL end-to-end (the +100 increment and the
+    * output cast) — a double ROUND here would hit the half-even-vs-HALF_UP
+    * split (§2.0.3). */
+  private val scd2Apply = CatalogEntry.ansi(
+    "etl_scd2_apply",
+    """WITH dim AS (
+      |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,4)) AS bal0,
+      |         DATE '2020-01-01' AS valid_from,
+      |         CAST(NULL AS DATE) AS valid_to, 1 AS is_current
+      |  FROM customer
+      |), chg AS (
+      |  SELECT c_custkey,
+      |         CAST(c_acctbal AS DECIMAL(18,4)) + 100 AS new_bal,
+      |         DATE '2024-06-01' AS eff
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |)
+      |SELECT c_custkey, CAST(bal AS DOUBLE) AS bal, valid_from, valid_to,
+      |       CAST(is_current AS BIGINT) AS is_current FROM (
+      |  SELECT d.c_custkey, d.bal0 AS bal, d.valid_from,
+      |         CASE WHEN c.c_custkey IS NULL THEN d.valid_to ELSE c.eff END AS valid_to,
+      |         CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END AS is_current
+      |  FROM dim d LEFT JOIN chg c ON d.c_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT c_custkey, new_bal, eff, CAST(NULL AS DATE), 1 FROM chg
+      |) u ORDER BY c_custkey, valid_from""".stripMargin) { (spark, sfDir) =>
+    val cust = Tables.customer(spark, sfDir)
+    val dim = cust.select(col("c_custkey"), dec(col("c_acctbal")).as("bal0"),
+      to_date(lit("2020-01-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"), lit(1).as("is_current"))
+    val chg = cust.where(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("k"), (dec(col("c_acctbal")) + 100).as("new_bal"),
+        to_date(lit("2024-06-01")).as("eff"))
+    val updated = dim.join(chg, col("c_custkey") === col("k"), "left")
+      .select(col("c_custkey"), col("bal0").as("bal"), col("valid_from"),
+        when(col("k").isNull, col("valid_to")).otherwise(col("eff")).as("valid_to"),
+        when(col("k").isNull, 1L).otherwise(0L).as("is_current"))
+    val inserted = chg.select(col("k").as("c_custkey"), col("new_bal").as("bal"),
+      col("eff").as("valid_from"), lit(null).cast("date").as("valid_to"),
+      lit(1L).as("is_current"))
+    updated.union(inserted)
+      .select(col("c_custkey"), decOut(col("bal")).as("bal"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
     trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,
     surrogateKey, shardExport, partitionBackfill, compactFiles, seqPattern,
     quotaSample, sessionizeBatch, gapFillLocf, lateArrivingDim, packSequences,
-    fkOrphans, profileColumns, quarantineRouting)
+    fkOrphans, profileColumns, quarantineRouting, scd2Apply)
 }

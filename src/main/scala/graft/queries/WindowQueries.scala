@@ -567,9 +567,38 @@ object WindowQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Year-over-year growth — the period-over-period report (lag on a
+    * yearly rollup + percent change), the single most common BI window
+    * query. The unpartitioned ORDER BY yr window is safe BECAUSE it runs
+    * on the rollup, not the facts: the heavy aggregation shuffles on year
+    * first, and the window then sorts |years| rows — bounded by the
+    * calendar at any corpus size (the anti-pattern would be windowing the
+    * fact table itself). Revenue sums go through DECIMAL; the growth ratio
+    * is double with round-4. */
+  private val yoyGrowth = CatalogEntry.ansi(
+    "win_yoy_growth",
+    """WITH y AS (
+      |  SELECT year(o_orderdate) AS yr,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY year(o_orderdate)
+      |)
+      |SELECT CAST(yr AS BIGINT) AS yr, rev,
+      |       LAG(rev) OVER (ORDER BY yr) AS prev_rev,
+      |       ROUND((rev - LAG(rev) OVER (ORDER BY yr)) * 100.0 / LAG(rev) OVER (ORDER BY yr), 4) AS yoy_pct
+      |FROM y ORDER BY yr""".stripMargin) { (spark, sfDir) =>
+    val w = Window.orderBy(col("yr"))
+    Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(decOut(sum(dec(col("o_totalprice")))).as("rev"))
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .select(col("yr").cast("long").as("yr"), col("rev"), col("prev_rev"),
+        round((col("rev") - col("prev_rev")) * 100.0 / col("prev_rev"), 4).as("yoy_pct"))
+      .orderBy(col("yr"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     rowNumber, rankDense, lagLead, runningSum, movingAvg, rangeFrame,
     ntileQuartiles, firstLast, topkPerGroup, distributionFns, nthValue,
     distinctFrame, movingMedian, rangeInterval, ignoreNulls, ratioToReport,
-    cumeDist, gapsIslands, drawdown, ewmaFrame)
+    cumeDist, gapsIslands, drawdown, ewmaFrame, yoyGrowth)
 }
