@@ -726,6 +726,77 @@ object AggQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Gini coefficient — concentration of positive account balances via the
+    * sorted-rank identity G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n (the inequality
+    * measure concentration dashboards report; the pairwise |xᵢ−xⱼ|
+    * definition is O(n²), the rank identity is one sort + one pass — the
+    * same quadratic-to-linear restatement the dedup twins document).
+    * Ranks come from ROW_NUMBER with a key tie-break, i·x stays DECIMAL
+    * so both Σ terms are exact, and only the final ratio is double. The
+    * single-partition window is the documented trade-off: a 100-TB Gini
+    * would bucket by value range and composite rank offsets per bucket —
+    * the identity itself is unchanged. */
+  private val giniCoefficient = CatalogEntry.ansi(
+    "agg_gini_coefficient",
+    """WITH x AS (
+      |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS v
+      |  FROM customer WHERE c_acctbal > 0
+      |), r AS (
+      |  SELECT v, ROW_NUMBER() OVER (ORDER BY v, c_custkey) AS i FROM x
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |       ROUND((2.0 * SUM(i * v)) / (COUNT(*) * SUM(v)) - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+      |FROM r""".stripMargin) { (spark, sfDir) =>
+    val w = Window.orderBy(col("v"), col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .where(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_acctbal").cast("decimal(18,2)").as("v"))
+      .withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round((lit(2.0) * sum(col("i") * col("v"))) / (count(lit(1)) * sum(col("v")))
+          - (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"))
+      .select(col("n"), col("gini"))
+  }
+
+  /** Median absolute deviation — the robust two-pass dispersion statistic
+    * (median of |x − median|, the outlier-resistant stddev every data-QA
+    * sweep prefers when tails are wild). Inherently two passes — the
+    * inner median must be KNOWN before deviations exist — so the plan is
+    * two group-keyed aggregations with a broadcast-able per-group median
+    * join between them; both passes shuffle on the same group key. The
+    * MAX(m) in the output leg is a no-op carry (m is constant per group),
+    * matching the oracle's spelling exactly. */
+  private val madRobust = CatalogEntry.dialect(
+    "agg_mad_robust",
+    duckdb = """WITH med AS (
+               |  SELECT l_returnflag, percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS m
+               |  FROM lineitem GROUP BY l_returnflag
+               |)
+               |SELECT l.l_returnflag,
+               |       ROUND(MAX(med.m), 4) AS median_qty,
+               |       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(l.l_quantity - med.m)), 4) AS mad
+               |FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+               |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+    spark = """WITH med AS (
+              |  SELECT l_returnflag, percentile(l_quantity, 0.5) AS m
+              |  FROM lineitem GROUP BY l_returnflag
+              |)
+              |SELECT l.l_returnflag,
+              |       ROUND(MAX(med.m), 4) AS median_qty,
+              |       ROUND(percentile(abs(l.l_quantity - med.m), 0.5), 4) AS mad
+              |FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+              |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (spark, sfDir) =>
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("m"))
+    li.join(broadcast(med), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(round(max(col("m")), 4).as("median_qty"),
+        round(expr("percentile(abs(l_quantity - m), 0.5)"), 4).as("mad"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Cohort retention — the signup-cohort × activity-age matrix (the BI
     * staple: of customers whose FIRST order fell in year Y, how many were
     * active Y+k years later). Two passes, both customer-keyed: min-year
@@ -820,5 +891,5 @@ object AggQueries {
     kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,
     stringConcat, entropyAgg, regression, boolCountIf, weightedAvg,
     groupingIdRollup, percentileDisc, skewKurt, listaggDistinct,
-    cohortRetention)
+    cohortRetention, madRobust, giniCoefficient)
 }

@@ -1158,11 +1158,67 @@ object EtlQueries {
       .orderBy(col("c_custkey"), col("valid_from"))
   }
 
+  /** Cross-system checksum reconciliation — per-partition row checksums
+    * for validating a migration or a dual-write (the "did Redshift and
+    * Spark load the same rows" audit). Each row is canonicalized to a
+    * delimited string (measure pinned to DECIMAL(18,2) text — double
+    * formatting differs across engines, canonical text must not), hashed
+    * with a PORTABLE polynomial hash (31-base mod 2³¹−1, integer
+    * arithmetic any engine can state — that portability is the whole
+    * point: md5-hex can't be summed without engine-specific hex decodes),
+    * and SUMmed per year partition. Order-independent by construction
+    * (sum of per-row hashes), so two systems compare one small table of
+    * (partition, n_rows, checksum) instead of shipping rows. */
+  private val checksumReconcile = CatalogEntry.dialect(
+    "etl_checksum_reconcile",
+    duckdb = """WITH r AS (
+               |  SELECT year(o_orderdate) AS yr,
+               |         o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+               |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS s
+               |  FROM orders
+               |), h AS (
+               |  SELECT yr,
+               |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+               |           list_transform(string_split(s, ''), ch -> CAST(ord(ch) AS BIGINT))),
+               |           (acc, c) -> (acc * 31 + c) % 2147483647) AS rh
+               |  FROM r
+               |)
+               |SELECT CAST(yr AS BIGINT) AS yr, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               |       CAST(SUM(rh) AS BIGINT) AS checksum
+               |FROM h GROUP BY yr ORDER BY yr""".stripMargin,
+    spark = """WITH r AS (
+              |  SELECT year(o_orderdate) AS yr,
+              |         o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+              |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS s
+              |  FROM orders
+              |), h AS (
+              |  SELECT yr,
+              |         aggregate(transform(split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+              |                   CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647) AS rh
+              |  FROM r
+              |)
+              |SELECT CAST(yr AS BIGINT) AS yr, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              |       CAST(SUM(rh) AS BIGINT) AS checksum
+              |FROM h GROUP BY yr ORDER BY yr""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("yr"),
+        concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("string")).as("s"))
+      .withColumn("rh", expr(
+        "aggregate(transform(split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647)"))
+      .groupBy(col("yr").cast("long").as("yr"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("rh")).cast("long").as("checksum"))
+      .orderBy(col("yr"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
     trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,
     surrogateKey, shardExport, partitionBackfill, compactFiles, seqPattern,
     quotaSample, sessionizeBatch, gapFillLocf, lateArrivingDim, packSequences,
-    fkOrphans, profileColumns, quarantineRouting, scd2Apply)
+    fkOrphans, profileColumns, quarantineRouting, scd2Apply,
+    checksumReconcile)
 }

@@ -845,10 +845,61 @@ object ScalarQueries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TO_NUMBER analog — parse formatted currency strings back to numbers
+    * (the ingestion half; `str_number_format` is the presentation half):
+    * strip sign/symbol/thousands separators, cast, re-apply the sign. The
+    * money strings are manufactured from the balances themselves with the
+    * portable int-part/cents construction (DECIMAL math keeps the cents
+    * digit exact; DuckDB's `format('{:,}')` and Spark's `format_number`
+    * group identically on BIGINT — the same split `str_number_format`
+    * pinned, because float grouping is refused by DuckDB), so the
+    * round-trip parsed == original is part of what the oracle hash
+    * asserts. Negative balances exercise the sign path. */
+  private val parseNumber = CatalogEntry.dialect(
+    "str_parse_number",
+    duckdb = """WITH b AS (
+               |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer
+               |), f AS (
+               |  SELECT c_custkey,
+               |    CASE WHEN bal < 0 THEN '-' ELSE '' END || '$' ||
+               |    format('{:,}', CAST(floor(abs(bal)) AS BIGINT)) || '.' ||
+               |    lpad(CAST(CAST(abs(bal) * 100 % 100 AS BIGINT) AS VARCHAR), 2, '0') AS money_str
+               |  FROM b
+               |)
+               |SELECT c_custkey, money_str,
+               |  CASE WHEN money_str LIKE '-%' THEN -1.0 ELSE 1.0 END *
+               |  CAST(replace(replace(replace(money_str, '-', ''), '$', ''), ',', '') AS DOUBLE) AS parsed
+               |FROM f ORDER BY c_custkey""".stripMargin,
+    spark = """WITH b AS (
+              |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer
+              |), f AS (
+              |  SELECT c_custkey,
+              |    CASE WHEN bal < 0 THEN '-' ELSE '' END || '$' ||
+              |    format_number(CAST(floor(abs(bal)) AS BIGINT), 0) || '.' ||
+              |    lpad(CAST(CAST(abs(bal) * 100 % 100 AS BIGINT) AS STRING), 2, '0') AS money_str
+              |  FROM b
+              |)
+              |SELECT c_custkey, money_str,
+              |  CASE WHEN money_str LIKE '-%' THEN -1.0D ELSE 1.0D END *
+              |  CAST(replace(replace(replace(money_str, '-', ''), '$', ''), ',', '') AS DOUBLE) AS parsed
+              |FROM f ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    val bal = col("c_acctbal").cast("decimal(18,2)")
+    val moneyStr = concat(
+      when(bal < 0, "-").otherwise(""), lit("$"),
+      format_number(floor(abs(bal)).cast("long"), 0), lit("."),
+      lpad(((abs(bal) * 100) % 100).cast("long").cast("string"), 2, "0"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), moneyStr.as("money_str"))
+      .select(col("c_custkey"), col("money_str"),
+        (when(col("money_str").startsWith("-"), -1.0).otherwise(1.0) *
+          regexp_replace(col("money_str"), "[-$,]", "").cast("double")).as("parsed"))
+      .orderBy(col("c_custkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
     strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
     greatestLeast, tzConvert, businessDays, bitwiseOps, dateFormatToChar,
     decodeNvl, numberFormat, tryArith, hashFuncs, isoWeek, urlParse,
-    widthBucket, fiscalCalendar, monthArith, collationGroup)
+    widthBucket, fiscalCalendar, monthArith, collationGroup, parseNumber)
 }

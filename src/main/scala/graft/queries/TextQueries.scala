@@ -2045,11 +2045,63 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Data-mixing weights — temperature-scaled language sampling weights
+    * (w_l ∝ share_l^α with α = 0.5, renormalized), the corpus-balancing
+    * computation multilingual training runs before sampling: α < 1
+    * upsamples low-resource languages (the upsample_factor column makes
+    * the effect auditable — en is damped below 1, every minority language
+    * is boosted). Token counts are exact integer sums, the whole
+    * computation is one tiny rollup + a 5-row window renormalization —
+    * the weights table is the OUTPUT; the sampler that consumes it is
+    * `pipeline_quota_sample`'s shape. */
+  private val mixWeights = CatalogEntry.dialect(
+    "pipeline_mix_weights",
+    duckdb = """WITH c AS (
+               |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+               |  FROM documents GROUP BY lang
+               |), t AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM c),
+               |w AS (
+               |  SELECT lang, toks, ROUND(toks * CAST(1.0 AS DOUBLE) / total, 6) AS share,
+               |         pow(toks * CAST(1.0 AS DOUBLE) / total, 0.5) AS raw_w
+               |  FROM c CROSS JOIN t
+               |)
+               |SELECT lang, toks, share,
+               |       ROUND(raw_w / SUM(raw_w) OVER (), 6) AS mix_weight,
+               |       ROUND(raw_w / SUM(raw_w) OVER () / share, 4) AS upsample_factor
+               |FROM w ORDER BY lang""".stripMargin,
+    spark = """WITH c AS (
+              |  SELECT lang, CAST(SUM(size(split(text, ' '))) AS BIGINT) AS toks
+              |  FROM documents GROUP BY lang
+              |), t AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM c),
+              |w AS (
+              |  SELECT lang, toks, ROUND(toks * CAST(1.0 AS DOUBLE) / total, 6) AS share,
+              |         pow(toks * CAST(1.0 AS DOUBLE) / total, 0.5) AS raw_w
+              |  FROM c CROSS JOIN t
+              |)
+              |SELECT lang, toks, share,
+              |       ROUND(raw_w / SUM(raw_w) OVER (), 6) AS mix_weight,
+              |       ROUND(raw_w / SUM(raw_w) OVER () / share, 4) AS upsample_factor
+              |FROM w ORDER BY lang""".stripMargin) { (spark, sfDir) =>
+    val c = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("toks"))
+    val t = c.agg(sum(col("toks")).cast("long").as("total"))
+    val wAll = Window.partitionBy()
+    c.crossJoin(broadcast(t))
+      .withColumn("share", round(col("toks") * lit(1.0) / col("total"), 6))
+      .withColumn("raw_w", pow(col("toks") * lit(1.0) / col("total"), 0.5))
+      .select(col("lang"), col("toks"), col("share"),
+        round(col("raw_w") / sum(col("raw_w")).over(wAll), 6).as("mix_weight"),
+        round(col("raw_w") / sum(col("raw_w")).over(wAll) / col("share"), 4)
+          .as("upsample_factor"))
+      .orderBy(col("lang"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
     idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
     unigramLogprob, containment, corpusFilter, ngramTopk, urlCanonicalize,
-    chunkWindows, perplexityBigram, dedupChunk, docKeywords)
+    chunkWindows, perplexityBigram, dedupChunk, docKeywords, mixWeights)
 }

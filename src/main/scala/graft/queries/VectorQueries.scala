@@ -827,8 +827,71 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Embedding-distribution drift — per-label cosine between the centroid
+    * of one corpus half and the other (halves split by vec_id parity —
+    * standing in for yesterday/today batches): the monitoring check
+    * embedding pipelines run to catch encoder or upstream-data drift
+    * before retraining on a shifted distribution. Near-orthogonal labels
+    * drift toward 0; a stable pipeline holds each label's half-cosine
+    * steady, so the row set IS the drift dashboard. Same long-form mean
+    * shape as `vec_centroid_per_label` (posexplode → per-(label, half,
+    * pos) AVG), then a pos-keyed self-join folds the two halves into one
+    * dot product per label — all group-keyed shuffles, nothing driver-
+    * side. */
+  private val centroidDrift = CatalogEntry.dialect(
+    "vec_centroid_drift",
+    duckdb = """WITH h AS (
+               |  SELECT label, vec_id % 2 AS half,
+               |         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+               |         CAST(unnest(embedding) AS DOUBLE) AS x
+               |  FROM embeddings
+               |), c AS (
+               |  SELECT label, half, pos, AVG(x) AS m FROM h GROUP BY label, half, pos
+               |), p AS (
+               |  SELECT a.label, SUM(a.m * b.m) AS dot,
+               |         sqrt(SUM(a.m * a.m)) AS na, sqrt(SUM(b.m * b.m)) AS nb
+               |  FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+               |                   AND a.half = 0 AND b.half = 1
+               |  GROUP BY a.label
+               |)
+               |SELECT label, ROUND(dot / (na * nb), 4) AS half_cosine
+               |FROM p ORDER BY label""".stripMargin,
+    spark = """WITH h AS (
+              |  SELECT label, vec_id % 2 AS half, pos + 1 AS pos, x
+              |  FROM (SELECT label, vec_id,
+              |          posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos, x)
+              |        FROM embeddings)
+              |), c AS (
+              |  SELECT label, half, pos, AVG(x) AS m FROM h GROUP BY label, half, pos
+              |), p AS (
+              |  SELECT a.label, SUM(a.m * b.m) AS dot,
+              |         sqrt(SUM(a.m * a.m)) AS na, sqrt(SUM(b.m * b.m)) AS nb
+              |  FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+              |                   AND a.half = 0 AND b.half = 1
+              |  GROUP BY a.label
+              |)
+              |SELECT label, ROUND(dot / (na * nb), 4) AS half_cosine
+              |FROM p ORDER BY label""".stripMargin) { (spark, sfDir) =>
+    val c = Tables.embeddings(spark, sfDir)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(vdouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+    val a = c.where(col("half") === 0)
+      .select(col("label"), col("pos"), col("m").as("ma"))
+    val b = c.where(col("half") === 1)
+      .select(col("label").as("lb"), col("pos").as("pb"), col("m").as("mb"))
+    a.join(b, col("label") === col("lb") && col("pos") === col("pb"))
+      .groupBy(col("label"))
+      .agg(sum(col("ma") * col("mb")).as("dot"),
+        sqrt(sum(col("ma") * col("ma"))).as("na"),
+        sqrt(sum(col("mb") * col("mb"))).as("nb"))
+      .select(col("label"), round(col("dot") / (col("na") * col("nb")), 4).as("half_cosine"))
+      .orderBy(col("label"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     normProject, cosineKnn, pairwiseTopk, centroidPerLabel, multimodalJoin,
     dedupEmbedding, ivfKnn, lshAnn, pqAnn, rangeSearch, ivfPq, sqInt8,
-    standardize, hammingKnn, prefixRerank)
+    standardize, hammingKnn, prefixRerank, centroidDrift)
 }
