@@ -726,6 +726,38 @@ object AggQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Equi-DEPTH histogram — NTILE(10) bucket bounds per status group
+    * (`agg_histogram_fixed` is equi-WIDTH: fixed bounds, varying counts;
+    * this is the dual — equal counts, data-driven bounds — and it is the
+    * histogram query optimizers collect, because equal-mass buckets bound
+    * selectivity error where equi-width collapses on skew). The window is
+    * partitioned by the group key, so each NTILE sorts one group's rows —
+    * at 100 TB the per-group sort is the price of exact bounds; the
+    * approximate path at scale is `agg_kll_quantiles`' mergeable sketch,
+    * the documented twin pairing. The orderkey tie-break pins rows that
+    * share a price to one bucket deterministically. */
+  private val histogramEquidepth = CatalogEntry.ansi(
+    "agg_histogram_equidepth",
+    """WITH b AS (
+      |  SELECT o_orderstatus AS st, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+      |         NTILE(10) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS bkt
+      |  FROM orders
+      |)
+      |SELECT st, CAST(bkt AS BIGINT) AS bkt, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(MIN(v) AS DOUBLE) AS lo, CAST(MAX(v) AS DOUBLE) AS hi
+      |FROM b GROUP BY st, bkt ORDER BY st, bkt""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus").as("st"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"),
+        ntile(10).over(w).as("bkt"))
+      .groupBy(col("st"), col("bkt").cast("long").as("bkt"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        decOut(min(col("v"))).as("lo"), decOut(max(col("v"))).as("hi"))
+      .orderBy(col("st"), col("bkt"))
+  }
+
   /** Gini coefficient — concentration of positive account balances via the
     * sorted-rank identity G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n (the inequality
     * measure concentration dashboards report; the pairwise |xᵢ−xⱼ|
@@ -891,5 +923,5 @@ object AggQueries {
     kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,
     stringConcat, entropyAgg, regression, boolCountIf, weightedAvg,
     groupingIdRollup, percentileDisc, skewKurt, listaggDistinct,
-    cohortRetention, madRobust, giniCoefficient)
+    cohortRetention, madRobust, giniCoefficient, histogramEquidepth)
 }
