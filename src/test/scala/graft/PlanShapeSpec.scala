@@ -377,4 +377,45 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"),
       s"expected broadcast dim joins in:\n$p")
   }
+
+  test("win_drawdown stacks all three window functions on one user_id sort") {
+    val p = planOf("win_drawdown")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx in:\n$p")
+  }
+
+  test("agg_mad_robust broadcasts the per-group medians between passes") {
+    val p = planOf("agg_mad_robust")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the tiny median frame broadcast in:\n$p")
+  }
+
+  test("etl_checksum_reconcile hashes rows map-side — no shuffle before the rollup") {
+    // the per-row polynomial hash must fold inside the scan's projection;
+    // the only hash exchange is the per-year rollup
+    val p = planOf("etl_checksum_reconcile")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange (the rollup), got $hashEx in:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side combine in:\n$p")
+  }
+
+  test("win_yoy_growth windows the rollup, never the fact table") {
+    // the year aggregation must come BEFORE the unpartitioned lag window:
+    // the plan's single-partition exchange feeds a frame of |years| rows
+    val p = planOf("win_yoy_growth")
+    assert(p.contains("Window") && p.contains("HashAggregate"),
+      s"expected both window and aggregate in:\n$p")
+    // the tree prints root-first, children below: the year rollup that
+    // feeds the window must appear AFTER the Window node in the text
+    assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
+      s"year rollup must feed the window, not follow it:\n$p")
+  }
+
+  test("agg_histogram_equidepth ntiles per status group — no single global sort of the facts") {
+    val p = planOf("agg_histogram_equidepth")
+    assert(p.contains("Exchange hashpartitioning(o_orderstatus") ||
+      p.contains("Exchange hashpartitioning(st"),
+      s"expected the group-keyed exchange for the ntile window in:\n$p")
+  }
 }
