@@ -446,8 +446,36 @@ object ScanQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** CSV quoting/escaping fidelity — round-trip strings containing the
+    * THREE characters that break naive CSV handling: the delimiter itself,
+    * the quote character, and an embedded newline (`src_csv_roundtrip`
+    * proves clean values survive; this proves the writer quotes and the
+    * reader unquotes the pathological ones — the classic silent-corruption
+    * source in warehouse UNLOAD/COPY pipelines). The embedded newline
+    * forces `multiLine=true` on the read: without it a record spans two
+    * physical lines and the row count silently doubles — exactly the
+    * failure this entry pins against. multiLine costs file-level (not
+    * split-level) parallelism, the documented trade-off for data that
+    * needs it. Oracle restates the messy value from the source table —
+    * the CSV layer must be invisible. */
+  private val csvQuoted = CatalogEntry.ansi(
+    "src_csv_quoted",
+    """SELECT c_custkey, c_name || ',"x' || chr(10) || 'y|z' AS messy
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    val tmp = scratchDir("csv_quoted", sfDir)
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), concat(col("c_name"), lit(",\"x\ny|z")).as("messy"))
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("messy", StringType)))
+    spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true").csv(tmp)
+      .orderBy(col("c_custkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     scanProject, schemaEnforce, jsonExtract, csvRoundtrip, jsonRoundtrip,
     orcRoundtrip, csvBadRecords, partitionedWrite, bucketedJoin, jdbcSurface,
-    zorderWrite, textRoundtrip, schemaMerge)
+    zorderWrite, textRoundtrip, schemaMerge, csvQuoted)
 }
