@@ -14,7 +14,16 @@ import org.apache.spark.sql.functions._
   */
 class InvariantSpec extends SparkSpecBase {
 
-  private def run(key: String) = Catalog.byKey(key).run(spark, sfDir).cache()
+  // NO .cache() here: the SparkSession is shared across suites, and a
+  // leftover InMemoryRelation changes later suites' plans (PlanShapeSpec's
+  // exchange counts); the sweep in afterAll is belt-and-braces for the
+  // entries that cache internally.
+  private def run(key: String) = Catalog.byKey(key).run(spark, sfDir)
+
+  override def afterAll(): Unit = {
+    graft.queries.Util.sweepEntryCaches(spark)
+    super.afterAll()
+  }
 
   test("win_ewma_frame stays inside each user's value envelope; first row equals its value") {
     val out = run("win_ewma_frame")
