@@ -39,7 +39,13 @@ object Tables {
         case LongType => // TIMESTAMP(NANOS) read as raw nanos: truncate to µs
           raw.withColumn("ts", org.apache.spark.sql.functions.expr(
             "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
-        case _ => raw // TIMESTAMP(MICROS) NTZ: already what the engine wants
+        case TimestampNTZType => raw // TIMESTAMP(MICROS) NTZ: what the engine wants
+        case other => // e.g. session-tz TimestampType from isAdjustedToUTC=true —
+          // would silently offset every derived timestamp vs DuckDB; fail fast.
+          throw new IllegalStateException(
+            s"events.ts read as $other; expected raw NANOS (LongType under " +
+              "nanosAsLong) or TIMESTAMP_NTZ. Regenerate the fixture with " +
+              "isAdjustedToUTC=false (naive µs) — see Tables.scala scaladoc.")
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 

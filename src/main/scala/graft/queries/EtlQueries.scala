@@ -1193,7 +1193,8 @@ object EtlQueries {
               |  FROM orders
               |), h AS (
               |  SELECT yr,
-              |         aggregate(transform(split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+              |         aggregate(transform(sequence(1, length(s)),
+              |                             i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)),
               |                   CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647) AS rh
               |  FROM r
               |)
@@ -1205,7 +1206,10 @@ object EtlQueries {
         concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("string")).as("s"))
       .withColumn("rh", expr(
-        "aggregate(transform(split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)), " +
+        // sequence+substring, not split(s,''): split's trailing-empty-token
+        // behavior changed in SPARK-40194 — an empty token would multiply the
+        // hash by 31 and silently diverge from the oracle on older Sparks.
+        "aggregate(transform(sequence(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)), " +
           "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647)"))
       .groupBy(col("yr").cast("long").as("yr"))
       .agg(count(lit(1)).cast("long").as("n_rows"),

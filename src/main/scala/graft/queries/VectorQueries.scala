@@ -743,7 +743,11 @@ object VectorQueries {
     * complete DuckDB oracle rather than a recall floor: both engines
     * compute the same rounded prefix scores, cut the same 50-candidate
     * shortlist (round-4 score + cid tie-break makes the boundary exact),
-    * and rerank with the same full cosine. Cost shape: the prefix stage
+    * and rerank with the same full cosine (`cosine_sim` is a sequential
+    * left fold, bit-identical to the SQL twins' aggregate/zip_with
+    * spelling — pinned by FunctionSpec's 16-dim-prefix bit-exact test, so
+    * a round-4 psim boundary cannot cut a different shortlist than the
+    * oracle). Cost shape: the prefix stage
     * touches 16/64 dims (4× less arithmetic and, with a dim-sliced layout,
     * 4× less IO), the full vectors are only read for 50 rows per query.
     * Per-query top-k goes through the same two-level salted window as

@@ -28,6 +28,26 @@ class FunctionSpec extends SparkSpecBase {
     assert(diff == 0)
   }
 
+  test("cosine_sim on 16-dim prefixes matches the explicit fold exactly") {
+    // pins vec_prefix_rerank's psim contract: the native expression is a
+    // sequential left fold, bit-identical to the SQL twins' aggregate(
+    // zip_with(slice...)) spelling — a different summation order (pairwise/
+    // SIMD) could flip a round-4 boundary and break the shortlist cut
+    val hofDot = aggregate(zip_with(col("p"), col("p2"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    def hofNorm(c: org.apache.spark.sql.Column) =
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val pref = emb.select(col("vec_id"), slice(col("v"), 1, 16).as("p"))
+    val pairs = pref.limit(50)
+      .crossJoin(pref.limit(50).select(col("vec_id").as("vec_id2"), col("p").as("p2")))
+    val diff = pairs
+      .withColumn("native", expr("cosine_sim(p, p2)"))
+      .withColumn("hof", hofDot / (hofNorm(col("p")) * hofNorm(col("p2"))))
+      .where(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("dot_product matches zip_with/aggregate exactly") {
     val pairs = emb.limit(50)
       .crossJoin(emb.limit(50).select(col("vec_id").as("vec_id2"), col("v").as("v2")))

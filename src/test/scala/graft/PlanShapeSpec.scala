@@ -402,14 +402,25 @@ class PlanShapeSpec extends SparkSpecBase {
 
   test("win_yoy_growth windows the rollup, never the fact table") {
     // the year aggregation must come BEFORE the unpartitioned lag window:
-    // the plan's single-partition exchange feeds a frame of |years| rows
-    val p = planOf("win_yoy_growth")
-    assert(p.contains("Window") && p.contains("HashAggregate"),
-      s"expected both window and aggregate in:\n$p")
-    // the tree prints root-first, children below: the year rollup that
-    // feeds the window must appear AFTER the Window node in the text
-    assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
-      s"year rollup must feed the window, not follow it:\n$p")
+    // the plan's single-partition exchange feeds a frame of |years| rows.
+    // Assert on the structured plan (not text indices): every WindowExec's
+    // subtree must contain an aggregate node — i.e. the window consumes the
+    // rollup, not the raw facts.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val plan = Catalog.byKey("win_yoy_growth").run(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan // AQE root is a leaf
+        case p => p
+      }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected a WindowExec in:\n$plan")
+    windows.foreach { w =>
+      val aggsBelow = w.child.collect { case a: BaseAggregateExec => a }
+      assert(aggsBelow.nonEmpty,
+        s"WindowExec must consume the year rollup, not the fact table:\n$plan")
+    }
   }
 
   test("agg_histogram_equidepth ntiles per status group — no single global sort of the facts") {
