@@ -42,6 +42,33 @@ object Bench {
       case Some(keys) => SparkEntry.queries.view.filterKeys(keys).toMap
       case None => SparkEntry.queries
     }
+    val warmRdds = spark.sparkContext.getPersistentRDDs.keySet
+    // Untimed JIT/codegen warm pass (r9 gate finding: the LSH-dedup trio
+    // measured 2-3x its isolated time in two consecutive driver gate runs
+    // at identical calib — in-JVM state, not host steal). Each entry's
+    // whole-stage-codegen classes are compiled and JIT'd by one execution
+    // at sf0.001 (generated code is independent of the input directory),
+    // so the timed sf0.1 loop measures the operator, not C2 compilation.
+    // SPARK_GRAFT_BENCH_WARM=0 disables; SPARK_GRAFT_BENCH_WARMSF overrides
+    // the warm-input directory.
+    val warmSfDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMSF", "/root/testdata/sf0.001")
+    val warmPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0" &&
+      new java.io.File(warmSfDir).isDirectory && warmSfDir != sfDir
+    if (warmPass) {
+      val w0 = System.nanoTime()
+      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, warmSfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm $name failed (continuing): $e")
+        }
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!warmRdds.contains(id)) rdd.unpersist(blocking = false)
+        }
+      }
+      System.gc()
+      System.err.println(f"[bench] warm pass (${selected.size} entries @ $warmSfDir): " +
+        f"${(System.nanoTime() - w0) / 1e9}%.1f s untimed")
+    }
     // fixed (sorted) execution order: hash-map order varied run to run,
     // which moved JVM warm-up and heap-pressure effects onto DIFFERENT
     // queries each round and made per-query numbers incomparable
@@ -56,7 +83,6 @@ object Bench {
     // Acceptable here — bench queries never repeat a plan; a full cleanup
     // would need each entry to expose its cached DataFrames for
     // df.unpersist().
-    val warmRdds = spark.sparkContext.getPersistentRDDs.keySet
     // Inter-query System.gc (outside the timed region): a heavy query's
     // old-gen debris otherwise triggers concurrent GC INSIDE the next
     // query's timing — measured 2-6x inflation on late-alphabet entries vs
@@ -68,9 +94,18 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      // blocking=true: async unpersist let a heavy entry's blocks survive
+      // into the NEXT entry's timed region (r9 gate finding) — the sweep
+      // is untimed, so paying for the block removal here is free
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!warmRdds.contains(id)) rdd.unpersist(blocking = false)
+        if (!warmRdds.contains(id)) rdd.unpersist(blocking = true)
       }
+      val leftover = spark.sparkContext.getRDDStorageInfo
+        .filter(i => !warmRdds.contains(i.id) && (i.memSize > 0 || i.diskSize > 0))
+      if (leftover.nonEmpty)
+        System.err.println(s"[bench] WARNING: ${leftover.length} non-warm cached " +
+          s"RDDs still hold blocks after $name: " +
+          leftover.map(i => s"${i.id}(${i.memSize}b)").mkString(", "))
       if (gcBetween) System.gc()
       name -> dt
     }

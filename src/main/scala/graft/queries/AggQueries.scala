@@ -764,10 +764,19 @@ object AggQueries {
     * definition is O(n²), the rank identity is one sort + one pass — the
     * same quadratic-to-linear restatement the dedup twins document).
     * Ranks come from ROW_NUMBER with a key tie-break, i·x stays DECIMAL
-    * so both Σ terms are exact, and only the final ratio is double. The
-    * single-partition window is the documented trade-off: a 100-TB Gini
-    * would bucket by value range and composite rank offsets per bucket —
-    * the identity itself is unchanged. */
+    * so both Σ terms are exact, and only the final ratio is double.
+    *
+    * The global rank is computed as a COMPOSITE rank (the 100-TB shape the
+    * r9 verdict asked for): rows bucket by value range (bucketing is a
+    * pure function of v, so (v, key) ordering is bucket-monotone), each
+    * bucket ranks locally under a bucket-partitioned window, and a prefix
+    * sum over the tiny per-bucket count table (B=16 rows — bounded by the
+    * bucket count, not the data) supplies each bucket's global offset via
+    * a broadcast join. No row of the fact table crosses a single-partition
+    * window; composite rank = offset + local rank is exactly the global
+    * ROW_NUMBER the oracle states. At 100 TB the fixed-width bounds would
+    * come from a KLL/approx-quantile sketch instead — the identity and the
+    * plan shape are unchanged. */
   private val giniCoefficient = CatalogEntry.ansi(
     "agg_gini_coefficient",
     """WITH x AS (
@@ -779,11 +788,22 @@ object AggQueries {
       |SELECT CAST(COUNT(*) AS BIGINT) AS n,
       |       ROUND((2.0 * SUM(i * v)) / (COUNT(*) * SUM(v)) - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
       |FROM r""".stripMargin) { (spark, sfDir) =>
-    val w = Window.orderBy(col("v"), col("c_custkey"))
-    Tables.customer(spark, sfDir)
+    val x = Tables.customer(spark, sfDir)
       .where(col("c_acctbal") > 0)
       .select(col("c_custkey"), col("c_acctbal").cast("decimal(18,2)").as("v"))
-      .withColumn("i", row_number().over(w))
+      // acctbal ∈ (0, 10000): 16 equal-width value buckets; every v in
+      // bucket b is < every v in bucket b+1, so local ranks compose
+      .withColumn("bkt", floor(col("v") / 625).cast("int"))
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = x.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wLoc = Window.partitionBy(col("bkt"))
+      .orderBy(col("v"), col("c_custkey"))
+    x.join(broadcast(offsets), "bkt")
+      .withColumn("i", col("off") + row_number().over(wLoc))
       .agg(count(lit(1)).cast("long").as("n"),
         round((lit(2.0) * sum(col("i") * col("v"))) / (count(lit(1)) * sum(col("v")))
           - (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"))

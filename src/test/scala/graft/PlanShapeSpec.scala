@@ -423,6 +423,29 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("agg_gini_coefficient composite ranks — no unpartitioned window over the facts") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val plan = Catalog.byKey("agg_gini_coefficient").run(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected window ranks in:\n$plan")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // the only allowed unpartitioned window is the B-row prefix-offset
+      // scan — its input must be an aggregate (per-bucket counts), never
+      // the customer fact rows
+      val aggsBelow = w.child.collect { case a: BaseAggregateExec => a }
+      assert(aggsBelow.nonEmpty,
+        s"unpartitioned WindowExec consumes unaggregated facts:\n$plan")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      s"expected the bucket-partitioned local-rank window in:\n$plan")
+  }
+
   test("agg_histogram_equidepth ntiles per status group — no single global sort of the facts") {
     val p = planOf("agg_histogram_equidepth")
     assert(p.contains("Exchange hashpartitioning(o_orderstatus") ||
