@@ -63,6 +63,60 @@ object ScanQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Semi-structured JSON ARRAY navigation — the Redshift SUPER + PartiQL
+    * unnest analog (r9 verdict missing #1): arrays of objects inside a
+    * string column become rows. The fixture's `events.props` is single-key
+    * scalar JSON, so the array column is manufactured deterministically
+    * from event_id (variable 1-3 elements per row — variable length is the
+    * point: a fixed-width fake would never exercise real unnesting).
+    * Spark side: `from_json(ArrayType(Struct))` + `explode` — the lateral
+    * flatten stays partition-local (no shuffle until the final orderBy,
+    * which is presentation-only), so the plan is linear at any scale.
+    * Oracle: DuckDB `json_transform` + `unnest` over the same string. */
+  private val jsonArrayUnnest = CatalogEntry.dialect(
+    "src_json_array",
+    duckdb = """WITH j AS (
+               |  SELECT event_id,
+               |         '[{"sku":' || (event_id * 3) % 100 || ',"qty":' || event_id % 5 + 1 || '}' ||
+               |         CASE WHEN event_id % 3 >= 1 THEN ',{"sku":' || (event_id * 3 + 1) % 100 || ',"qty":' || (event_id + 1) % 5 + 1 || '}' ELSE '' END ||
+               |         CASE WHEN event_id % 3 >= 2 THEN ',{"sku":' || (event_id * 3 + 2) % 100 || ',"qty":' || (event_id + 2) % 5 + 1 || '}' ELSE '' END ||
+               |         ']' AS arr
+               |  FROM events
+               |), u AS (
+               |  SELECT event_id,
+               |         unnest(json_transform(arr, '[{"sku":"BIGINT","qty":"BIGINT"}]')) AS s
+               |  FROM j
+               |)
+               |SELECT event_id, s.sku AS sku, s.qty AS qty
+               |FROM u ORDER BY event_id, sku""".stripMargin,
+    spark = """WITH j AS (
+              |  SELECT event_id,
+              |         '[{"sku":' || CAST((event_id * 3) % 100 AS STRING) || ',"qty":' || CAST(event_id % 5 + 1 AS STRING) || '}' ||
+              |         CASE WHEN event_id % 3 >= 1 THEN ',{"sku":' || CAST((event_id * 3 + 1) % 100 AS STRING) || ',"qty":' || CAST((event_id + 1) % 5 + 1 AS STRING) || '}' ELSE '' END ||
+              |         CASE WHEN event_id % 3 >= 2 THEN ',{"sku":' || CAST((event_id * 3 + 2) % 100 AS STRING) || ',"qty":' || CAST((event_id + 2) % 5 + 1 AS STRING) || '}' ELSE '' END ||
+              |         ']' AS arr
+              |  FROM events
+              |)
+              |SELECT event_id, s.sku AS sku, s.qty AS qty
+              |FROM j LATERAL VIEW explode(from_json(arr, 'array<struct<sku:bigint,qty:bigint>>')) t AS s
+              |ORDER BY event_id, sku""".stripMargin) { (spark, sfDir) =>
+    def elem(i: Int) = concat(
+      lit("{\"sku\":"), ((col("event_id") * 3 + i) % 100).cast("string"),
+      lit(",\"qty\":"), ((col("event_id") + i) % 5 + 1).cast("string"), lit("}"))
+    val arr = concat(
+      lit("["), elem(0),
+      when(col("event_id") % 3 >= 1, concat(lit(","), elem(1))).otherwise(lit("")),
+      when(col("event_id") % 3 >= 2, concat(lit(","), elem(2))).otherwise(lit("")),
+      lit("]"))
+    val schema = ArrayType(StructType(Seq(
+      StructField("sku", LongType), StructField("qty", LongType))))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), from_json(arr, schema).as("a"))
+      .select(col("event_id"), explode(col("a")).as("s"))
+      .select(col("event_id"), col("s.sku").as("sku"), col("s.qty").as("qty"))
+      .orderBy(col("event_id"), col("sku"))
+  }
+
   /** CSV write→read fidelity (COPY-in / UNLOAD-out): result must equal source. */
   private val csvRoundtrip = CatalogEntry.ansi(
     "src_csv_roundtrip",
@@ -475,7 +529,7 @@ object ScanQueries {
   }
 
   def entries: Seq[CatalogEntry] = Seq(
-    scanProject, schemaEnforce, jsonExtract, csvRoundtrip, jsonRoundtrip,
-    orcRoundtrip, csvBadRecords, partitionedWrite, bucketedJoin, jdbcSurface,
-    zorderWrite, textRoundtrip, schemaMerge, csvQuoted)
+    scanProject, schemaEnforce, jsonExtract, jsonArrayUnnest, csvRoundtrip,
+    jsonRoundtrip, orcRoundtrip, csvBadRecords, partitionedWrite, bucketedJoin,
+    jdbcSurface, zorderWrite, textRoundtrip, schemaMerge, csvQuoted)
 }
