@@ -249,6 +249,23 @@ object AggQueries {
         .orderBy(col("o_orderstatus"))
   }
 
+  /** Redshift APPROXIMATE PERCENTILE_DISC analog — Spark's built-in
+    * `approx_percentile` (Greenwald–Khanna sketch): mergeable partial
+    * aggregation with bounded state, the 100-TB twin of the exact
+    * `percentile()` entries (which buffer every group member). No oracle
+    * by design — GK retention is engine-specific — but the guarantee IS
+    * testable: returned values sit within rank error n/accuracy of the
+    * requested quantile, pinned against the exact sort in SketchSpec
+    * (mirroring agg_approx_hll's HLL error-bound pattern). */
+  private val approxPctl = CatalogEntry.noOracle("agg_approx_pctl") { (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr(
+        "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
+        .as("pctls"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Argmax/argmin — highest/lowest-value event per user, tie-broken to the
     * smallest event_id. Duplicate values DO occur per user, and neither
     * engine's arg_min/max_by defines a tie order — so ties are collapsed
@@ -939,7 +956,7 @@ object AggQueries {
   def entries: Seq[CatalogEntry] = Seq(
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
-    percentileExact, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
+    percentileExact, approxPctl, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
     kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,
     stringConcat, entropyAgg, regression, boolCountIf, weightedAvg,
     groupingIdRollup, percentileDisc, skewKurt, listaggDistinct,

@@ -295,4 +295,29 @@ class SketchSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("agg_approx_pctl: GK rank error within 1/accuracy of the exact sort") {
+    // approx_percentile's contract: the returned value's true rank is within
+    // n/accuracy of p·n. The returned value is always a group MEMBER, so we
+    // check the rank interval [count(<v), count(<=v)] against p ± ε with
+    // ε = 1/accuracy + 1/n (the +1/n absorbs discreteness at small groups).
+    val probs = Seq(0.25, 0.5, 0.75, 0.95)
+    val est = Catalog.byKey("agg_approx_pctl").run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val groups = Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"), col("o_totalprice").cast("double").as("v"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(est.keySet == groups.keySet)
+    groups.foreach { case (st, values) =>
+      val n = values.length
+      val eps = 1.0 / 10000 + 1.0 / n
+      probs.zip(est(st)).foreach { case (p, v) =>
+        assert(values.contains(v), s"$st p=$p: $v is not a group member")
+        val lo = values.count(_ < v).toDouble / n
+        val hi = values.count(_ <= v).toDouble / n
+        assert(lo <= p + eps && hi >= p - eps,
+          s"$st p=$p est=$v rank interval [$lo,$hi] outside ±$eps (n=$n)")
+      }
+    }
+  }
 }
