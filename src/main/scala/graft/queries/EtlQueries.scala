@@ -702,15 +702,20 @@ object EtlQueries {
     * language at N documents, chosen by deterministic md5 order (never
     * rand — §2.0.4), i.e. a reproducible uniform draw per group. The
     * companion of `etl_stratified_sample` (which takes a fraction; quotas
-    * take a COUNT — how corpus mixes are actually specified). Two-level
-    * salted top-k: level 1 windows over (lang, salt-of-16) and keeps each
-    * bucket's top-quota by the md5 key, level 2 re-ranks the ≤ 16×quota
-    * survivors per lang — bit-identical to the single global window (a
-    * global top-50 row is outranked by < 50 rows, so it is top-50 in its
-    * bucket too), but no language ever funnels through one partition's
-    * sort: at 100 TB a 50 %-English corpus is the difference between a
-    * working plan and a single straggler executor. The oracle states the
-    * single-window form; the hash-match IS the equivalence proof. */
+    * take a COUNT — how corpus mixes are actually specified). Three-level
+    * salted top-k reduction tree (r9 verdict #6 — the first cut must never
+    * key on the raw lang group): level 0 windows over (lang, salt-of-256)
+    * and keeps each bucket's top-quota by the md5 key, level 1 re-cuts the
+    * ≤ 256×quota survivors over (lang, salt-of-16), level 2 re-ranks the
+    * ≤ 16×quota rows per lang. Each level is bit-identical to the single
+    * global window (a global top-50 row is outranked by < 50 rows, so it
+    * is top-50 in every bucket containing it — supersets survive each
+    * cut), but no language ever funnels through one partition's sort, and
+    * the widest sort any partition performs is over corpus/256 rows: at
+    * 100 TB a 50 %-English corpus is the difference between a working plan
+    * and a single straggler executor (generalization: fan-out per level ~
+    * group-size^(1/levels)). The oracle states the single-window form; the
+    * hash-match IS the equivalence proof. */
   private val quotaSample = CatalogEntry.dialect(
     "pipeline_quota_sample",
     duckdb = """SELECT doc_id, lang FROM (
@@ -728,10 +733,14 @@ object EtlQueries {
               |) WHERE rn <= 50
               |ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
     val mdKey = md5(col("doc_id").cast("string"))
-    val w1 = Window.partitionBy(col("lang"), col("salt")).orderBy(mdKey, col("doc_id"))
+    val w0 = Window.partitionBy(col("lang"), col("salt0")).orderBy(mdKey, col("doc_id"))
+    val w1 = Window.partitionBy(col("lang"), col("salt1")).orderBy(mdKey, col("doc_id"))
     val w2 = Window.partitionBy(col("lang")).orderBy(mdKey, col("doc_id"))
     Tables.documents(spark, sfDir)
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
+      .withColumn("salt0", pmod(xxhash64(col("doc_id")), lit(256)))
+      .withColumn("rn0", row_number().over(w0))
+      .where(col("rn0") <= 50)
+      .withColumn("salt1", pmod(xxhash64(col("doc_id")), lit(16)))
       .withColumn("rn1", row_number().over(w1))
       .where(col("rn1") <= 50)
       .withColumn("rn", row_number().over(w2))

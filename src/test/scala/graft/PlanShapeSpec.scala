@@ -423,6 +423,25 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("pipeline_quota_sample: three-level salted top-k, first cut never raw lang") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Catalog.byKey("pipeline_quota_sample").run(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    // windows collect root-first; the plan executes bottom-up, so the LAST
+    // collected window is the level-0 cut that sees the raw documents
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.length == 3, s"expected the 3-level reduction tree in:\n$plan")
+    assert(windows.count(_.partitionSpec.length == 2) == 2 &&
+      windows.count(_.partitionSpec.length == 1) == 1,
+      s"expected two salted cuts + one final per-lang rank in:\n$plan")
+    assert(windows.last.partitionSpec.length == 2,
+      s"the window touching raw documents must be salted, got:\n$plan")
+  }
+
   test("agg_gini_coefficient composite ranks — no unpartitioned window over the facts") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
