@@ -513,7 +513,9 @@ object EtlQueries {
     * single-partition sort at scale — acceptable for dimensions (they
     * are orders of magnitude smaller than facts); a fact-sized key
     * assignment would instead add per-partition offsets to a
-    * partition-local row number. */
+    * partition-local row number — the composite-rank pattern PLANS.md
+    * §"Global windows at 100 TB" details (zipWithIndex-style: per-partition
+    * counts → prefix offsets → offset + local index). */
   private val surrogateKey = CatalogEntry.ansi(
     "etl_surrogate_key",
     """WITH existing AS (

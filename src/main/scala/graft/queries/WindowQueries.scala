@@ -9,10 +9,14 @@ import Util._
   *
   * Every window partitions by a real key (user/customer/nation) so the
   * single shuffle it costs is hash-distributed across executors; no window
-  * here is ORDER BY over the whole table except `win_range_frame`, whose
-  * global order is the operator's semantics (and which Spark executes as a
-  * single-partition sort — at 100 TB that one becomes a range-partitioned
-  * sort, same API). Rank ties are always broken by a unique key (§2.0.1).
+  * here is ORDER BY over the whole table except `win_range_frame`,
+  * `win_ntile`, and `win_cume_dist`, whose global order is the operator's
+  * semantics. Those three stand as contract exemplars at test scale; their
+  * 100-TB rewrite is the bucketed composite-rank pattern — per-value-bucket
+  * local ranks + broadcast prefix offsets, bit-identical output — that
+  * `agg_gini_coefficient` implements and PLANS.md §"Global windows at
+  * 100 TB" spells out per entry. Rank ties are always broken by a unique
+  * key (§2.0.1).
   */
 object WindowQueries {
 
