@@ -77,6 +77,22 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** Brute-force cosine top-10 for an arbitrary query id — the ground
+    * truth PropertySpec scores ANN mean recall against. */
+  private[graft] def bruteTopK(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, qid: Long): org.apache.spark.sql.DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") === qid)
+      .select(vdouble(col("embedding")).as("qv"))
+    emb.where(col("vec_id") =!= qid && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("v", vdouble(col("embedding")))
+      .select(col("vec_id"), round(expr("cosine_sim(qv, v)"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Top-20 most-similar pairs within each label block (IVF-shaped
     * blocking: n²/|labels| pairs instead of n²). */
   private val pairwiseTopk = CatalogEntry.dialect(
@@ -333,20 +349,45 @@ object VectorQueries {
     * SparkContext). Entries for stopped sessions are evicted on the next
     * lookup so long-lived processes don't accumulate dead plans. */
   private val pqModels = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int),
+    (org.apache.spark.sql.SparkSession, String, Int, Boolean),
     (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
 
+  /** Per-label mean centroids (label, cv) — the IVF coarse quantizer shared
+    * by `vec_ivf_knn`, `vec_ivf_pq`, and residual-PQ training. */
+  private def cellCentroidsOf(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(vdouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), expr("transform(pc, p -> p.c)").as("cv"))
+
+  /** Train-once PQ model. `residual = true` trains codebooks on
+    * vector − cell-centroid residuals (the standard FAISS IVF-PQ accuracy
+    * lever): residuals concentrate near the origin with far less
+    * cross-cell variance than raw vectors, so the same M×K codebook
+    * budget spends its resolution on the differences that matter inside a
+    * probed cell. The residual model is a distinct trained artifact from
+    * the raw one (`vec_pq_ann` keeps raw codes — its queries are not
+    * cell-routed), hence the cache-key discriminator. */
   private def pqModel(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      sfDir: String, residual: Boolean = false)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     // evict models of stopped sessions before looking up
     pqModels.forEach { (k, _) =>
       if (k._1.sparkContext.isStopped) pqModels.remove(k)
     }
     val trainMod = graft.GraftConf.pqTrainSampleMod(spark)
-    pqModels.computeIfAbsent((spark, sfDir, trainMod), { _ =>
+    pqModels.computeIfAbsent((spark, sfDir, trainMod, residual), { _ =>
       VectorFunctions.ensureRegistered(spark)
-      val emb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+      val embRaw = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), vdouble(col("embedding")).as("v"))
+      val emb =
+        if (!residual) embRaw.select(col("vec_id"), col("v"))
+        else embRaw.join(broadcast(cellCentroidsOf(spark, sfDir)), "label")
+          .select(col("vec_id"),
+            zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
       val sub = emb.where(col("vec_id") =!= 0)
         .select(col("vec_id"), posexplode(pqSlices(col("v"))).as(Seq("s", "sv")))
         .withColumn("sv2", expr("dot_product(sv, sv)"))
@@ -410,14 +451,16 @@ object VectorQueries {
     * touches full vectors again). */
   private def pqSearch(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       cents: org.apache.spark.sql.DataFrame,
-      candCodes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      candCodes: org.apache.spark.sql.DataFrame,
+      qid: Long = 0L): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), vdouble(col("embedding")).as("v"))
-    val q = emb.where(col("vec_id") === 0)
+    val q = emb.where(col("vec_id") === qid)
       .select(posexplode(pqSlices(col("v"))).as(Seq("s", "qsv")))
     val adc = q.join(cents, "s")
       .select(col("s"), col("c"), l2(col("qsv"), col("cent")).as("qd"))
-    val shortlist = candCodes.join(broadcast(adc), Seq("s", "c"))
+    val shortlist = candCodes.where(col("vec_id") =!= qid)
+      .join(broadcast(adc), Seq("s", "c"))
       .groupBy(col("vec_id"))
       .agg(collect_list(struct(col("s").as("s"), col("qd").as("qd"))).as("ds"))
       .select(col("vec_id"),
@@ -425,8 +468,8 @@ object VectorQueries {
           lit(0.0), (acc, x) => acc + x), 4).as("adist"))
       .orderBy(col("adist"), col("vec_id"))
       .limit(50)
-    val qv = emb.where(col("vec_id") === 0).select(col("v").as("qv"))
-    shortlist.join(emb.where(col("vec_id") =!= 0), "vec_id")
+    val qv = emb.where(col("vec_id") === qid).select(col("v").as("qv"))
+    shortlist.join(emb.where(col("vec_id") =!= qid), "vec_id")
       .crossJoin(broadcast(qv))
       .select(col("vec_id"), round(expr("cosine_sim(qv, v)"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -441,25 +484,41 @@ object VectorQueries {
 
   /** IVF-PQ — the production ANN composition: the IVF coarse quantizer
     * (labels as cells, per-label mean centroids) prunes the corpus to
-    * nprobe cells, and the PQ codes answer WITHIN the probed cells via the
-    * same ADC + exact-rerank path as `vec_pq_ann`. At 100 TB this is the
-    * standard shape (FAISS IVF-PQ): the cell index prunes I/O, the codes
-    * shrink memory 64×, and only the ~50-row shortlist touches full
-    * vectors. The PQ model is the shared train-once artifact (see
-    * [[pqModel]]) — this entry adds only the probe + pruned scan. Recall
-    * floor vs brute force is property-tested (compounds IVF's cell-miss
-    * and PQ's quantization loss, so the floor matches the IVF entry's). */
-  private val ivfPq = CatalogEntry.noOracle("vec_ivf_pq") { (spark, sfDir) =>
+    * nprobe cells, and RESIDUAL-encoded PQ codes answer within the probed
+    * cells. Residual encoding (r10, the standard FAISS accuracy lever):
+    * codes quantize v − centroid(cell(v)), not v — residuals cluster near
+    * the origin with the cross-cell variance already explained by the
+    * coarse quantizer, so the codebooks spend their M×K resolution on
+    * within-cell structure. The ADC is therefore PER CELL: the query's
+    * residual against each probed cell's centroid yields that cell's
+    * distance table (nprobe×M×K rows — tiny, broadcast), and each
+    * candidate is scored against its own cell's table, exactly how FAISS
+    * scans an IVF-PQ list. Only the ~50-row shortlist touches full
+    * vectors for the exact cosine rerank. The residual model is its own
+    * train-once artifact (see [[pqModel]]); `vec_pq_ann` keeps the raw
+    * model — un-routed queries have no cell to residualize against.
+    * Measured honestly (RecallAB, 10 queries, sf0.001): residual and raw
+    * codes score IDENTICAL 0.44 mean recall@10 here, because this
+    * corpus's labels are unclustered — per-cell centroids sit near the
+    * origin, so residual ≈ raw by construction. The lever only pays on
+    * clustered embeddings (every real corpus); the plan cost of carrying
+    * it is one extra sample-trained Lloyd pass. PropertySpec pins the
+    * MEAN recall floor over 10 queries — single-query recall@10 swings
+    * ±0.2 on this corpus and proves nothing. */
+  /** Generalized IVF-PQ search — `qid` parameterizes the query vector so
+    * PropertySpec can measure MEAN recall over many queries (single-query
+    * recall@10 swings ±0.2 on this near-orthogonal corpus — too noisy to
+    * pin a floor on); `residual` switches raw-code scoring vs per-cell
+    * residual ADC so the A/B stays testable in-repo. */
+  private[graft] def ivfPqTopK(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, qid: Long, residual: Boolean)
+      : org.apache.spark.sql.DataFrame = {
     VectorFunctions.ensureRegistered(spark)
-    val (cents, codes) = pqModel(spark, sfDir)
+    val (cents, codes) = pqModel(spark, sfDir, residual)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), vdouble(col("embedding")).as("v"))
-    val cellCentroids = emb.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("label"), expr("transform(pc, p -> p.c)").as("cv"))
-    val q = emb.where(col("vec_id") === 0).select(col("v").as("qv"))
+    val cellCentroids = cellCentroidsOf(spark, sfDir)
+    val q = emb.where(col("vec_id") === qid).select(col("v").as("qv"))
     // IVF-PQ probes MORE cells than plain IVF at equal recall: the PQ
     // quantization loss stacks on the cell-miss loss, and widening the
     // probe is the standard (and cheap — codes, not vectors) compensation
@@ -468,10 +527,41 @@ object VectorQueries {
       .orderBy(col("csim").desc, col("label"))
       .limit(graft.GraftConf.ivfNprobe(spark) + 2)
       .collect().map(_.getInt(0)).toSeq
-    val probedMembers = emb
-      .where(col("vec_id") =!= 0 && col("label").isin(probeLabels: _*))
-      .select(col("vec_id"))
-    pqSearch(spark, sfDir, cents, codes.join(probedMembers, "vec_id"))
+    val members = emb
+      .where(col("vec_id") =!= qid && col("vec_id") =!= 0 &&
+        col("label").isin(probeLabels: _*))
+      .select(col("vec_id"), col("label"))
+    if (!residual)
+      pqSearch(spark, sfDir, cents,
+        codes.join(members.select(col("vec_id")), "vec_id"), qid)
+    else {
+      // per-cell ADC: query residual vs each probed cell's centroid
+      val qr = cellCentroids.where(col("label").isin(probeLabels: _*))
+        .crossJoin(broadcast(q))
+        .select(col("label"),
+          posexplode(pqSlices(zip_with(col("qv"), col("cv"), (a, b) => a - b)))
+            .as(Seq("s", "qsv")))
+      val adc = qr.join(cents, "s")
+        .select(col("label"), col("s"), col("c"), l2(col("qsv"), col("cent")).as("qd"))
+      val shortlist = codes.join(members, "vec_id")
+        .join(broadcast(adc), Seq("label", "s", "c"))
+        .groupBy(col("vec_id"))
+        .agg(collect_list(struct(col("s").as("s"), col("qd").as("qd"))).as("ds"))
+        .select(col("vec_id"),
+          round(aggregate(transform(array_sort(col("ds")), e => e.getField("qd")),
+            lit(0.0), (acc, x) => acc + x), 4).as("adist"))
+        .orderBy(col("adist"), col("vec_id"))
+        .limit(50)
+      shortlist.join(emb.where(col("vec_id") =!= qid), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(expr("cosine_sim(qv, v)"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }
+  }
+
+  private val ivfPq = CatalogEntry.noOracle("vec_ivf_pq") { (spark, sfDir) =>
+    ivfPqTopK(spark, sfDir, qid = 0L, residual = true)
   }
 
   /** Threshold range search — ANN's other query shape: ALL corpus vectors
