@@ -40,6 +40,9 @@ object GraftFunctionDefs {
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (c: Seq[Expression]) => DotProduct(c(0), c(1))),
+    (FunctionIdentifier("ql2_dist"),
+      new ExpressionInfo(classOf[QuantizedL2].getName, "ql2_dist"),
+      (c: Seq[Expression]) => QuantizedL2(c(0), c(1))),
     (FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (c: Seq[Expression]) => SortedIntersectSize(c(0), c(1))),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -104,6 +104,57 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Quantized squared-L2 distance: `Σ_i ⌊(x_i − y_i)² · 1e12 + 0.5⌋` as a
+  * LONG. The per-term ⌊·+0.5⌋ quantization (the same DuckDB-statable
+  * spelling [[Sq8Encode]] pinned) turns the distance into an exact integer
+  * sum — long addition is associative, so the value is bit-identical under
+  * any partitioning, and an argmin over (distance, id) can never flip
+  * between engines the way a raw double sum's low bits can. This is the
+  * k-means assignment hot path: O(N·k) evaluations per Lloyd iteration,
+  * fused into one codegen'd loop per (vector, centroid) pair.
+  */
+case class QuantizedL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ql2_dist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += math.floor(d * d * 1e12 + 0.5).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += (long) java.lang.Math.floor($d * $d * 1e12 + 0.5);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedL2 =
     copy(left = newLeft, right = newRight)
 }
 

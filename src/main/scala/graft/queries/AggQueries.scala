@@ -953,7 +953,49 @@ object AggQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Pairwise Pearson correlation matrix over the four lineitem measures,
+    * emitted long-form (var1, var2, corr). One single-pass co-moment
+    * aggregation computes all six cells (map-side combinable), then a
+    * 1-row STACK unpivots — the scan is never repeated. ROUND(,4) absorbs
+    * co-moment summation-order ulp, same accepted class as
+    * `agg_regression`; the oracle restates the same single scan with six
+    * 1-row projections. */
+  private val corrMatrix = CatalogEntry.ansi(
+    "agg_corr_matrix",
+    """WITH m AS (
+      |  SELECT CORR(l_quantity, l_extendedprice) AS qp, CORR(l_quantity, l_discount) AS qd,
+      |         CORR(l_quantity, l_tax) AS qt, CORR(l_extendedprice, l_discount) AS pd,
+      |         CORR(l_extendedprice, l_tax) AS pt, CORR(l_discount, l_tax) AS dt
+      |  FROM lineitem
+      |)
+      |SELECT 'quantity' AS var1, 'extendedprice' AS var2, ROUND(qp, 4) AS corr_v FROM m
+      |UNION ALL SELECT 'quantity', 'discount', ROUND(qd, 4) FROM m
+      |UNION ALL SELECT 'quantity', 'tax', ROUND(qt, 4) FROM m
+      |UNION ALL SELECT 'extendedprice', 'discount', ROUND(pd, 4) FROM m
+      |UNION ALL SELECT 'extendedprice', 'tax', ROUND(pt, 4) FROM m
+      |UNION ALL SELECT 'discount', 'tax', ROUND(dt, 4) FROM m
+      |ORDER BY var1, var2""".stripMargin) { (spark, sfDir) =>
+    Tables.lineitem(spark, sfDir)
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("qp"),
+        corr(col("l_quantity"), col("l_discount")).as("qd"),
+        corr(col("l_quantity"), col("l_tax")).as("qt"),
+        corr(col("l_extendedprice"), col("l_discount")).as("pd"),
+        corr(col("l_extendedprice"), col("l_tax")).as("pt"),
+        corr(col("l_discount"), col("l_tax")).as("dt"))
+      .selectExpr(
+        """stack(6,
+          |  'quantity', 'extendedprice', round(qp, 4),
+          |  'quantity', 'discount', round(qd, 4),
+          |  'quantity', 'tax', round(qt, 4),
+          |  'extendedprice', 'discount', round(pd, 4),
+          |  'extendedprice', 'tax', round(pt, 4),
+          |  'discount', 'tax', round(dt, 4)) AS (var1, var2, corr_v)""".stripMargin)
+      .orderBy(col("var1"), col("var2"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    corrMatrix,
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, approxPctl, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,

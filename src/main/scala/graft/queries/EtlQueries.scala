@@ -1228,7 +1228,55 @@ object EtlQueries {
       .orderBy(col("yr"))
   }
 
+  /** GDPR-shaped pseudonymization: PII (c_name) replaced by a salted-hash
+    * surrogate (stable across runs and joins — the same input always maps
+    * to the same pseudonym, unlike random tokenization), quasi-identifiers
+    * generalized (acctbal → 1000-wide band), and a k-anonymity audit
+    * column: the size of each (nation, band) equivalence class via a
+    * keyed window, with a suppression flag for classes below k=2. All
+    * map-side except the keyed window and output sort — linear at any
+    * scale. Dialect: DuckDB `sha256(x)` vs Spark `sha2(x, 256)`, both
+    * lowercase hex. */
+  private val pseudonymize = CatalogEntry.dialect(
+    "etl_pseudonymize",
+    duckdb = """WITH p AS (
+               |  SELECT substr(sha256('pep|' || c_name), 1, 16) AS pseudonym,
+               |         c_nationkey, CAST(FLOOR(c_acctbal / 1000.0) AS INTEGER) AS bal_band
+               |  FROM customer
+               |), k AS (
+               |  SELECT pseudonym, c_nationkey, bal_band,
+               |         COUNT(*) OVER (PARTITION BY c_nationkey, bal_band) AS k_size
+               |  FROM p
+               |)
+               |SELECT pseudonym, c_nationkey, bal_band, k_size,
+               |       CASE WHEN k_size < 2 THEN 1 ELSE 0 END AS suppressed
+               |FROM k ORDER BY pseudonym""".stripMargin,
+    spark = """WITH p AS (
+              |  SELECT substr(sha2('pep|' || c_name, 256), 1, 16) AS pseudonym,
+              |         c_nationkey, CAST(FLOOR(c_acctbal / 1000.0) AS INTEGER) AS bal_band
+              |  FROM customer
+              |), k AS (
+              |  SELECT pseudonym, c_nationkey, bal_band,
+              |         COUNT(*) OVER (PARTITION BY c_nationkey, bal_band) AS k_size
+              |  FROM p
+              |)
+              |SELECT pseudonym, c_nationkey, bal_band, k_size,
+              |       CASE WHEN k_size < 2 THEN 1 ELSE 0 END AS suppressed
+              |FROM k ORDER BY pseudonym""".stripMargin) { (spark, sfDir) =>
+    val p = Tables.customer(spark, sfDir)
+      .select(
+        sha2(concat(lit("pep|"), col("c_name")), 256).substr(1, 16).as("pseudonym"),
+        col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("int").as("bal_band"))
+    val w = Window.partitionBy(col("c_nationkey"), col("bal_band"))
+    p.withColumn("k_size", count(lit(1)).over(w))
+      .select(col("pseudonym"), col("c_nationkey"), col("bal_band"), col("k_size"),
+        when(col("k_size") < 2, 1).otherwise(0).as("suppressed"))
+      .orderBy(col("pseudonym"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    pseudonymize,
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,
     trainTestSplit, stratifiedSample, incrementalLoad, cdcDiff, eventFunnel,

@@ -107,5 +107,170 @@ object GraphQueries {
     r.select(col("id"), round(col("r"), 4).as("rank")).orderBy(col("id"))
   }
 
-  def entries: Seq[CatalogEntry] = Seq(pagerank)
+  /** Degree histogram of the trade graph, split by node family. Reuses
+    * pagerank's bipartite customer↔supplier edge set (2k / 2k+1 ids) so the
+    * two graph entries describe the same graph. Shape: one distinct + two
+    * hash aggregations, all map-side combinable — the whole plan is linear
+    * in |edges| and shuffles only (id)→(degree)→(side,degree) keys, the
+    * canonical 100-TB degree-distribution job.
+    */
+  private val degreeStats = CatalogEntry.ansi(
+    "graph_degree_stats",
+    """WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), edges AS (
+      |  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+      |), deg AS (
+      |  SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src
+      |)
+      |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+      |       d AS degree, COUNT(*) AS n_nodes
+      |FROM deg GROUP BY 1, 2 ORDER BY side, degree""".stripMargin) { (spark, sfDir) =>
+    val e0 = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select(
+        when(col("src") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("side"),
+        col("d").as("degree"))
+      .groupBy(col("side"), col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("side"), col("degree"))
+  }
+
+  /** Triangle count + global clustering coefficient over the part
+    * co-occurrence graph (parts sharing an order). Uses the standard
+    * degree-ordered orientation: each undirected edge is directed from its
+    * (degree, id)-smaller endpoint, which bounds every node's out-degree by
+    * O(√|E|) — the wedge self-join that closes triangles is then
+    * near-linear instead of quadratic in hub degree, the textbook
+    * MapReduce-triangle trick that survives power-law graphs at 100 TB.
+    * The (degree, id) tie-break makes the orientation — and therefore the
+    * join sizes, though not the count — fully deterministic.
+    *
+    * Exact integer inputs (counts) feed one double division at the end, so
+    * the ROUND(…,6) output is bit-identical across engines.
+    */
+  private val triangleCount = CatalogEntry.ansi(
+    "graph_triangle_count",
+    """WITH pp AS (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |), e AS (
+      |  SELECT a AS u, b AS v FROM pp UNION ALL SELECT b AS u, a AS v FROM pp
+      |), d AS (
+      |  SELECT u, COUNT(*) AS dg FROM e GROUP BY u
+      |), o AS (
+      |  SELECT e.u, e.v FROM e
+      |  JOIN d du ON e.u = du.u JOIN d dv ON e.v = dv.u
+      |  WHERE du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+      |), tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM o e1 JOIN o e2 ON e1.v = e2.u JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+      |), w AS (
+      |  SELECT CAST(SUM(dg * (dg - 1) / 2) AS BIGINT) AS wedges FROM d
+      |)
+      |SELECT (SELECT COUNT(*) FROM d) AS n_nodes,
+      |       (SELECT COUNT(*) FROM pp) AS n_edges,
+      |       (SELECT COUNT(*) FROM tri) AS n_triangles,
+      |       ROUND(3.0 * (SELECT COUNT(*) FROM tri) / (SELECT wedges FROM w), 6) AS global_cc""".stripMargin) {
+    (spark, sfDir) =>
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    // distinct co-occurrence pairs, cached: referenced by edges (twice via
+    // the union) and the edge count — same reuse shape as pagerank's e0
+    val pp = li.as("l1")
+      .join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .distinct().cache()
+    val e = pp.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(pp.select(col("b").as("u"), col("a").as("v")))
+    val d = e.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    // orient: keep an edge only in its (degree, id)-ascending direction;
+    // cached because the triangle closure probes it three times
+    val o = e.join(d.withColumnRenamed("u", "uu").withColumnRenamed("dg", "du"),
+        col("u") === col("uu"))
+      .join(d.withColumnRenamed("u", "vv").withColumnRenamed("dg", "dv"),
+        col("v") === col("vv"))
+      .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v")).cache()
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.v") === col("e2.u"))
+      .join(o.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+    val nNodes = d.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = pp.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    val wedges = d.agg(sum(col("dg") * (col("dg") - 1) / 2).cast("long").as("wedges"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri).crossJoin(wedges)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("wedges"), 6).as("global_cc"))
+  }
+
+  /** Common-neighbor Jaccard link prediction over the part co-occurrence
+    * graph: for every part pair sharing ≥1 neighbor, |N∩| / |N∪|, top-50
+    * by similarity. Wedge enumeration is keyed on the CENTER node, so hub
+    * centers blow up quadratically — the entry caps wedge centers at
+    * degree ≤ 1000 (a no-op at test SFs, the documented 100-TB lever:
+    * super-hub centers contribute near-zero Jaccard mass but dominate the
+    * wedge count, and dropping them is the standard common-neighbors
+    * mitigation). All similarity inputs are exact integers; ordering is on
+    * the ROUNDED similarity with a (p1, p2) tie-break, so the top-50 cut
+    * is engine-independent.
+    */
+  private val jaccardNeighbors = CatalogEntry.ansi(
+    "graph_jaccard_neighbors",
+    """WITH pp AS (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |), e AS (
+      |  SELECT a AS u, b AS v FROM pp UNION ALL SELECT b AS u, a AS v FROM pp
+      |), d AS (
+      |  SELECT u, COUNT(*) AS dg FROM e GROUP BY u
+      |), wedge AS (
+      |  SELECT e1.v AS p1, e2.v AS p2, COUNT(*) AS common
+      |  FROM e e1
+      |  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      |  JOIN d dc ON e1.u = dc.u AND dc.dg <= 1000
+      |  GROUP BY e1.v, e2.v
+      |)
+      |SELECT p1, p2, common, d1.dg + d2.dg - common AS n_union,
+      |       ROUND(CAST(common AS DOUBLE) / (d1.dg + d2.dg - common), 6) AS jaccard
+      |FROM wedge JOIN d d1 ON p1 = d1.u JOIN d d2 ON p2 = d2.u
+      |ORDER BY jaccard DESC, p1, p2 LIMIT 50""".stripMargin) { (spark, sfDir) =>
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val pp = li.as("l1")
+      .join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .distinct().cache()
+    val e = pp.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(pp.select(col("b").as("u"), col("a").as("v")))
+    val d = e.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    // pre-filter hub centers BEFORE the self-join (the scale lever) — at
+    // test SFs every center passes, so the oracle sees identical wedges
+    val centerOk = d.filter(col("dg") <= 1000).select(col("u"))
+    val eC = e.join(centerOk, "u")
+    val wedge = eC.as("e1")
+      .join(eC.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .groupBy(col("e1.v").as("p1"), col("e2.v").as("p2"))
+      .agg(count(lit(1)).as("common"))
+    wedge
+      .join(d.select(col("u").as("p1k"), col("dg").as("d1")), col("p1") === col("p1k"))
+      .join(d.select(col("u").as("p2k"), col("dg").as("d2")), col("p2") === col("p2k"))
+      .select(col("p1"), col("p2"), col("common"),
+        (col("d1") + col("d2") - col("common")).as("n_union"),
+        round(col("common").cast("double") / (col("d1") + col("d2") - col("common")), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("p1"), col("p2"))
+      .limit(50)
+  }
+
+  def entries: Seq[CatalogEntry] =
+    Seq(pagerank, degreeStats, triangleCount, jaccardNeighbors)
 }

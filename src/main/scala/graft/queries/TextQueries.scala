@@ -2097,11 +2097,215 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Zipf rank-frequency slope per language: token frequencies ranked
+    * (freq DESC, token) inside each lang, then an OLS fit of ln(freq)
+    * against ln(rank) over the top-1000 ranks — the classic corpus-health
+    * diagnostic (natural language tracks slope ≈ −1; template/spam corpora
+    * flatten). The rank window is lang-partitioned and top-k-bounded
+    * (WindowGroupLimit prunes past rank 1000), so no global sort touches
+    * the vocabulary; the co-moment REGR_* aggregation is one map-side-
+    * combinable pass. ROUND(,4) absorbs co-moment summation-order ulp —
+    * same accepted class as `agg_regression`. */
+  private val zipfSlope = CatalogEntry.dialect(
+    "text_zipf_slope",
+    duckdb = """WITH tok AS (
+               |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+               |), tf AS (
+               |  SELECT lang, token, COUNT(*) AS freq FROM tok WHERE token <> '' GROUP BY lang, token
+               |), ranked AS (
+               |  SELECT lang, freq,
+               |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, token) AS rnk
+               |  FROM tf
+               |)
+               |SELECT lang, COUNT(*) AS n_ranks,
+               |       ROUND(REGR_SLOPE(LN(CAST(freq AS DOUBLE)), LN(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+               |       ROUND(REGR_R2(LN(CAST(freq AS DOUBLE)), LN(CAST(rnk AS DOUBLE))), 4) AS r2
+               |FROM ranked WHERE rnk <= 1000
+               |GROUP BY lang ORDER BY lang""".stripMargin,
+    spark = """WITH tok AS (
+              |  SELECT lang, explode(split(text, ' ')) AS token FROM documents
+              |), tf AS (
+              |  SELECT lang, token, COUNT(*) AS freq FROM tok WHERE token <> '' GROUP BY lang, token
+              |), ranked AS (
+              |  SELECT lang, freq,
+              |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, token) AS rnk
+              |  FROM tf
+              |)
+              |SELECT lang, COUNT(*) AS n_ranks,
+              |       ROUND(REGR_SLOPE(LN(CAST(freq AS DOUBLE)), LN(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+              |       ROUND(REGR_R2(LN(CAST(freq AS DOUBLE)), LN(CAST(rnk AS DOUBLE))), 4) AS r2
+              |FROM ranked WHERE rnk <= 1000
+              |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, sfDir) =>
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("freq").desc, col("token"))
+    tf.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 1000)
+      .withColumn("lf", log(col("freq").cast("double")))
+      .withColumn("lr", log(col("rnk").cast("double")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ranks"),
+        round(expr("regr_slope(lf, lr)"), 4).as("zipf_slope"),
+        round(expr("regr_r2(lf, lr)"), 4).as("r2"))
+      .orderBy(col("lang"))
+  }
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1 genre):
+    * per-document word count bounds, mean word length bounds, stopword
+    * presence, and short-token fraction — each an auditable flag plus the
+    * composed keep decision. Complements `text_quality_score` (lexical
+    * diversity) and `text_repetition_filter` (dominance/dup-ngrams): this
+    * battery is the purely length/shape-based gate. Every signal is a
+    * partition-local array computation over the token list — no shuffle
+    * at all before the output sort; ratios are exact int/int divisions so
+    * the threshold comparisons are engine-identical. */
+  private val gopherRules = CatalogEntry.dialect(
+    "text_gopher_rules",
+    duckdb = """WITH m AS (
+               |  SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents
+               |), s AS (
+               |  SELECT doc_id, len(toks) AS n_words,
+               |         (n_chars - len(toks) + 1) * CAST(1.0 AS DOUBLE) / len(toks) AS mean_wlen,
+               |         len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS stop_hits,
+               |         len(list_filter(toks, t -> length(t) <= 2)) * CAST(1.0 AS DOUBLE) / len(toks) AS short_frac
+               |  FROM m
+               |)
+               |SELECT doc_id, n_words, ROUND(mean_wlen, 4) AS mean_wlen, stop_hits,
+               |       ROUND(short_frac, 4) AS short_frac,
+               |       CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS g_nwords,
+               |       CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 5.0 THEN 1 ELSE 0 END AS g_wlen,
+               |       CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS g_stop,
+               |       CASE WHEN short_frac <= 0.05 THEN 1 ELSE 0 END AS g_short,
+               |       CASE WHEN n_words BETWEEN 20 AND 100000 AND mean_wlen >= 3.0 AND mean_wlen <= 5.0
+               |                 AND stop_hits >= 1 AND short_frac <= 0.05 THEN 1 ELSE 0 END AS keep
+               |FROM s ORDER BY doc_id""".stripMargin,
+    spark = """WITH m AS (
+              |  SELECT doc_id, split(text, ' ') AS toks, n_chars FROM documents
+              |), s AS (
+              |  SELECT doc_id, CAST(size(toks) AS BIGINT) AS n_words,
+              |         (n_chars - size(toks) + 1) * CAST(1.0 AS DOUBLE) / size(toks) AS mean_wlen,
+              |         CAST(size(filter(toks, t -> t = 'the' OR t = 'a')) AS BIGINT) AS stop_hits,
+              |         size(filter(toks, t -> length(t) <= 2)) * CAST(1.0 AS DOUBLE) / size(toks) AS short_frac
+              |  FROM m
+              |)
+              |SELECT doc_id, n_words, ROUND(mean_wlen, 4) AS mean_wlen, stop_hits,
+              |       ROUND(short_frac, 4) AS short_frac,
+              |       CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS g_nwords,
+              |       CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 5.0 THEN 1 ELSE 0 END AS g_wlen,
+              |       CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS g_stop,
+              |       CASE WHEN short_frac <= 0.05 THEN 1 ELSE 0 END AS g_short,
+              |       CASE WHEN n_words BETWEEN 20 AND 100000 AND mean_wlen >= 3.0 AND mean_wlen <= 5.0
+              |                 AND stop_hits >= 1 AND short_frac <= 0.05 THEN 1 ELSE 0 END AS keep
+              |FROM s ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    val toks = split(col("text"), " ")
+    val nWords = size(toks)
+    val meanWlen = (col("n_chars") - nWords + 1) * lit(1.0) / nWords
+    val stopHits = size(filter(toks, t => t === "the" || t === "a"))
+    val shortFrac = size(filter(toks, t => length(t) <= 2)) * lit(1.0) / nWords
+    val gNwords = when(nWords.between(20, 100000), 1).otherwise(0)
+    val gWlen = when(meanWlen >= 3.0 && meanWlen <= 5.0, 1).otherwise(0)
+    val gStop = when(stopHits >= 1, 1).otherwise(0)
+    val gShort = when(shortFrac <= 0.05, 1).otherwise(0)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        round(meanWlen, 4).as("mean_wlen"),
+        stopHits.cast("long").as("stop_hits"),
+        round(shortFrac, 4).as("short_frac"),
+        gNwords.as("g_nwords"), gWlen.as("g_wlen"),
+        gStop.as("g_stop"), gShort.as("g_short"),
+        (gNwords * gWlen * gStop * gShort).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style head/middle/tail corpus bucketing by language-model
+    * score: per-doc mean unigram log-prob, split at the 0.3/0.7
+    * PERCENTILE_DISC cutoffs. Determinism is the interesting part: the
+    * per-doc score sums PER-TOKEN-TYPE quantized log-probs
+    * (`⌊ln(cnt/total)·1e6+0.5⌋` longs), so every cross-engine sum is an
+    * exact integer and a doc can never straddle a cutoff differently in
+    * the two engines — the discrete bucket assignment is provably
+    * engine-identical, unlike thresholding a raw double sum.
+    * PERCENTILE_DISC (not _CONT) keeps the cutoffs actual data values.
+    * Scale: token-keyed shuffles only, 1-row broadcasts for total and
+    * cutoffs — linear end to end. */
+  private val perplexityBucket = CatalogEntry.dialect(
+    "text_perplexity_bucket",
+    duckdb = """WITH tok AS (
+               |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+               |), tf AS (
+               |  SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk
+               |), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf),
+               |ql AS (
+               |  SELECT tk, CAST(FLOOR(ln(cnt * CAST(1.0 AS DOUBLE) / total) * 1e6 + 0.5) AS BIGINT) AS qlp
+               |  FROM tf CROSS JOIN tot
+               |), doc AS (
+               |  SELECT tok.doc_id, CAST(SUM(ql.qlp) AS DOUBLE) / 1e6 / COUNT(*) AS s
+               |  FROM tok JOIN ql USING (tk) GROUP BY tok.doc_id
+               |), cut AS (
+               |  SELECT quantile_disc(s, 0.3) AS c30, quantile_disc(s, 0.7) AS c70 FROM doc
+               |)
+               |SELECT CASE WHEN s >= c70 THEN 'head' WHEN s >= c30 THEN 'middle' ELSE 'tail' END AS bucket,
+               |       COUNT(*) AS n_docs, ROUND(AVG(s), 4) AS avg_logprob,
+               |       ROUND(MIN(s), 4) AS min_logprob, ROUND(MAX(s), 4) AS max_logprob
+               |FROM doc CROSS JOIN cut
+               |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    spark = """WITH tok AS (
+              |  SELECT doc_id, explode(split(text, ' ')) AS tk FROM documents
+              |), tf AS (
+              |  SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk
+              |), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf),
+              |ql AS (
+              |  SELECT tk, CAST(FLOOR(ln(cnt * CAST(1.0 AS DOUBLE) / total) * 1e6 + 0.5) AS BIGINT) AS qlp
+              |  FROM tf CROSS JOIN tot
+              |), doc AS (
+              |  SELECT tok.doc_id, CAST(SUM(ql.qlp) AS DOUBLE) / 1e6 / COUNT(*) AS s
+              |  FROM tok JOIN ql USING (tk) GROUP BY tok.doc_id
+              |), cut AS (
+              |  SELECT percentile_disc(0.3) WITHIN GROUP (ORDER BY s) AS c30,
+              |         percentile_disc(0.7) WITHIN GROUP (ORDER BY s) AS c70 FROM doc
+              |)
+              |SELECT CASE WHEN s >= c70 THEN 'head' WHEN s >= c30 THEN 'middle' ELSE 'tail' END AS bucket,
+              |       COUNT(*) AS n_docs, ROUND(AVG(s), 4) AS avg_logprob,
+              |       ROUND(MIN(s), 4) AS min_logprob, ROUND(MAX(s), 4) AS max_logprob
+              |FROM doc CROSS JOIN cut
+              |GROUP BY 1 ORDER BY bucket""".stripMargin) { (spark, sfDir) =>
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+    val tf = tok.groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+    val tot = tf.agg(sum(col("cnt")).cast("long").as("total"))
+    val ql = tf.crossJoin(broadcast(tot))
+      .select(col("tk"),
+        floor(log(col("cnt") * lit(1.0) / col("total")) * 1e6 + 0.5)
+          .cast("long").as("qlp"))
+    val doc = tok.join(ql, "tk")
+      .groupBy(col("doc_id"))
+      .agg((sum(col("qlp")).cast("double") / 1e6 / count(lit(1))).as("s"))
+    val cut = doc.agg(
+      expr("percentile_disc(0.3) WITHIN GROUP (ORDER BY s)").as("c30"),
+      expr("percentile_disc(0.7) WITHIN GROUP (ORDER BY s)").as("c70"))
+    doc.crossJoin(broadcast(cut))
+      .select(
+        when(col("s") >= col("c70"), "head")
+          .when(col("s") >= col("c30"), "middle")
+          .otherwise("tail").as("bucket"),
+        col("s"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("s")), 4).as("avg_logprob"),
+        round(min(col("s")), 4).as("min_logprob"),
+        round(max(col("s")), 4).as("max_logprob"))
+      .orderBy(col("bucket"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
     idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
     unigramLogprob, containment, corpusFilter, ngramTopk, urlCanonicalize,
-    chunkWindows, perplexityBigram, dedupChunk, docKeywords, mixWeights)
+    chunkWindows, perplexityBigram, dedupChunk, docKeywords, mixWeights,
+    zipfSlope, gopherRules, perplexityBucket)
 }

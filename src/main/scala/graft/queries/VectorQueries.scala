@@ -984,8 +984,234 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  /** Distributed k-means (k=8, 2 Lloyd iterations, init = the first k
+    * vectors by id). The 100-TB shape is the textbook one: centroids are a
+    * k×d broadcast (512 doubles), assignment is one map-side pass with the
+    * codegen'd [[graft.functions.QuantizedL2]] per (row, centroid) and an
+    * argmin via `least(struct(qdist, cid))`, and the update is a
+    * per-(cluster, pos) partial aggregation — no all-pairs join, no
+    * per-node state, one tiny driver collect per iteration to refresh the
+    * broadcast (the same plan-control class as the IVF nprobe collects).
+    *
+    * Determinism (§2.0.3): every cross-engine sum is integer. Distances
+    * quantize each term `⌊(x−c)²·1e12+0.5⌋` into a long (so argmin over
+    * (qdist, cid) cannot flip on summation order), and centroid means
+    * divide an exact long sum `⌊v·1e12+0.5⌋` — both spelled with FLOOR,
+    * the dialect-stable rounding [[graft.functions.Sq8Encode]] pinned.
+    * Empty clusters simply drop out of the output on both engines.
+    */
+  private val kmeansLloyd = CatalogEntry.dialect(
+    "vec_kmeans_lloyd",
+    duckdb = """WITH e AS (
+               |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+               |         CAST(unnest(embedding) AS DOUBLE) AS v
+               |  FROM embeddings
+               |), c0 AS (
+               |  SELECT vec_id AS cid, pos, v AS c FROM e WHERE vec_id < 8
+               |), qd1 AS (
+               |  SELECT e.vec_id, c0.cid,
+               |         SUM(CAST(FLOOR((e.v - c0.c)*(e.v - c0.c)*1e12 + 0.5) AS BIGINT)) AS qd
+               |  FROM e JOIN c0 ON e.pos = c0.pos
+               |  GROUP BY e.vec_id, c0.cid
+               |), a1 AS (
+               |  SELECT vec_id, cid FROM (
+               |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qd, cid) AS rn
+               |    FROM qd1) t WHERE rn = 1
+               |), c1 AS (
+               |  SELECT a1.cid, e.pos,
+               |         (CAST(SUM(CAST(FLOOR(e.v*1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) / COUNT(*) AS c
+               |  FROM a1 JOIN e ON a1.vec_id = e.vec_id
+               |  GROUP BY a1.cid, e.pos
+               |), qd2 AS (
+               |  SELECT e.vec_id, c1.cid,
+               |         SUM(CAST(FLOOR((e.v - c1.c)*(e.v - c1.c)*1e12 + 0.5) AS BIGINT)) AS qd
+               |  FROM e JOIN c1 ON e.pos = c1.pos
+               |  GROUP BY e.vec_id, c1.cid
+               |), a2 AS (
+               |  SELECT vec_id, cid FROM (
+               |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qd, cid) AS rn
+               |    FROM qd2) t WHERE rn = 1
+               |), c2 AS (
+               |  SELECT a2.cid, e.pos,
+               |         (CAST(SUM(CAST(FLOOR(e.v*1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) / COUNT(*) AS c,
+               |         COUNT(*) AS n_members
+               |  FROM a2 JOIN e ON a2.vec_id = e.vec_id
+               |  GROUP BY a2.cid, e.pos
+               |)
+               |SELECT cid AS cluster_id, pos, ROUND(c, 4) AS c_val, n_members
+               |FROM c2 ORDER BY cluster_id, pos""".stripMargin,
+    spark = """WITH e AS (
+              |  SELECT vec_id, posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos, v) FROM embeddings
+              |), c0 AS (
+              |  SELECT vec_id AS cid, pos, v AS c FROM e WHERE vec_id < 8
+              |), qd1 AS (
+              |  SELECT e.vec_id, c0.cid,
+              |         SUM(CAST(FLOOR((e.v - c0.c)*(e.v - c0.c)*1e12 + 0.5) AS BIGINT)) AS qd
+              |  FROM e JOIN c0 ON e.pos = c0.pos
+              |  GROUP BY e.vec_id, c0.cid
+              |), a1 AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qd, cid) AS rn
+              |    FROM qd1) t WHERE rn = 1
+              |), c1 AS (
+              |  SELECT a1.cid, e.pos,
+              |         (CAST(SUM(CAST(FLOOR(e.v*1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) / COUNT(*) AS c
+              |  FROM a1 JOIN e ON a1.vec_id = e.vec_id
+              |  GROUP BY a1.cid, e.pos
+              |), qd2 AS (
+              |  SELECT e.vec_id, c1.cid,
+              |         SUM(CAST(FLOOR((e.v - c1.c)*(e.v - c1.c)*1e12 + 0.5) AS BIGINT)) AS qd
+              |  FROM e JOIN c1 ON e.pos = c1.pos
+              |  GROUP BY e.vec_id, c1.cid
+              |), a2 AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qd, cid) AS rn
+              |    FROM qd2) t WHERE rn = 1
+              |), c2 AS (
+              |  SELECT a2.cid, e.pos,
+              |         (CAST(SUM(CAST(FLOOR(e.v*1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) / COUNT(*) AS c,
+              |         COUNT(*) AS n_members
+              |  FROM a2 JOIN e ON a2.vec_id = e.vec_id
+              |  GROUP BY a2.cid, e.pos
+              |)
+              |SELECT cid AS cluster_id, pos, ROUND(c, 4) AS c_val, n_members
+              |FROM c2 ORDER BY cluster_id, pos""".stripMargin) { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
+    val k = 8
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), vdouble(col("embedding")).as("v")).cache()
+    // init: first k vectors by id — deterministic, k×d driver values
+    var cents: Array[(Long, Seq[Double])] = emb.where(col("vec_id") < k)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+    def assign = {
+      val structs = cents.map { case (cid, arr) =>
+        struct(
+          call_function("ql2_dist", col("v"), typedLit(arr)).as("qd"),
+          lit(cid).as("cid"))
+      }
+      emb.withColumn("best", least(structs: _*))
+        .select(col("vec_id"), col("v"), col("best.cid").as("cluster_id"))
+    }
+    def update = assign
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(sum(floor(col("val") * 1e12 + 0.5).cast("long")).as("sq"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("pos"),
+        ((col("sq").cast("double") / 1e12) / col("n_members")).as("c"),
+        col("n_members"))
+
+    // iteration 1: refresh the centroid broadcast (tiny k×d collect)
+    cents = update.collect()
+      .groupBy(_.getLong(0)).toArray
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.sortBy(_._1)
+    // iteration 2: the returned (lazy) frame is assign₂ + update₂
+    update.select(col("cluster_id"), col("pos"),
+        round(col("c"), 4).as("c_val"), col("n_members"))
+      .orderBy(col("cluster_id"), col("pos"))
+  }
+
+  /** Maximal-marginal-relevance diversified retrieval: top-30 cosine
+    * shortlist for the query vector, then the greedy MMR re-rank
+    * (λ=0.7) picks 10 — `score = 0.7·rel − 0.3·max_{s∈chosen} sim(·,s)`,
+    * the standard redundancy-suppressing rerank for RAG retrieval. The
+    * shortlist scan and the 30×29 pairwise sims are distributed; the
+    * greedy loop itself runs over ~900 collected scalars (plan control,
+    * the rerank analog of the nprobe label collects — at any corpus size
+    * the greedy input is O(shortlist²), never O(n)).
+    *
+    * Determinism: sims quantize to integers (`⌊cos·1e6+0.5⌋`), the greedy
+    * objective is the integer `7·qrel − 3·qsim_max` (λ scaled ×10), ties
+    * break on vec_id — so the selection is engine-exact, and the DuckDB
+    * oracle can replay it verbatim as a recursive CTE carrying the chosen
+    * list. A Spark-SQL twin cannot exist (the greedy step needs LATERAL +
+    * list-state recursion Spark 4.1 rejects) — MmrSpec holds the in-repo
+    * equivalence evidence, same exemption class as `dedup_cluster_cc`.
+    */
+  private val mmrDiversify = CatalogEntry.duckdbOnly(
+    "vec_mmr_diversify",
+    duckdb = """WITH RECURSIVE
+               |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+               |base AS (
+               |  SELECT e.vec_id,
+               |         CAST(FLOOR(list_sum(list_transform(range(1, 65), i -> qv[i] * CAST(embedding AS DOUBLE[])[i])) /
+               |              (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+               |               sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))) * 1e6 + 0.5) AS BIGINT) AS qrel,
+               |         CAST(embedding AS DOUBLE[]) AS v
+               |  FROM embeddings e, q
+               |  WHERE e.vec_id <> 0
+               |  ORDER BY qrel DESC, e.vec_id
+               |  LIMIT 30
+               |),
+               |pairs AS (
+               |  SELECT a.vec_id AS i, b.vec_id AS j,
+               |         CAST(FLOOR(list_sum(list_transform(range(1, 65), k -> a.v[k] * b.v[k])) /
+               |              (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               |               sqrt(list_sum(list_transform(b.v, x -> x * x)))) * 1e6 + 0.5) AS BIGINT) AS qsim
+               |  FROM base a JOIN base b ON a.vec_id <> b.vec_id
+               |),
+               |sel AS (
+               |  SELECT 1 AS rnk, vec_id, qrel, [vec_id] AS chosen
+               |  FROM (SELECT vec_id, qrel FROM base ORDER BY qrel DESC, vec_id LIMIT 1) s0
+               |  UNION ALL
+               |  SELECT s.rnk + 1, nxt.vec_id, nxt.qrel, list_append(s.chosen, nxt.vec_id)
+               |  FROM sel s, LATERAL (
+               |    SELECT b.vec_id, b.qrel
+               |    FROM base b
+               |    WHERE NOT list_contains(s.chosen, b.vec_id)
+               |    ORDER BY 7 * b.qrel - 3 * (SELECT MAX(p.qsim) FROM pairs p
+               |                               WHERE p.i = b.vec_id AND list_contains(s.chosen, p.j)) DESC,
+               |             b.vec_id
+               |    LIMIT 1) nxt
+               |  WHERE s.rnk < 10
+               |)
+               |SELECT rnk, vec_id, CAST(qrel AS DOUBLE) / 1e6 AS rel
+               |FROM sel ORDER BY rnk""".stripMargin) { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+    val q = emb.where(col("vec_id") === 0).select(col("v").as("qv"))
+    val base = emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"),
+        floor(expr("cosine_sim(qv, v)") * 1e6 + 0.5).cast("long").as("qrel"))
+      .orderBy(col("qrel").desc, col("vec_id")).limit(30)
+      .cache()
+    val pairs = base.as("a")
+      .join(base.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        floor(expr("cosine_sim(a.v, b.v)") * 1e6 + 0.5).cast("long").as("qsim"))
+    // O(shortlist²) scalars to the driver; greedy replay in exact integers
+    val cand = base.select(col("vec_id"), col("qrel")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sim = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val remaining = scala.collection.mutable.LinkedHashMap(cand.sortBy(c => (-c._2, c._1)): _*)
+    while (chosen.size < 10 && remaining.nonEmpty) {
+      val pick =
+        if (chosen.isEmpty) remaining.head
+        else remaining.maxBy { case (id, rel) =>
+          val maxSim = chosen.map(s => sim((id, s._1))).max
+          (7L * rel - 3L * maxSim, -id)
+        }
+      chosen += ((pick._1, pick._2))
+      remaining.remove(pick._1)
+    }
+    val rows = chosen.toSeq.zipWithIndex.map { case ((id, qrel), i) =>
+      (i + 1, id, qrel.toDouble / 1e6)
+    }
+    spark.createDataFrame(rows).toDF("rnk", "vec_id", "rel")
+      .orderBy(col("rnk"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     normProject, cosineKnn, pairwiseTopk, centroidPerLabel, multimodalJoin,
     dedupEmbedding, ivfKnn, lshAnn, pqAnn, rangeSearch, ivfPq, sqInt8,
-    standardize, hammingKnn, prefixRerank, centroidDrift)
+    standardize, hammingKnn, prefixRerank, centroidDrift, kmeansLloyd,
+    mmrDiversify)
 }

@@ -28,6 +28,33 @@ class FunctionSpec extends SparkSpecBase {
     assert(diff == 0)
   }
 
+  test("ql2_dist matches the quantized higher-order formulation exactly") {
+    // the k-means assignment contract: per-term ⌊(x−y)²·1e12+0.5⌋ summed
+    // as longs — the HOF spelling is what the SQL twins state verbatim
+    val hof = aggregate(
+      zip_with(col("v"), col("v2"), (x, y) => floor((x - y) * (x - y) * 1e12 + 0.5).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val pairs = emb.limit(40)
+      .crossJoin(emb.limit(40).select(col("vec_id").as("vec_id2"), col("v").as("v2")))
+    val diff = pairs
+      .withColumn("native", expr("ql2_dist(v, v2)"))
+      .withColumn("hofq", hof)
+      .where(col("native") =!= col("hofq"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("ql2_dist known values: zero distance and exact quantization") {
+    val df = spark.sql(
+      """SELECT ql2_dist(array(CAST(1.0 AS DOUBLE), 0.0), array(CAST(1.0 AS DOUBLE), 0.0)) AS z,
+        |       ql2_dist(array(CAST(1.0 AS DOUBLE), 0.0), array(CAST(0.0 AS DOUBLE), 0.0)) AS one,
+        |       ql2_dist(array(CAST(0.5 AS DOUBLE)), array(CAST(0.0 AS DOUBLE))) AS quarter""".stripMargin)
+    val r = df.collect().head
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == 1000000000000L)
+    assert(r.getLong(2) == 250000000000L)
+  }
+
   test("cosine_sim on 16-dim prefixes matches the explicit fold exactly") {
     // pins vec_prefix_rerank's psim contract: the native expression is a
     // sequential left fold, bit-identical to the SQL twins' aggregate(

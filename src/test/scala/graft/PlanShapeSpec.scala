@@ -471,4 +471,42 @@ class PlanShapeSpec extends SparkSpecBase {
       p.contains("Exchange hashpartitioning(st"),
       s"expected the group-keyed exchange for the ntile window in:\n$p")
   }
+
+  test("vec_kmeans_lloyd assignment is join-free (broadcast-literal centroids)") {
+    // the returned frame is assign₂+update₂: one generate + one keyed agg.
+    // A join anywhere would mean the centroids were NOT a k×d broadcast —
+    // the exact shape that stops scaling at 100 TB.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec}
+    val plan = Catalog.byKey("vec_kmeans_lloyd").run(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val joins = plan.collect { case j: BaseJoinExec => j }
+    assert(joins.isEmpty, s"k-means assignment must not join:\n$plan")
+  }
+
+  test("graph_triangle_count closes wedges with equi-joins only") {
+    // degree-ordered orientation keeps the closure a hash-join on (u, v)
+    // pairs; a nested-loop over DATA is the quadratic failure mode. The
+    // only allowed nested loops are the final 1-row metric crosses — every
+    // BNLJ build side must be a scalar (ungrouped) aggregate.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = Catalog.byKey("graph_triangle_count").run(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    assert(!plan.toString.contains("CartesianProduct"))
+    plan.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      val scalarAgg = j.right.collect {
+        case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+      }
+      assert(scalarAgg.nonEmpty,
+        s"nested-loop join over non-scalar data in triangle closure:\n$plan")
+    }
+  }
 }

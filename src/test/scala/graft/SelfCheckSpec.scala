@@ -38,7 +38,10 @@ class SelfCheckSpec extends SparkSpecBase {
     //   which Spark 4.1 rejects (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) and
     //   UNION ALL closure diverges on cycles; covered by CcSpec's
     //   union-find ground truth instead.
-    val twinExempt = Set("dedup_cluster_cc")
+    //   vec_mmr_diversify — the greedy MMR step needs LATERAL + list-state
+    //   recursion (the chosen set feeds each next pick), which Spark SQL
+    //   cannot express; covered by MmrSpec's integer-exact greedy replay.
+    val twinExempt = Set("dedup_cluster_cc", "vec_mmr_diversify")
     val missing = Catalog.all.filter(e =>
       e.duckdbSql.isDefined && e.sparkSql.isEmpty && !twinExempt(e.key))
     assert(missing.isEmpty, s"entries lacking a self-check twin: ${missing.map(_.key)}")
