@@ -54,9 +54,15 @@ object Bench {
     val warmSfDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMSF", "/root/testdata/sf0.001")
     val warmPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0" &&
       new java.io.File(warmSfDir).isDirectory && warmSfDir != sfDir
+    // SPARK_GRAFT_BENCH_WARMONLY=k1,k2 warms a DIFFERENT subset than the
+    // timed selection (diagnosis lever for warm-residue effects)
+    val warmSelected = sys.env.get("SPARK_GRAFT_BENCH_WARMONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .map(keys => SparkEntry.queries.view.filterKeys(keys).toMap)
+      .getOrElse(selected)
     if (warmPass) {
       val w0 = System.nanoTime()
-      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      warmSelected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try fn(spark, warmSfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] warm $name failed (continuing): $e")
@@ -66,7 +72,7 @@ object Bench {
         }
       }
       System.gc()
-      System.err.println(f"[bench] warm pass (${selected.size} entries @ $warmSfDir): " +
+      System.err.println(f"[bench] warm pass (${warmSelected.size} entries @ $warmSfDir): " +
         f"${(System.nanoTime() - w0) / 1e9}%.1f s untimed")
     }
     // fixed (sorted) execution order: hash-map order varied run to run,

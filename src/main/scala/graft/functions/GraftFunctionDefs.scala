@@ -32,6 +32,14 @@ object GraftFunctionDefs {
       s"$fn expects (value[, lgK:int literal]), got ${children.length} args")
   }
 
+  /** Bitmaps have no sane default domain — the id dictionary is a pipeline
+    * contract, so maxId is a REQUIRED int literal. */
+  private def maxIdArg(children: Seq[Expression], fn: String): Int = children match {
+    case Seq(_, Literal(v: Int, IntegerType)) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects (id, maxId:int literal), got ${children.length} args")
+  }
+
   /** name → (ExpressionInfo, builder). */
   val defs: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -93,7 +101,19 @@ object GraftFunctionDefs {
       (c: Seq[Expression]) => Sq8Encode(c(0), c(1), c(2))),
     (FunctionIdentifier("sq8_cosine"),
       new ExpressionInfo(classOf[Sq8Cosine].getName, "sq8_cosine"),
-      (c: Seq[Expression]) => Sq8Cosine(c(0), c(1), c(2), c(3))))
+      (c: Seq[Expression]) => Sq8Cosine(c(0), c(1), c(2), c(3))),
+    (FunctionIdentifier("bitmap_distinct_agg"),
+      new ExpressionInfo(classOf[BitmapDistinctAgg].getName, "bitmap_distinct_agg"),
+      (c: Seq[Expression]) => BitmapDistinctAgg(c.head, maxIdArg(c, "bitmap_distinct_agg"))),
+    (FunctionIdentifier("bitmap_merge_agg"),
+      new ExpressionInfo(classOf[BitmapMergeAgg].getName, "bitmap_merge_agg"),
+      (c: Seq[Expression]) => BitmapMergeAgg(c.head)),
+    (FunctionIdentifier("bitmap_count"),
+      new ExpressionInfo(classOf[BitmapCount].getName, "bitmap_count"),
+      (c: Seq[Expression]) => BitmapCount(c(0))),
+    (FunctionIdentifier("outer_acc_agg"),
+      new ExpressionInfo(classOf[OuterProductAgg].getName, "outer_acc_agg"),
+      (c: Seq[Expression]) => OuterProductAgg(c.head)))
 
   /** Idempotently register every engine function on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

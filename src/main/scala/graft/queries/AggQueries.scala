@@ -994,6 +994,207 @@ object AggQueries {
       .orderBy(col("var1"), col("var2"))
   }
 
+  /** Winsorized + trimmed means — the robust-mean pair every metrics
+    * pipeline wants beside `agg_mad_robust` (Redshift-genre data QA: tame
+    * the tails before averaging). Two passes like MAD: per-segment p05/p95
+    * interpolated bounds first (both engines share `agg_percentile_exact`'s
+    * proven linear-interpolation spelling), then one broadcast join back
+    * for the clamp/filter aggregation — both passes shuffle on the same
+    * segment key, and the bounds frame is |segments| rows, so at 100 TB
+    * this is two map-side-combined aggregations plus a broadcast.
+    * Boundary determinism: an interpolated bound only ever EQUALS a data
+    * value when the rank lands on an integer index, and then both engines
+    * return that value exactly (frac = 0 is exact in FP), so the
+    * BETWEEN/clamp membership never straddles an engine-specific ulp. */
+  private val winsorized = CatalogEntry.dialect(
+    "agg_winsorized",
+    duckdb = """WITH b AS (
+               |  SELECT c_mktsegment,
+               |         percentile_cont(0.05) WITHIN GROUP (ORDER BY c_acctbal) AS lo,
+               |         percentile_cont(0.95) WITHIN GROUP (ORDER BY c_acctbal) AS hi
+               |  FROM customer GROUP BY c_mktsegment)
+               |SELECT c.c_mktsegment,
+               |       CAST(COUNT(*) AS BIGINT) AS n,
+               |       ROUND(AVG(c.c_acctbal), 4) AS mean_raw,
+               |       ROUND(AVG(CASE WHEN c.c_acctbal BETWEEN b.lo AND b.hi THEN c.c_acctbal END), 4) AS mean_trim,
+               |       ROUND(AVG(LEAST(GREATEST(c.c_acctbal, b.lo), b.hi)), 4) AS mean_wins
+               |FROM customer c JOIN b ON c.c_mktsegment = b.c_mktsegment
+               |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    spark = """WITH b AS (
+              |  SELECT c_mktsegment,
+              |         percentile(c_acctbal, 0.05) AS lo,
+              |         percentile(c_acctbal, 0.95) AS hi
+              |  FROM customer GROUP BY c_mktsegment)
+              |SELECT c.c_mktsegment,
+              |       CAST(COUNT(*) AS BIGINT) AS n,
+              |       ROUND(AVG(c.c_acctbal), 4) AS mean_raw,
+              |       ROUND(AVG(CASE WHEN c.c_acctbal BETWEEN b.lo AND b.hi THEN c.c_acctbal END), 4) AS mean_trim,
+              |       ROUND(AVG(LEAST(GREATEST(c.c_acctbal, b.lo), b.hi)), 4) AS mean_wins
+              |FROM customer c JOIN b ON c.c_mktsegment = b.c_mktsegment
+              |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (spark, sfDir) =>
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_acctbal"))
+    val bounds = cust.groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(c_acctbal, 0.05)").as("lo"),
+        expr("percentile(c_acctbal, 0.95)").as("hi"))
+    cust.join(broadcast(bounds), "c_mktsegment")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        round(avg(col("c_acctbal")), 4).as("mean_raw"),
+        round(avg(when(col("c_acctbal").between(col("lo"), col("hi")), col("c_acctbal"))), 4)
+          .as("mean_trim"),
+        round(avg(least(greatest(col("c_acctbal"), col("lo")), col("hi"))), 4).as("mean_wins"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Market-basket association rules — support / confidence / lift over
+    * part-family co-occurrence within an order (the retail-analytics
+    * staple the co-occurrence GRAPH entries don't give: directionless
+    * pair metrics with frequency thresholds). All-integer counts, so every
+    * metric is an exact IEEE division of exact longs — no FP drift — and
+    * the ROUND(lift,4) DESC, x, y ordering is total. Plan: one distinct
+    * (basket, item) projection, a per-basket pair self-join (baskets are
+    * a few items, so pairs-per-basket is bounded), then two broadcast
+    * joins against the |items|-row count frame. At 100 TB the self-join
+    * shuffles once on basket and the support threshold prunes the long
+    * tail before the broadcast stage; the a-priori refinement (filter
+    * items below min-support BEFORE pairing) drops straight into the
+    * `cnt` frame if item cardinality ever grows. */
+  private val assocRules = CatalogEntry.ansi(
+    "agg_assoc_rules",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS basket, l_partkey % 50 AS item FROM lineitem
+      |), nb AS (SELECT CAST(COUNT(DISTINCT basket) AS DOUBLE) AS n FROM items),
+      |cnt AS (SELECT item, CAST(COUNT(*) AS DOUBLE) AS c FROM items GROUP BY item),
+      |pairs AS (
+      |  SELECT a.item AS x, b.item AS y, COUNT(*) AS xy
+      |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+      |  GROUP BY a.item, b.item)
+      |SELECT CAST(p.x AS BIGINT) AS x, CAST(p.y AS BIGINT) AS y, CAST(p.xy AS BIGINT) AS n_xy,
+      |       ROUND(p.xy / nb.n, 6) AS support,
+      |       ROUND(p.xy / cx.c, 6) AS confidence,
+      |       ROUND(p.xy * nb.n / (cx.c * cy.c), 4) AS lift
+      |FROM pairs p CROSS JOIN nb
+      |JOIN cnt cx ON p.x = cx.item JOIN cnt cy ON p.y = cy.item
+      |WHERE p.xy >= 5
+      |ORDER BY lift DESC, x, y LIMIT 100""".stripMargin) { (spark, sfDir) =>
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("basket"), (col("l_partkey") % 50).as("item"))
+      .distinct()
+    val nb = items.agg(countDistinct(col("basket")).cast("double").as("n"))
+    val cnt = items.groupBy(col("item")).agg(count(lit(1)).cast("double").as("c"))
+    val a = items.select(col("basket"), col("item").as("x"))
+    val b = items.select(col("basket").as("basket_b"), col("item").as("y"))
+    a.join(b, col("basket") === col("basket_b") && col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("xy"))
+      .where(col("xy") >= 5)
+      .crossJoin(broadcast(nb))
+      .join(broadcast(cnt.withColumnRenamed("item", "x").withColumnRenamed("c", "cx")), "x")
+      .join(broadcast(cnt.withColumnRenamed("item", "y").withColumnRenamed("c", "cy")), "y")
+      .select(
+        col("x").cast("long").as("x"), col("y").cast("long").as("y"),
+        col("xy").cast("long").as("n_xy"),
+        round(col("xy") / col("n"), 6).as("support"),
+        round(col("xy") / col("cx"), 6).as("confidence"),
+        round(col("xy") * col("n") / (col("cx") * col("cy")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("x"), col("y"))
+      .limit(100)
+  }
+
+  /** Fixed-domain BITMAP distinct counting (`functions/BitmapSketch.scala`)
+    * — the EXACT mergeable-distinct member beside the estimating HLL/theta:
+    * one bit per dictionary id, per-partition bitmaps OR-merged in any
+    * topology, popcount at the end. The rollup leg proves mergeability the
+    * way `agg_hll_sketch_merge` does — per-segment bitmaps are built ONCE
+    * and the ALL row is their `bitmap_merge_agg` union, never a re-scan.
+    * At 100 TB this is the shape for dense dictionary ids (the buffer is
+    * domain/8 bytes, row-count-independent); unbounded domains stay with
+    * the sketches. Oracle = plain COUNT(DISTINCT) — bitmaps are exact, so
+    * the whole entry is hash-checkable, unlike the estimating family. */
+  private val bitmapDistinct = CatalogEntry.ansi(
+    "agg_bitmap_distinct",
+    """SELECT seg, n_buyers FROM (
+      |  SELECT c_mktsegment AS seg, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment
+      |  UNION ALL
+      |  SELECT 'ALL' AS seg, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers
+      |  FROM orders
+      |) t ORDER BY seg""".stripMargin) { (spark, sfDir) =>
+    graft.functions.SketchFunctions.ensureRegistered(spark)
+    val joined = Tables.orders(spark, sfDir).select(col("o_custkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val perSeg = joined.groupBy(col("c_mktsegment").as("seg"))
+      .agg(expr("bitmap_distinct_agg(o_custkey, 262144)").as("bm"))
+      .cache()
+    val segRows = perSeg.select(col("seg"), expr("bitmap_count(bm)").as("n_buyers"))
+    val allRow = perSeg.agg(expr("bitmap_merge_agg(bm)").as("bm"))
+      .select(lit("ALL").as("seg"), expr("bitmap_count(bm)").as("n_buyers"))
+    segRows.unionAll(allRow).orderBy(col("seg"))
+  }
+
+  /** Seasonality-adjusted anomaly detection — daily revenue z-scored
+    * against its same-weekday baseline (the day-of-week effect is the
+    * dominant seasonality in order data; a plain global z would flag
+    * every weekend). Weekday is epoch-day mod 7 — pure arithmetic, no
+    * engine calendars (house policy per `date_business_days`). The
+    * baseline is a 7-row aggregate joined back broadcast; daily revenue
+    * sums ride DECIMAL (exact), the second moment is the only double sum
+    * and perturbs z at ~1e-14 — invisible at ROUND(,4). Two shuffles on
+    * (day) and (dow), both map-side combined; linear at any scale. */
+  private val seasonalAnomaly = CatalogEntry.dialect(
+    "agg_seasonal_anomaly",
+    duckdb = """WITH d AS (
+               |  SELECT l_shipdate AS d, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+               |         datediff('day', DATE '1970-01-01', l_shipdate) % 7 AS dow
+               |  FROM lineitem GROUP BY l_shipdate
+               |), base AS (
+               |  SELECT dow, CAST(COUNT(*) AS DOUBLE) AS n,
+               |         CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS s,
+               |         SUM(rev * rev) AS ss
+               |  FROM d GROUP BY dow
+               |)
+               |SELECT d.d, d.rev, CAST(d.dow AS BIGINT) AS dow,
+               |       ROUND((d.rev - s / n) / NULLIF(sqrt(ss / n - (s / n) * (s / n)), 0.0), 4) AS z,
+               |       CASE WHEN abs((d.rev - s / n) / NULLIF(sqrt(ss / n - (s / n) * (s / n)), 0.0)) > 2.0
+               |            THEN 1 ELSE 0 END AS is_anomaly
+               |FROM d JOIN base ON d.dow = base.dow ORDER BY d.d""".stripMargin,
+    spark = """WITH d AS (
+              |  SELECT l_shipdate AS d, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+              |         datediff(l_shipdate, DATE '1970-01-01') % 7 AS dow
+              |  FROM lineitem GROUP BY l_shipdate
+              |), base AS (
+              |  SELECT dow, CAST(COUNT(*) AS DOUBLE) AS n,
+              |         CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS s,
+              |         SUM(rev * rev) AS ss
+              |  FROM d GROUP BY dow
+              |)
+              |SELECT d.d, d.rev, CAST(d.dow AS BIGINT) AS dow,
+              |       ROUND((d.rev - s / n) / NULLIF(sqrt(ss / n - (s / n) * (s / n)), 0.0), 4) AS z,
+              |       CASE WHEN abs((d.rev - s / n) / NULLIF(sqrt(ss / n - (s / n) * (s / n)), 0.0)) > 2.0
+              |            THEN 1 ELSE 0 END AS is_anomaly
+              |FROM d JOIN base ON d.dow = base.dow ORDER BY d.d""".stripMargin) { (spark, sfDir) =>
+    val daily = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_shipdate").as("d"))
+      .agg(decOut(sum(dec(col("l_extendedprice")))).as("rev"))
+      .withColumn("dow", datediff(col("d"), to_date(lit("1970-01-01"))) % 7)
+    val base = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        decOut(sum(dec(col("rev")))).as("s"),
+        sum(col("rev") * col("rev")).as("ss"))
+    val mean = col("s") / col("n")
+    val sd = nullif(sqrt(col("ss") / col("n") - mean * mean), lit(0.0))
+    val zExpr = (col("rev") - mean) / sd
+    daily.join(broadcast(base), "dow")
+      .select(col("d"), col("rev"), col("dow").cast("long").as("dow"),
+        round(zExpr, 4).as("z"),
+        when(abs(zExpr) > 2.0, 1).otherwise(0).as("is_anomaly"))
+      .orderBy(col("d"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     corrMatrix,
     pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
@@ -1002,5 +1203,6 @@ object AggQueries {
     kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,
     stringConcat, entropyAgg, regression, boolCountIf, weightedAvg,
     groupingIdRollup, percentileDisc, skewKurt, listaggDistinct,
-    cohortRetention, madRobust, giniCoefficient, histogramEquidepth)
+    cohortRetention, madRobust, giniCoefficient, histogramEquidepth,
+    winsorized, assocRules, bitmapDistinct, seasonalAnomaly)
 }

@@ -1275,7 +1275,52 @@ object EtlQueries {
       .orderBy(col("pseudonym"))
   }
 
+  /** k-anonymity suppression — the privacy gate a training-data pipeline
+    * runs before export (companion to `etl_pseudonymize`, which hides
+    * IDENTIFIERS; this hides rare QUASI-identifier combinations that
+    * re-identify by joining: any (region, segment, balance-band) cell
+    * with fewer than k=8 members is generalized to the suppressed
+    * sentinel). One window count over the QID key then a re-aggregation
+    * on the generalized key — two shuffles on low-cardinality keys, no
+    * global sort, trivially linear at 100 TB. The balance band is
+    * closed-form floor arithmetic (no engine bucket functions), so both
+    * engines compute identical cells. */
+  private val kAnonymize = CatalogEntry.ansi(
+    "etl_k_anonymize",
+    """WITH q AS (
+      |  SELECT c_custkey, CAST(c_nationkey % 5 AS BIGINT) AS region_b,
+      |         CAST(floor((c_acctbal + 1000.0) / 2200.0) AS BIGINT) AS bal_b,
+      |         c_mktsegment FROM customer
+      |), g AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY region_b, c_mktsegment, bal_b) AS grp_n FROM q
+      |)
+      |SELECT CASE WHEN grp_n >= 8 THEN region_b ELSE -1 END AS region_q,
+      |       CASE WHEN grp_n >= 8 THEN c_mktsegment ELSE '*' END AS seg_q,
+      |       CASE WHEN grp_n >= 8 THEN bal_b ELSE -1 END AS bal_q,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(MIN(grp_n) AS BIGINT) AS min_src_grp
+      |FROM g GROUP BY region_q, seg_q, bal_q
+      |ORDER BY region_q, seg_q, bal_q""".stripMargin) { (spark, sfDir) =>
+    val k = lit(8)
+    val q = Tables.customer(spark, sfDir).select(
+      col("c_custkey"),
+      (col("c_nationkey") % 5).cast("long").as("region_b"),
+      floor((col("c_acctbal") + 1000.0) / 2200.0).cast("long").as("bal_b"),
+      col("c_mktsegment"))
+    val grpN = count(lit(1))
+      .over(Window.partitionBy(col("region_b"), col("c_mktsegment"), col("bal_b")))
+    q.withColumn("grp_n", grpN)
+      .groupBy(
+        when(col("grp_n") >= k, col("region_b")).otherwise(lit(-1)).as("region_q"),
+        when(col("grp_n") >= k, col("c_mktsegment")).otherwise(lit("*")).as("seg_q"),
+        when(col("grp_n") >= k, col("bal_b")).otherwise(lit(-1)).as("bal_q"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("grp_n")).cast("long").as("min_src_grp"))
+      .orderBy(col("region_q"), col("seg_q"), col("bal_q"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    kAnonymize,
     pseudonymize,
     dedupExact, dedupLatest, mergeUpsert, scd2Intervals, pivotWide,
     unpivotLong, timeDim, qualityAudit, dateSpineFill, ctasRoundtrip,

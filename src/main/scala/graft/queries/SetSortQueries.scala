@@ -112,7 +112,58 @@ object SetSortQueries {
       .orderBy(col("tag"), col("k"))
   }
 
+  /** UNION by NAME — schema-evolution-tolerant append (two extracts whose
+    * column ORDERS differ and one of which is missing a column entirely;
+    * positional UNION would silently cross-wire k with src). Spark's
+    * surface is the `unionByName(…, allowMissingColumns = true)` Dataset
+    * API (no SQL spelling exists there); DuckDB spells it UNION ALL BY
+    * NAME with the same null-fill semantics, which makes the oracle a
+    * direct restatement rather than a manufactured twin. Sums ride the
+    * house DECIMAL-then-DOUBLE policy so the missing-column leg's FP
+    * never drifts. Union is a zero-shuffle concatenation; the group-by
+    * on the 2-value src key is map-side combined — nothing here scales
+    * worse than the scan. */
+  private val unionByName = CatalogEntry.dialect(
+    "set_union_byname",
+    duckdb = """WITH u AS (
+               |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,4)) AS v, 'hi' AS src, o_orderpriority AS pri
+               |  FROM orders WHERE o_totalprice >= 200000
+               |  UNION ALL BY NAME
+               |  SELECT 'lo' AS src, CAST(o_totalprice AS DECIMAL(18,4)) AS v, o_orderkey AS k
+               |  FROM orders WHERE o_totalprice < 50000
+               |)
+               |SELECT src, CAST(COUNT(*) AS BIGINT) AS n,
+               |       CAST(SUM(v) AS DOUBLE) AS sum_v,
+               |       CAST(SUM(CASE WHEN pri IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_pri
+               |FROM u GROUP BY src ORDER BY src""".stripMargin,
+    spark = """WITH u AS (
+              |  SELECT k, v, src, pri FROM (
+              |    SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,4)) AS v, 'hi' AS src, o_orderpriority AS pri
+              |    FROM orders WHERE o_totalprice >= 200000)
+              |  UNION ALL
+              |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,4)) AS v, 'lo' AS src, CAST(NULL AS STRING) AS pri
+              |  FROM orders WHERE o_totalprice < 50000
+              |)
+              |SELECT src, CAST(COUNT(*) AS BIGINT) AS n,
+              |       CAST(SUM(v) AS DOUBLE) AS sum_v,
+              |       CAST(SUM(CASE WHEN pri IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_pri
+              |FROM u GROUP BY src ORDER BY src""".stripMargin) { (spark, sfDir) =>
+    val orders = Tables.orders(spark, sfDir)
+    val hi = orders.where(col("o_totalprice") >= 200000)
+      .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("v"),
+        lit("hi").as("src"), col("o_orderpriority").as("pri"))
+    val lo = orders.where(col("o_totalprice") < 50000)
+      .select(lit("lo").as("src"), dec(col("o_totalprice")).as("v"),
+        col("o_orderkey").as("k"))
+    hi.unionByName(lo, allowMissingColumns = true)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        decOut(sum(col("v"))).as("sum_v"),
+        sum(when(col("pri").isNull, 1).otherwise(0)).cast("long").as("n_missing_pri"))
+      .orderBy(col("src"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     sortMultiLimit, unionAll, unionDistinct, intersectSegs, exceptSegs,
-    setOpsAll)
+    setOpsAll, unionByName)
 }

@@ -2300,7 +2300,126 @@ object TextQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Curation observability report — the per-source telemetry frame a
+    * pipeline run emits AFTER its dedup/filter stages (docs in, exact-dup
+    * rate via the `text_fingerprint` md5 content key, near-dup-proxy rate
+    * via the order-blind shingle key, length-gate pass count, mean size):
+    * the numbers an operator actually watches to spot a crawler bug or a
+    * source gone stale. One group-by over per-doc hashes — two distinct
+    * aggregations on md5 keys, map-side combinable, linear at 100 TB;
+    * the report itself is |sources| rows. */
+  private val dedupReport = CatalogEntry.dialect(
+    "pipeline_dedup_report",
+    duckdb = """SELECT source,
+               |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+               |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+               |       ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 4) AS exact_dup_rate,
+               |       ROUND(1.0 - COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) * 1.0 / COUNT(*), 4) AS shingle_dup_rate,
+               |       CAST(SUM(CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+               |       ROUND(AVG(n_chars), 4) AS mean_chars
+               |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    spark = """SELECT source,
+              |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+              |       ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4) AS exact_dup_rate,
+              |       ROUND(1.0 - CAST(COUNT(DISTINCT md5(array_join(sort_array(array_distinct(split(text, ' '))), ' '))) AS DOUBLE) / COUNT(*), 4) AS shingle_dup_rate,
+              |       CAST(SUM(CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+              |       ROUND(AVG(n_chars), 4) AS mean_chars
+              |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, sfDir) =>
+    val contentFp = md5(col("text"))
+    val shingleFp = md5(array_join(sort_array(array_distinct(split(col("text"), " "))), " "))
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(contentFp).cast("long").as("n_unique"),
+        round(lit(1.0) - countDistinct(contentFp) * lit(1.0) / count(lit(1)), 4)
+          .as("exact_dup_rate"),
+        round(lit(1.0) - countDistinct(shingleFp) * lit(1.0) / count(lit(1)), 4)
+          .as("shingle_dup_rate"),
+        sum(when(col("n_chars").between(200, 20000), 1).otherwise(0)).cast("long")
+          .as("n_len_ok"),
+        round(avg(col("n_chars")), 4).as("mean_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** C4-style SPAN dedup with reconstruction — the step the flag-only
+    * entries stop short of: partition every doc into non-overlapping
+    * 13-token spans, keep only each span's FIRST global occurrence
+    * (ordered by doc_id, span_idx — a total order), and REBUILD the
+    * cleaned text from the surviving spans. This is the operator C4 ran
+    * over Common Crawl ("three-sentence span" dedup); `dedup_chunk_exact`
+    * reports chunk duplication, this one emits the cleaned corpus. Plan:
+    * one posexplode (linear), one span-hash-keyed ROW_NUMBER window (the
+    * dedup shuffle — at 100 TB the hottest boilerplate span bounds the
+    * partition, the same skew profile as exact-substring counting), one
+    * per-doc re-aggregation sorting spans by index. The output hashes the
+    * cleaned text so the driver compare covers the reconstruction
+    * byte-for-byte without shipping full documents. */
+  private val spanDedup = CatalogEntry.dialect(
+    "text_span_dedup",
+    duckdb = """WITH t AS (
+               |  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n FROM documents
+               |), sp AS (
+               |  SELECT doc_id, toks, n, unnest(range(0, CAST(ceil(n / 13.0) AS BIGINT))) AS si FROM t
+               |), spans AS (
+               |  SELECT doc_id, CAST(si AS BIGINT) AS span_idx,
+               |         array_to_string(toks[si*13 + 1 : LEAST(si*13 + 13, n)], ' ') AS span
+               |  FROM sp
+               |), keyed AS (
+               |  SELECT doc_id, span_idx, span,
+               |         ROW_NUMBER() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS occ
+               |  FROM spans
+               |)
+               |SELECT doc_id,
+               |       CAST(COUNT(*) AS BIGINT) AS n_spans,
+               |       CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               |       md5(COALESCE(array_to_string(list(CASE WHEN occ = 1 THEN span END ORDER BY span_idx) FILTER (WHERE occ = 1), ' '), '')) AS clean_md5
+               |FROM keyed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    spark = """WITH t AS (
+              |  SELECT doc_id, split(text, ' ') AS toks, size(split(text, ' ')) AS n FROM documents
+              |), sp AS (
+              |  SELECT doc_id, toks, n,
+              |         explode(sequence(0, CAST(ceil(n / 13.0) AS INT) - 1)) AS si
+              |  FROM t
+              |), spans AS (
+              |  SELECT doc_id, CAST(si AS BIGINT) AS span_idx,
+              |         array_join(slice(toks, si*13 + 1, LEAST(13, n - si*13)), ' ') AS span
+              |  FROM sp
+              |), keyed AS (
+              |  SELECT doc_id, span_idx, span,
+              |         ROW_NUMBER() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS occ
+              |  FROM spans
+              |)
+              |SELECT doc_id,
+              |       CAST(COUNT(*) AS BIGINT) AS n_spans,
+              |       CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |       md5(array_join(transform(array_sort(collect_list(CASE WHEN occ = 1 THEN struct(span_idx, span) END)), s -> s.span), ' ')) AS clean_md5
+              |FROM keyed GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+    val spans = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), ceil(col("n") / 13.0).cast("int") - 1)).as("si"))
+      .select(col("doc_id"), col("si").cast("long").as("span_idx"),
+        array_join(slice(col("toks"), col("si") * 13 + 1,
+          least(lit(13), col("n") - col("si") * 13)), " ").as("span"))
+    val w = Window.partitionBy(md5(col("span"))).orderBy(col("doc_id"), col("span_idx"))
+    spans.withColumn("occ", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_spans"),
+        sum(when(col("occ") === 1, 1).otherwise(0)).cast("long").as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("occ") === 1,
+              struct(col("span_idx"), col("span"))))),
+            s => s.getField("span")), " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    dedupReport, spanDedup,
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,

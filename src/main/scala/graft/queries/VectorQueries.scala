@@ -1209,9 +1209,120 @@ object VectorQueries {
       .orderBy(col("rnk"))
   }
 
+  /** k-NN GRAPH construction — the per-node top-k neighbor edge list (the
+    * primitive under semantic dedup clustering, label propagation, and
+    * graph-based retrieval; distinct from `vec_pairwise_topk`, which keeps
+    * a GLOBAL top-k of pairs, and from `vec_cosine_knn`, which ranks one
+    * query). Exact all-pairs at test scale with the codegen'd cosine
+    * expression and a per-src ROW_NUMBER cut — this is the documented
+    * ground-truth twin: the 100-TB path generates candidates from LSH /
+    * IVF buckets first (exactly `dedup_cluster_lsh`'s banded shape, or
+    * `vec_ivf_knn`'s cells) and reranks only in-bucket pairs, making the
+    * build linear in bucket sizes instead of quadratic in n. Rank ties at
+    * the rounded sim are broken by dst id — total order, both engines. */
+  private val knnGraph = CatalogEntry.dialect(
+    "vec_knn_graph",
+    duckdb = """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               |p AS (
+               |  SELECT a.vec_id AS src, b.vec_id AS dst,
+               |         ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+               |               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               |                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS sim
+               |  FROM t a JOIN t b ON a.vec_id <> b.vec_id)
+               |SELECT src, CAST(rn AS BIGINT) AS rn, dst, sim FROM (
+               |  SELECT src, dst, sim,
+               |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+               |  FROM p
+               |) WHERE rn <= 5 ORDER BY src, rn""".stripMargin,
+    spark = """WITH t AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+              |p AS (
+              |  SELECT a.vec_id AS src, b.vec_id AS dst,
+              |         ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) /
+              |               (sqrt(aggregate(transform(a.v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) *
+              |                sqrt(aggregate(transform(b.v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))), 4) AS sim
+              |  FROM t a JOIN t b ON a.vec_id <> b.vec_id)
+              |SELECT src, CAST(rn AS BIGINT) AS rn, dst, sim FROM (
+              |  SELECT src, dst, sim,
+              |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+              |  FROM p
+              |) WHERE rn <= 5 ORDER BY src, rn""".stripMargin) { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
+    val t = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+    val a = t.select(col("vec_id").as("src"), col("v").as("va"))
+    val b = t.select(col("vec_id").as("dst"), col("v").as("vb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    a.join(b, col("src") =!= col("dst"))
+      .withColumn("sim", round(expr("cosine_sim(va, vb)"), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("src"), col("rn").cast("long").as("rn"), col("dst"), col("sim"))
+      .orderBy(col("src"), col("rn"))
+  }
+
+  /** Distributed PCA, top principal component by power iteration — the
+    * dimensionality/whitening primitive (embedding drift axes, energy
+    * compaction ahead of `vec_prefix_rerank`-style truncation). The
+    * distributed part is ONE pass: `outer_acc_agg` folds quantized
+    * centered vectors into a d(d+1)/2 Gram triangle per partition and
+    * merges partials by exact long addition — the scatter matrix reaches
+    * the driver as a single 17 KB row regardless of corpus size (the
+    * mergeable-sketch shape, but exact). The driver then power-iterates
+    * the d×d matrix (40 steps from 1/√d, sign-fixed at the largest
+    * component) — O(d²) work, data-size-independent, the legitimate
+    * driver-side plan-control scale class. Projections broadcast v₁ back
+    * as a literal. Quantization (⌊x·10⁴+0.5⌋ after exact integer-mean
+    * centering) makes the Gram bit-identical across partitionings —
+    * PcaSpec pins repartition-invariance, the eigenpair residual, and
+    * Rayleigh-quotient dominance. No oracle by design: the eigenvector
+    * is not SQL-expressible; every downstream number is property-tested. */
+  private val pcaPower = CatalogEntry.noOracle("vec_pca_power") { (spark, sfDir) =>
+    VectorFunctions.ensureRegistered(spark)
+    graft.functions.SketchFunctions.ensureRegistered(spark)
+    val q = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 10000) AS BIGINT))").as("q"))
+    // exact per-dim quantized means (integer division floors toward zero —
+    // identical everywhere); 64 rows, one tiny shuffle
+    val sums = q.select(posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .orderBy(col("pos")).collect()
+    val meanQ = sums.map(r => r.getLong(1) / r.getLong(2))
+    val centered = q.withColumn("c", expr(
+      s"zip_with(q, array(${meanQ.mkString("L,")}L), (a, b) -> a - b)"))
+    val gramRow = centered.agg(expr("outer_acc_agg(c)").as("g")).head()
+    val (d, n, tri) = graft.functions.OuterProductAgg.decode(gramRow.getAs[Array[Byte]](0))
+    val cov = graft.functions.OuterProductAgg.toMatrix(d, tri).map(_.map(_ / n))
+    // power iteration on the d×d matrix — deterministic: fixed start, fixed
+    // step count (200 ≈ ratio^200 < 1e-9 even at the flat spectrum a
+    // near-random corpus has; cost is d² per step, data-size-independent),
+    // sign anchored at the largest-magnitude component
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    (1 to 200).foreach { _ =>
+      val w = Array.tabulate(d)(i => {
+        var s = 0.0; var j = 0
+        while (j < d) { s += cov(i)(j) * v(j); j += 1 }
+        s
+      })
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+      lambda = nrm
+    }
+    val anchor = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(anchor) < 0) v = v.map(x => -x)
+    val vLit = v.map(x => s"CAST($x AS DOUBLE)").mkString(",")
+    centered
+      .select(col("vec_id"), col("label"),
+        round(expr(
+          s"aggregate(zip_with(c, array($vLit), (a, b) -> CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / 10000.0"), 4)
+          .as("pc1"))
+      .orderBy(col("vec_id"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     normProject, cosineKnn, pairwiseTopk, centroidPerLabel, multimodalJoin,
     dedupEmbedding, ivfKnn, lshAnn, pqAnn, rangeSearch, ivfPq, sqInt8,
     standardize, hammingKnn, prefixRerank, centroidDrift, kmeansLloyd,
-    mmrDiversify)
+    mmrDiversify, knnGraph, pcaPower)
 }

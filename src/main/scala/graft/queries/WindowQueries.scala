@@ -600,9 +600,70 @@ object WindowQueries {
       .orderBy(col("yr"))
   }
 
+  /** Rolling 7-day correlation between two daily series (shipped quantity
+    * vs revenue) — the two-input moving statistic the single-series
+    * `win_moving_avg`/`win_ewma_frame` family doesn't cover. Spelled as
+    * five co-moment window SUMs + the closed-form Pearson ratio rather
+    * than corr() itself: ANSI-mode Spark throws on the singleton-frame
+    * divide, and the explicit form is engine-portable. Determinism: the
+    * daily series is summed in DECIMAL then cast DOUBLE (house policy —
+    * row-order FP never leaks), frames are ordered, and ROUND(,4)
+    * absorbs the engines' frame-accumulation ulp; the MIN=MAX degenerate
+    * guard (exact compare) nulls constant-series frames BEFORE the
+    * cancellation-amplified ratio can differ across engines, and NULLIF
+    * covers the exact-zero denominator. Partitioned by month, so no
+    * global sort: the window input is bounded at ~31 rows per partition
+    * regardless of SF (the daily pre-agg is map-side combined). */
+  private val rollingCorr = CatalogEntry.ansi(
+    "win_rolling_corr",
+    """WITH d AS (
+      |  SELECT l_shipdate AS d,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      |  FROM lineitem GROUP BY l_shipdate),
+      |m AS (
+      |  SELECT d, qty, rev,
+      |         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+      |         SUM(qty) OVER w AS sx, SUM(rev) OVER w AS sy,
+      |         SUM(qty * qty) OVER w AS sxx, SUM(rev * rev) OVER w AS syy,
+      |         SUM(qty * rev) OVER w AS sxy,
+      |         MIN(qty) OVER w AS qlo, MAX(qty) OVER w AS qhi,
+      |         MIN(rev) OVER w AS rlo, MAX(rev) OVER w AS rhi
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY year(d), month(d) ORDER BY d
+      |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT d, qty, rev,
+      |       CASE WHEN qlo = qhi OR rlo = rhi THEN NULL
+      |            ELSE ROUND((n * sxy - sx * sy) /
+      |                 NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0), 4) END AS c7
+      |FROM m ORDER BY d""".stripMargin) { (spark, sfDir) =>
+    val daily = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_shipdate").as("d"))
+      .agg(decOut(sum(dec(col("l_quantity")))).as("qty"),
+        decOut(sum(dec(col("l_extendedprice")))).as("rev"))
+    val w = Window.partitionBy(year(col("d")), month(col("d")))
+      .orderBy(col("d")).rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sum(col("qty")).over(w))
+      .withColumn("sy", sum(col("rev")).over(w))
+      .withColumn("sxx", sum(col("qty") * col("qty")).over(w))
+      .withColumn("syy", sum(col("rev") * col("rev")).over(w))
+      .withColumn("sxy", sum(col("qty") * col("rev")).over(w))
+      .withColumn("degenerate",
+        min(col("qty")).over(w) === max(col("qty")).over(w) ||
+          min(col("rev")).over(w) === max(col("rev")).over(w))
+      .select(col("d"), col("qty"), col("rev"),
+        when(col("degenerate"), lit(null)).otherwise(
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0)), 4)).as("c7"))
+      .orderBy(col("d"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     rowNumber, rankDense, lagLead, runningSum, movingAvg, rangeFrame,
     ntileQuartiles, firstLast, topkPerGroup, distributionFns, nthValue,
     distinctFrame, movingMedian, rangeInterval, ignoreNulls, ratioToReport,
-    cumeDist, gapsIslands, drawdown, ewmaFrame, yoyGrowth)
+    cumeDist, gapsIslands, drawdown, ewmaFrame, yoyGrowth, rollingCorr)
 }

@@ -160,4 +160,44 @@ class InvariantSpec extends SparkSpecBase {
     val shards = out.select(col("shard")).distinct().count()
     assert(shards == 16, s"expected 16 populated shards, got $shards")
   }
+
+  test("text_span_dedup conserves spans: kept count equals distinct spans in the corpus") {
+    // both engines share the span-manufacture formula, so the oracle compare
+    // can't catch a slicing bug — this pins keep-first semantics against an
+    // independent spelling of "distinct 13-token spans"
+    val out = run("text_span_dedup")
+    val kept = out.agg(sum(col("n_kept"))).head().getLong(0)
+    val spans = out.agg(sum(col("n_spans"))).head().getLong(0)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(explode(sequence(lit(0), ceil(col("n") / 13.0).cast("int") - 1)).as("si"),
+        col("toks"), col("n"))
+      .select(array_join(slice(col("toks"), col("si") * 13 + 1,
+        least(lit(13), col("n") - col("si") * 13)), " ").as("span"))
+    val distinctSpans = docs.select(col("span")).distinct().count()
+    val totalSpans = docs.count()
+    assert(spans == totalSpans, s"span universe drifted: $spans vs $totalSpans")
+    assert(kept == distinctSpans,
+      s"keep-first must retain each distinct span exactly once: kept=$kept distinct=$distinctSpans")
+  }
+
+  test("etl_k_anonymize: no surviving cell below k and totals conserved") {
+    val out = run("etl_k_anonymize")
+    val total = out.agg(sum(col("n_rows"))).head().getLong(0)
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(total == nCust, s"anonymization must conserve rows: $total vs $nCust")
+    val survivors = out.filter(col("region_q") =!= -1)
+    val below = survivors.filter(col("min_src_grp") < 8).count()
+    assert(below == 0, "no non-suppressed QID cell may have fewer than k members")
+  }
+
+  test("agg_seasonal_anomaly: z-scores center near zero within each weekday") {
+    val out = run("agg_seasonal_anomaly")
+    val byDow = out.groupBy(col("dow")).agg(avg(col("z")).as("mz")).collect()
+    byDow.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 0.01,
+        s"weekday ${r.getLong(0)} z-mean ${r.getDouble(1)} not centered")
+    }
+  }
 }

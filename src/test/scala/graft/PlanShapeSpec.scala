@@ -509,4 +509,56 @@ class PlanShapeSpec extends SparkSpecBase {
         s"nested-loop join over non-scalar data in triangle closure:\n$plan")
     }
   }
+
+  test("agg_winsorized broadcasts the per-segment bounds back to the facts") {
+    assert(planOf("agg_winsorized").contains("BroadcastHashJoin"),
+      "the |segments|-row bounds frame must broadcast, not shuffle the facts")
+  }
+
+  test("agg_assoc_rules pairs baskets with an equi-join, counts broadcast") {
+    val p = planOf("agg_assoc_rules")
+    assert(!p.contains("CartesianProduct"),
+      s"basket pairing must be keyed on basket, not enumerated:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the |items|-row count frames must broadcast:\n$p")
+  }
+
+  test("win_rolling_corr window is month-partitioned (never a global sort)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Catalog.byKey("win_rolling_corr").run(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"expected only partitioned windows in:\n$plan")
+  }
+
+  test("etl_k_anonymize group-size window partitions by the QID key") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Catalog.byKey("etl_k_anonymize").run(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.size >= 3),
+      s"expected the 3-column QID-partitioned count window in:\n$plan")
+  }
+
+  test("vec_knn_graph ranks per src (partitioned window over the pair frame)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Catalog.byKey("vec_knn_graph").run(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"expected the src-partitioned top-k window in:\n$plan")
+  }
 }

@@ -320,4 +320,40 @@ class SketchSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("bitmap distinct: OR is merge-topology invariant and popcount exact") {
+    import graft.functions.BitmapOps
+    val maxId = 4096
+    val ids = (0 until 3000).map(i => (i * 37L) % maxId) // collides on purpose
+    // flat
+    val flat = BitmapOps.alloc(maxId)
+    ids.foreach(BitmapOps.set(flat, _, maxId))
+    // two-level merge of 7 shards
+    val shards = ids.grouped(450).map { g =>
+      val b = BitmapOps.alloc(maxId); g.foreach(BitmapOps.set(b, _, maxId)); b
+    }.toSeq
+    val merged = shards.reduce(BitmapOps.or)
+    assert(java.util.Arrays.equals(flat, merged))
+    assert(BitmapOps.cardinality(flat) == ids.distinct.length)
+  }
+
+  test("bitmap distinct: out-of-domain ids fail fast, never undercount") {
+    import graft.functions.BitmapOps
+    val b = BitmapOps.alloc(64)
+    intercept[IllegalArgumentException] { BitmapOps.set(b, 64L, 64) }
+    intercept[IllegalArgumentException] { BitmapOps.set(b, -1L, 64) }
+  }
+
+  test("agg_bitmap_distinct equals COUNT(DISTINCT) per segment and overall") {
+    val got = Catalog.byKey("agg_bitmap_distinct").run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val truthSeg = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truthAll = orders.agg(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(got == truthSeg + ("ALL" -> truthAll), s"got=$got truth=$truthSeg ALL=$truthAll")
+  }
 }
