@@ -132,6 +132,42 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit perceptual hash (aHash shape) over the decoded payload: 64
+    * equal segments, bit i set when segment-i's mean byte value exceeds
+    * the whole payload's mean. Identical payloads hash identically; small
+    * local edits flip few bits — which is the property Hamming-banded
+    * near-dup search needs. A real image pHash (DCT of the decoded
+    * bitmap) swaps in here with the pipeline unchanged. */
+  def perceptualHash(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    assets.select("asset_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]]("content")
+        val payload = content.length - 16
+        var total = 0L
+        var i = 16
+        while (i < content.length) { total += (content(i) & 0xFF); i += 1 }
+        val mean = if (payload > 0) total.toDouble / payload else 0.0
+        var h = 0L
+        var seg = 0
+        while (seg < 64) {
+          val from = 16 + (seg.toLong * payload / 64).toInt
+          val until = 16 + ((seg + 1).toLong * payload / 64).toInt
+          var s = 0L
+          var j = from
+          while (j < until) { s += (content(j) & 0xFF); j += 1 }
+          val n = until - from
+          if (n > 0 && s.toDouble / n > mean) h |= (1L << seg)
+          seg += 1
+        }
+        Row(r.getLong(0), h)
+      }
+    }(enc)
+  }
+
   /** "Resize" analog on the stub: recompute target dims preserving aspect
     * ratio — pure metadata math, the real version would transcode bytes in
     * the same mapPartitions slot. */

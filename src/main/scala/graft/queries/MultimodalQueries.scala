@@ -132,6 +132,47 @@ object MultimodalQueries {
       .orderBy(col("n_copies"))
   }
 
+  /** Perceptual-hash NEAR-dup discovery over the binary assets — the fuzzy
+    * companion of `mm_binary_dedup`'s exact content hash (re-encoded or
+    * lightly-edited media share a phash neighborhood, never an md5). The
+    * pipeline is the full production shape: partition-parallel decode →
+    * 64-bit aHash ([[Multimodal.perceptualHash]]) → Hamming-banded
+    * candidate generation (4 × 16-bit bands; two hashes within distance 3
+    * per band MUST agree on ≥1 band — the same pigeonhole as simhash
+    * banding) → exact XOR+popcount verify ≤ 6. Linear in assets per band
+    * bucket, no all-pairs pass; output is the verified-pair Hamming
+    * histogram (bounded, deterministic). No oracle by design — the decode
+    * is not SQL-expressible; MultimodalSpec pins the copy-pair floor and
+    * hash determinism. */
+  private val phashDedup = CatalogEntry.noOracle("mm_phash_dedup") { (spark, sfDir) =>
+    import org.apache.spark.sql.functions.{abs => _, _}
+    val assets = Multimodal.synthesizeAssets(spark, sfDir)
+      .withColumn("content", concat(col("content").substr(lit(1), lit(16)),
+        encode(concat(col("text")), "UTF-8")))
+    val hashed = Multimodal.perceptualHash(Multimodal.synthesizeAssets(spark, sfDir))
+      .cache()
+    val banded = hashed.select(col("asset_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*))
+        .as("bx"))
+      .select(col("asset_id"), col("phash"),
+        col("bx.band").as("band"), col("bx.bkey").as("bkey"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= 6)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(binaryStats, resizeMeta, decodeFeatures, frameSample,
-    binaryDedup)
+    binaryDedup, phashDedup)
 }

@@ -528,8 +528,39 @@ object ScanQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Parquet BLOOM-FILTER sink — the point-lookup complement of
+    * `sink_zorder_write`'s min/max box pruning: z-order/minmax skipping
+    * needs the probe key CLUSTERED, but a high-cardinality key written in
+    * arrival order has useless min/max ranges, and that is exactly where a
+    * per-row-group bloom filter (`parquet.bloom.filter.enabled#col`) keeps
+    * point probes from scanning every group. The entry writes the fact
+    * slice with a bloom on l_orderkey, then probes an IN-list — the
+    * filters reach the scan as PushedFilters (plan-tested) and the parquet
+    * reader consults the bloom per row group. Identity sink ⇒ the oracle
+    * restates the probe from the source table. */
+  private val bloomWrite = CatalogEntry.ansi(
+    "sink_bloom_write",
+    """SELECT l_orderkey, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (7, 4933, 29987, 575939, 1202629)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (spark, sfDir) =>
+    val path = scratchDir("bloom_sink", sfDir)
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#l_orderkey", "2000000")
+      .parquet(path)
+    spark.read.parquet(path)
+      .where(col("l_orderkey").isin(7L, 4933L, 29987L, 575939L, 1202629L))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), decOut(sum(dec(col("l_quantity")))).as("qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     scanProject, schemaEnforce, jsonExtract, jsonArrayUnnest, csvRoundtrip,
     jsonRoundtrip, orcRoundtrip, csvBadRecords, partitionedWrite, bucketedJoin,
-    jdbcSurface, zorderWrite, textRoundtrip, schemaMerge, csvQuoted)
+    jdbcSurface, zorderWrite, textRoundtrip, schemaMerge, csvQuoted, bloomWrite)
 }
