@@ -63,6 +63,33 @@ object Multimodal {
         struct(col("width"), col("height"), col("n_frames"), col("sample_rate")).as("meta"))
   }
 
+  /** Near-dup asset corpus for the perceptual-hash entries/tests: asset i
+    * carries the payload of asset (i mod 350) — so above 350 every asset is
+    * a copy — and copied assets with an even id get a 4-byte tail edit.
+    * That manufactures the two populations a phash dedup exists to find:
+    * exact re-uploads (Hamming 0 by construction) and lightly-edited
+    * re-encodes (the edit REPLACES the last payload byte in place — the
+    * length is unchanged, so segment boundaries don't shift and only the
+    * final aHash segment's mean moves: the distance is small, the
+    * re-encode analog). The pool broadcast is corpus
+    * SYNTHESIS (testdata ships no real media), not part of the operator —
+    * a real asset store reads the near-dup corpus directly. */
+  def nearDupAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = synthesizeAssets(spark, sfDir)
+    val pool = base.select(col("asset_id").as("src_id"),
+      col("content").as("src_content"))
+    base.select(col("asset_id"), col("media_type"), col("meta"),
+        (col("asset_id") % 350).as("src_id"))
+      .join(broadcast(pool), "src_id")
+      .select(col("asset_id"), col("media_type"),
+        when(col("asset_id") >= 350 && col("asset_id") % 2 === 0,
+          concat(
+            col("src_content").substr(lit(1), octet_length(col("src_content")) - 1),
+            encode(lit("~"), "UTF-8")))
+          .otherwise(col("src_content")).as("content"),
+        col("meta"))
+  }
+
   /** The stubbed codec: parses the fake header and derives features from
     * raw bytes. Swap this object for a real decoder (javacv, soundfile)
     * to process genuine media — the pipeline around it is unchanged. */

@@ -256,14 +256,26 @@ object AggQueries {
     * by design — GK retention is engine-specific — but the guarantee IS
     * testable: returned values sit within rank error n/accuracy of the
     * requested quantile, pinned against the exact sort in SketchSpec
-    * (mirroring agg_approx_hll's HLL error-bound pattern). */
+    * (mirroring agg_approx_hll's HLL error-bound pattern).
+    *
+    * Output is LONG-FORM (o_orderstatus, q, value) — the quantile array is
+    * posexploded to rows because the driver's pandas compare cannot hash an
+    * ARRAY column even on the no-oracle path (r10 crash; same flat-output
+    * rule the round-1 DECIMAL/tz incident set for dtypes: declared outputs
+    * are scalar columns only). `q` is the requested quantile itself (exact
+    * two-decimal doubles), mirroring how vec_centroid_per_label long-forms
+    * its vectors. */
   private val approxPctl = CatalogEntry.noOracle("agg_approx_pctl") { (spark, sfDir) =>
+    val probs = Seq(0.25, 0.5, 0.75, 0.95)
     Tables.orders(spark, sfDir)
       .groupBy(col("o_orderstatus"))
       .agg(expr(
         "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
         .as("pctls"))
-      .orderBy(col("o_orderstatus"))
+      .select(col("o_orderstatus"), posexplode(col("pctls")).as(Seq("q_idx", "value")))
+      .select(col("o_orderstatus"),
+        element_at(typedLit(probs), col("q_idx") + 1).as("q"), col("value"))
+      .orderBy(col("o_orderstatus"), col("q"))
   }
 
   /** Argmax/argmin — highest/lowest-value event per user, tie-broken to the
@@ -938,18 +950,18 @@ object AggQueries {
                |)
                |SELECT l_returnflag,
                |       ROUND((SUM(POW(l_quantity - mu, 3)) / COUNT(*)) /
-               |             POW(SUM(POW(l_quantity - mu, 2)) / COUNT(*), 1.5), 4) AS skew,
+               |             POW(SUM(POW(l_quantity - mu, 2)) / COUNT(*), 1.5), 4) + 0.0 AS skew,
                |       ROUND((SUM(POW(l_quantity - mu, 4)) / COUNT(*)) /
-               |             POW(SUM(POW(l_quantity - mu, 2)) / COUNT(*), 2) - 3, 4) AS kurt
+               |             POW(SUM(POW(l_quantity - mu, 2)) / COUNT(*), 2) - 3, 4) + 0.0 AS kurt
                |FROM m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     spark = """SELECT l_returnflag,
-              |       ROUND(skewness(l_quantity), 4) AS skew,
-              |       ROUND(kurtosis(l_quantity), 4) AS kurt
+              |       ROUND(skewness(l_quantity), 4) + 0.0D AS skew,
+              |       ROUND(kurtosis(l_quantity), 4) + 0.0D AS kurt
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, sfDir) =>
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
-      .agg(round(skewness(col("l_quantity")), 4).as("skew"),
-        round(kurtosis(col("l_quantity")), 4).as("kurt"))
+      .agg(Util.znorm(skewness(col("l_quantity")), 4).as("skew"),
+        Util.znorm(kurtosis(col("l_quantity")), 4).as("kurt"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -968,12 +980,12 @@ object AggQueries {
       |         CORR(l_extendedprice, l_tax) AS pt, CORR(l_discount, l_tax) AS dt
       |  FROM lineitem
       |)
-      |SELECT 'quantity' AS var1, 'extendedprice' AS var2, ROUND(qp, 4) AS corr_v FROM m
-      |UNION ALL SELECT 'quantity', 'discount', ROUND(qd, 4) FROM m
-      |UNION ALL SELECT 'quantity', 'tax', ROUND(qt, 4) FROM m
-      |UNION ALL SELECT 'extendedprice', 'discount', ROUND(pd, 4) FROM m
-      |UNION ALL SELECT 'extendedprice', 'tax', ROUND(pt, 4) FROM m
-      |UNION ALL SELECT 'discount', 'tax', ROUND(dt, 4) FROM m
+      |SELECT 'quantity' AS var1, 'extendedprice' AS var2, ROUND(qp, 4) + 0.0 AS corr_v FROM m
+      |UNION ALL SELECT 'quantity', 'discount', ROUND(qd, 4) + 0.0 FROM m
+      |UNION ALL SELECT 'quantity', 'tax', ROUND(qt, 4) + 0.0 FROM m
+      |UNION ALL SELECT 'extendedprice', 'discount', ROUND(pd, 4) + 0.0 FROM m
+      |UNION ALL SELECT 'extendedprice', 'tax', ROUND(pt, 4) + 0.0 FROM m
+      |UNION ALL SELECT 'discount', 'tax', ROUND(dt, 4) + 0.0 FROM m
       |ORDER BY var1, var2""".stripMargin) { (spark, sfDir) =>
     Tables.lineitem(spark, sfDir)
       .agg(
@@ -985,12 +997,12 @@ object AggQueries {
         corr(col("l_discount"), col("l_tax")).as("dt"))
       .selectExpr(
         """stack(6,
-          |  'quantity', 'extendedprice', round(qp, 4),
-          |  'quantity', 'discount', round(qd, 4),
-          |  'quantity', 'tax', round(qt, 4),
-          |  'extendedprice', 'discount', round(pd, 4),
-          |  'extendedprice', 'tax', round(pt, 4),
-          |  'discount', 'tax', round(dt, 4)) AS (var1, var2, corr_v)""".stripMargin)
+          |  'quantity', 'extendedprice', round(qp, 4) + 0.0D,
+          |  'quantity', 'discount', round(qd, 4) + 0.0D,
+          |  'quantity', 'tax', round(qt, 4) + 0.0D,
+          |  'extendedprice', 'discount', round(pd, 4) + 0.0D,
+          |  'extendedprice', 'tax', round(pt, 4) + 0.0D,
+          |  'discount', 'tax', round(dt, 4) + 0.0D) AS (var1, var2, corr_v)""".stripMargin)
       .orderBy(col("var1"), col("var2"))
   }
 
@@ -1123,12 +1135,22 @@ object AggQueries {
       |  FROM orders
       |) t ORDER BY seg""".stripMargin) { (spark, sfDir) =>
     graft.functions.SketchFunctions.ensureRegistered(spark)
+    // dictionary bound derived from the dimension itself, not hard-coded:
+    // custkeys are dense 1..150000·SF, so the max-key probe (1-row plan
+    // control, same class as the centroid collects) sizes the bitmap at any
+    // SF; the next-power-of-two pad keeps the bound stable under small
+    // key-gap drift while the fail-fast contract still catches genuinely
+    // out-of-dictionary ids. 2^18 was the old hard-coded value — wrong
+    // above SF≈1.75 (ADVICE r10).
+    val maxKey = Tables.customer(spark, sfDir)
+      .agg(max(col("c_custkey"))).head().getLong(0)
+    val maxId = java.lang.Long.highestOneBit(math.max(maxKey, 1L)) * 2
     val joined = Tables.orders(spark, sfDir).select(col("o_custkey"))
       .join(broadcast(Tables.customer(spark, sfDir)
         .select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
     val perSeg = joined.groupBy(col("c_mktsegment").as("seg"))
-      .agg(expr("bitmap_distinct_agg(o_custkey, 262144)").as("bm"))
+      .agg(expr(s"bitmap_distinct_agg(o_custkey, $maxId)").as("bm"))
       .cache()
     val segRows = perSeg.select(col("seg"), expr("bitmap_count(bm)").as("n_buyers"))
     val allRow = perSeg.agg(expr("bitmap_merge_agg(bm)").as("bm"))
@@ -1158,7 +1180,7 @@ object AggQueries {
                |  FROM d GROUP BY dow
                |)
                |SELECT d.d, d.rev, CAST(d.dow AS BIGINT) AS dow,
-               |       ROUND((d.rev - s / n) / NULLIF(sqrt(ss / n - (s / n) * (s / n)), 0.0), 4) AS z,
+               |       ROUND((d.rev - s / n) / NULLIF(sqrt(ss / n - (s / n) * (s / n)), 0.0), 4) + 0.0 AS z,
                |       CASE WHEN abs((d.rev - s / n) / NULLIF(sqrt(ss / n - (s / n) * (s / n)), 0.0)) > 2.0
                |            THEN 1 ELSE 0 END AS is_anomaly
                |FROM d JOIN base ON d.dow = base.dow ORDER BY d.d""".stripMargin,
@@ -1173,7 +1195,7 @@ object AggQueries {
               |  FROM d GROUP BY dow
               |)
               |SELECT d.d, d.rev, CAST(d.dow AS BIGINT) AS dow,
-              |       ROUND((d.rev - s / n) / NULLIF(sqrt(ss / n - (s / n) * (s / n)), 0.0), 4) AS z,
+              |       ROUND((d.rev - s / n) / NULLIF(sqrt(ss / n - (s / n) * (s / n)), 0.0), 4) + 0.0D AS z,
               |       CASE WHEN abs((d.rev - s / n) / NULLIF(sqrt(ss / n - (s / n) * (s / n)), 0.0)) > 2.0
               |            THEN 1 ELSE 0 END AS is_anomaly
               |FROM d JOIN base ON d.dow = base.dow ORDER BY d.d""".stripMargin) { (spark, sfDir) =>
@@ -1190,7 +1212,7 @@ object AggQueries {
     val zExpr = (col("rev") - mean) / sd
     daily.join(broadcast(base), "dow")
       .select(col("d"), col("rev"), col("dow").cast("long").as("dow"),
-        round(zExpr, 4).as("z"),
+        Util.znorm(zExpr, 4).as("z"),
         when(abs(zExpr) > 2.0, 1).otherwise(0).as("is_anomaly"))
       .orderBy(col("d"))
   }

@@ -134,27 +134,29 @@ object MultimodalQueries {
 
   /** Perceptual-hash NEAR-dup discovery over the binary assets — the fuzzy
     * companion of `mm_binary_dedup`'s exact content hash (re-encoded or
-    * lightly-edited media share a phash neighborhood, never an md5). The
+    * lightly-edited media share a phash neighborhood, never an md5). Runs
+    * over [[Multimodal.nearDupAssets]] — the manufactured corpus holding
+    * exact re-uploads (Hamming 0) and tail-edited re-encodes (small
+    * Hamming), so the histogram is non-trivially populated. The
     * pipeline is the full production shape: partition-parallel decode →
     * 64-bit aHash ([[Multimodal.perceptualHash]]) → Hamming-banded
-    * candidate generation (4 × 16-bit bands; two hashes within distance 3
-    * per band MUST agree on ≥1 band — the same pigeonhole as simhash
-    * banding) → exact XOR+popcount verify ≤ 6. Linear in assets per band
+    * candidate generation (8 × 8-bit bands; two hashes within distance 7
+    * MUST agree on ≥1 band by pigeonhole — same trick as simhash banding,
+    * and the band guarantee strictly covers the verify cut below) → exact
+    * XOR+popcount verify ≤ 6, so EVERY qualifying pair is found: the
+    * histogram is recall-complete, not a sample. Linear in assets per band
     * bucket, no all-pairs pass; output is the verified-pair Hamming
     * histogram (bounded, deterministic). No oracle by design — the decode
     * is not SQL-expressible; MultimodalSpec pins the copy-pair floor and
     * hash determinism. */
   private val phashDedup = CatalogEntry.noOracle("mm_phash_dedup") { (spark, sfDir) =>
     import org.apache.spark.sql.functions.{abs => _, _}
-    val assets = Multimodal.synthesizeAssets(spark, sfDir)
-      .withColumn("content", concat(col("content").substr(lit(1), lit(16)),
-        encode(concat(col("text")), "UTF-8")))
-    val hashed = Multimodal.perceptualHash(Multimodal.synthesizeAssets(spark, sfDir))
+    val hashed = Multimodal.perceptualHash(Multimodal.nearDupAssets(spark, sfDir))
       .cache()
     val banded = hashed.select(col("asset_id"), col("phash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*))
+          shiftrightunsigned(col("phash"), b * 8).bitwiseAND(lit(0xFFL)).as("bkey"))): _*))
         .as("bx"))
       .select(col("asset_id"), col("phash"),
         col("bx.band").as("band"), col("bx.bkey").as("bkey"))

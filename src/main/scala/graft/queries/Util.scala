@@ -25,6 +25,22 @@ object Util {
     */
   def decOut(c: Column): Column = c.cast("double")
 
+  /** −0.0 pin for rounded DOUBLE outputs (round-11 policy, VERDICT r10
+    * fix #1): Spark's HALF_UP BigDecimal round normalizes a tiny negative
+    * value to +0.0 while DuckDB's ROUND preserves the sign bit — the two
+    * are numerically equal but byte-hash unequal, which failed
+    * `vec_kmeans_lloyd` at sf0.01. IEEE `x + 0.0` rewrites −0.0 to +0.0
+    * (round-to-nearest: −0.0 + 0.0 = +0.0) and is exact for every other
+    * double, on both engines. Every rounded DOUBLE output whose argument
+    * can be a centered/differenced quantity (means of signed data,
+    * z-scores, correlations, drifts) goes through this helper, and the
+    * matching oracle column spells `ROUND(x, n) + 0.0`. NegZeroSpec greps
+    * every declared output for surviving negative zeros. */
+  def znorm(c: Column, scale: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, round}
+    round(c, scale) + lit(0.0)
+  }
+
   /** Scratch sink/checkpoint directory for write-path entries, suffixed by
     * the sanitized sfDir: two concurrent runs at different scale factors
     * (or interleaved test suites) must never read each other's staged

@@ -635,7 +635,7 @@ object WindowQueries {
       |SELECT d, qty, rev,
       |       CASE WHEN qlo = qhi OR rlo = rhi THEN NULL
       |            ELSE ROUND((n * sxy - sx * sy) /
-      |                 NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0), 4) END AS c7
+      |                 NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0), 4) + 0.0 END AS c7
       |FROM m ORDER BY d""".stripMargin) { (spark, sfDir) =>
     val daily = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_shipdate").as("d"))
@@ -655,7 +655,7 @@ object WindowQueries {
           min(col("rev")).over(w) === max(col("rev")).over(w))
       .select(col("d"), col("qty"), col("rev"),
         when(col("degenerate"), lit(null)).otherwise(
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          Util.znorm((col("n") * col("sxy") - col("sx") * col("sy")) /
             nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
               (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0)), 4)).as("c7"))
       .orderBy(col("d"))

@@ -15,6 +15,16 @@ class DeterminismSpec extends SparkSpecBase {
       val first = rowsOf(entry.run(spark, sfDir))
       val second = rowsOf(entry.run(spark, sfDir))
       assert(first == second, s"${entry.key} differs across runs")
+      // −0.0 tripwire (VERDICT r10 fix #2): Spark and DuckDB disagree on
+      // the sign of a rounded zero (HALF_UP normalizes, DuckDB keeps the
+      // sign bit) — numerically equal values then hash-mismatch in the
+      // driver compare. Any declared output emitting a literal -0.0 must
+      // go through Util.znorm (+ 0.0 on the oracle side). Token-exact
+      // match on the collected row text — "-0.05" must not trip it.
+      val negZero = first.iterator.flatMap(_.split("[\\[\\],]")).contains("-0.0")
+      assert(!negZero,
+        s"${entry.key} emits -0.0 — wrap the rounded output in Util.znorm " +
+          "and append + 0.0 to the oracle column")
     }
   }
 }

@@ -57,4 +57,44 @@ class MultimodalSpec extends SparkSpecBase {
     val plan = Multimodal.decodeFeatures(assets).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode plan shuffles:\n$plan")
   }
+
+  test("perceptual hash is deterministic and payload-identical ⇒ hash-identical") {
+    val h1 = Multimodal.perceptualHash(assets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Multimodal.perceptualHash(assets.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2, "phash differs across runs/partitionings")
+    // the hash ignores the 16-byte header: assets sharing payload bytes
+    // (here: a manufactured copy with a different asset_id/header dims)
+    // MUST collide at Hamming 0
+    val copies = assets.limit(20)
+      .select((col("asset_id") + 1000000L).as("asset_id"), col("media_type"),
+        // rewrite the header (different fake dims), keep the payload
+        concat(encode(lit("GRFT000100010001"), "UTF-8"),
+          substring(col("content"), 17, Int.MaxValue)).as("content"),
+        col("meta"))
+    val hc = Multimodal.perceptualHash(copies).collect()
+      .map(r => (r.getLong(0) - 1000000L) -> r.getLong(1)).toMap
+    hc.foreach { case (id, h) =>
+      assert(h == h1(id), s"asset $id: header-only change moved the phash")
+    }
+  }
+
+  test("mm_phash_dedup finds the injected copy pairs (copy-pair floor)") {
+    // the catalog entry runs over nearDupAssets; its recall contract
+    // (8×8-bit bands cover Hamming ≤ 7 ⊇ verify ≤ 6) is pinned here
+    // structurally: every pair of assets whose phash Hamming distance is
+    // ≤ 6 (computed exactly, all-pairs at spec scale) must appear in the
+    // entry's histogram totals — banding may not drop a single pair.
+    val hashed = Multimodal.perceptualHash(Multimodal.nearDupAssets(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = (for {
+      (ia, ha) <- hashed; (ib, hb) <- hashed if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield d).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Catalog.byKey("mm_phash_dedup").run(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == exact,
+      s"histogram mismatch: entry=$got exact=$exact")
+  }
 }

@@ -561,4 +561,64 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       s"expected the src-partitioned top-k window in:\n$plan")
   }
+  test("sink_bloom_write pushes the IN-list probe into the bloomed scan") {
+    // the probe must reach the readback scan as PushedFilters (In on
+    // l_orderkey) — that is the hook the parquet reader's per-row-group
+    // bloom consult hangs off; a post-scan filter would read every group
+    val p = planOf("sink_bloom_write")
+    assert(p.contains("PushedFilters: [") && p.contains("In(l_orderkey"),
+      s"expected pushed In(l_orderkey) probe in:\n$p")
+  }
+  test("CostBasedJoinReorder flips a stats-bad syntactic join order (SURVEY §4)") {
+    // the one §4 behavior never exercised before round 11: with ANALYZE-
+    // computed stats and CBO on, the optimizer must rewrite the syntactic
+    // (lineitem ⋈ orders) ⋈ σ(customer) chain — two facts first, the worst
+    // order — into lineitem ⋈ (orders ⋈ σ(customer)), because the filtered
+    // dim collapses the orders side before the fact join. Without CBO the
+    // syntactic order survives, proving the flip is stats-driven.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def leafTables(p: LogicalPlan): Set[String] = p.collectLeaves().flatMap {
+      case r: LogicalRelation => r.catalogTable.map(_.identifier.table)
+      case _ => None
+    }.toSet
+    def innermostJoinTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty, "no join in the optimized plan")
+      // the innermost join contains no further join below it
+      val inner = joins.filter(j => j.collect { case jj: Join => jj }.size == 1)
+      assert(inner.size == 1, s"expected one innermost join, got ${inner.size}")
+      leafTables(inner.head)
+    }
+    val sql = """SELECT l.l_orderkey, o.o_custkey, c.c_mktsegment
+                |FROM cbo_lineitem l
+                |JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
+                |JOIN cbo_customer c ON o.o_custkey = c.c_custkey
+                |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin
+    val s = spark.newSession()
+    try {
+      Tables.lineitem(s, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
+        .write.mode("overwrite").saveAsTable("cbo_lineitem")
+      Tables.orders(s, sfDir).select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").saveAsTable("cbo_orders")
+      Tables.customer(s, sfDir).select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").saveAsTable("cbo_customer")
+      for (t <- Seq("cbo_lineitem", "cbo_orders", "cbo_customer")) {
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      // without CBO: the syntactic fact-fact join stays innermost
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      assert(innermostJoinTables(s.sql(sql)) == Set("cbo_lineitem", "cbo_orders"),
+        "baseline: expected the syntactic order without CBO")
+      // with CBO + computed stats: the selective dim join moves innermost
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      assert(innermostJoinTables(s.sql(sql)) == Set("cbo_orders", "cbo_customer"),
+        "CBO with stats should join orders to the filtered customer first")
+    } finally {
+      for (t <- Seq("cbo_lineitem", "cbo_orders", "cbo_customer"))
+        s.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }

@@ -235,6 +235,36 @@ class PropertySpec extends SparkSpecBase {
     assert(recall >= 0.5, s"PQ recall $recall too low (pq=$pq, brute=$brute)")
   }
 
+  test("vec_knn_graph_lsh: mean per-node edge recall vs the exact twin") {
+    // the LSH-bucketed kNN graph must recover a solid fraction of the
+    // exact graph's edges ON AVERAGE; per-node recall varies with bucket
+    // luck on this near-orthogonal corpus (same physics note as the ANN
+    // trio), so the floor is on the mean, not per node
+    val exact = Catalog.byKey("vec_knn_graph").run(spark, sfDir)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Catalog.byKey("vec_knn_graph_lsh").run(spark, sfDir)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (src, nbrs) =>
+      (lsh.getOrElse(src, Set.empty) & nbrs).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, f"mean kNN-graph edge recall $mean%.3f < 0.5 " +
+      s"(nodes=${exact.size}, lsh nodes=${lsh.size})")
+    // every ranked list the LSH graph does emit is exactly top-5-of-
+    // candidates: rn must be dense 1..k with k <= 5
+    val rns = Catalog.byKey("vec_knn_graph_lsh").run(spark, sfDir)
+      .select("src", "rn").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    rns.foreach { case (src, l) =>
+      assert(l == (1L to l.size.toLong), s"src=$src has non-dense ranks $l")
+      assert(l.size <= 5, s"src=$src has ${l.size} > 5 edges")
+    }
+  }
+
   test("vec_ivf_pq MEAN recall over 10 queries vs brute force") {
     // mean over 10 query ids, not one: single-query recall@10 swings ±0.2
     // on this near-orthogonal corpus (measured in RecallAB), so a one-query

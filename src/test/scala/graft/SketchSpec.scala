@@ -302,8 +302,12 @@ class SketchSpec extends SparkSpecBase {
     // check the rank interval [count(<v), count(<=v)] against p ± ε with
     // ε = 1/accuracy + 1/n (the +1/n absorbs discreteness at small groups).
     val probs = Seq(0.25, 0.5, 0.75, 0.95)
+    // long-form (o_orderstatus, q, value) rows since round 11 — regroup to
+    // per-status quantile vectors ordered by q
     val est = Catalog.byKey("agg_approx_pctl").run(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     val groups = Tables.orders(spark, sfDir)
       .select(col("o_orderstatus"), col("o_totalprice").cast("double").as("v"))
       .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
