@@ -1158,6 +1158,68 @@ object AggQueries {
     segRows.unionAll(allRow).orderBy(col("seg"))
   }
 
+  /** Welch's unequal-variance t-test between two customer segments — the
+    * A/B-analysis inference primitive (does segment A's balance differ
+    * from B's?) the descriptive-stats family (`agg_stats`, `agg_skew_kurt`)
+    * stops short of. One filtered grouped aggregation computes both
+    * segments' (n, Σx, Σx²) — map-side combinable, a 2-row frame at any
+    * scale — then the closed forms: vᵢ = (Σx² − (Σx)²/n)/(n−1),
+    * t = (m₁−m₂)/√(v₁/n₁+v₂/n₂), Welch–Satterthwaite df. Sums ride
+    * DECIMAL for the means; the second moment is the one double sum
+    * (ROUND(,4)-absorbed, the `agg_stats` accepted class); t goes through
+    * the −0.0 pin since close means can round a signed zero. */
+  private val welchTtest = CatalogEntry.ansi(
+    "agg_welch_ttest",
+    """WITH s AS (
+      |  SELECT c_mktsegment AS seg, CAST(COUNT(*) AS DOUBLE) AS n,
+      |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+      |         SUM(c_acctbal * c_acctbal) AS ss
+      |  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      |  GROUP BY c_mktsegment
+      |), w AS (
+      |  SELECT MAX(CASE WHEN seg = 'AUTOMOBILE' THEN n END) AS na,
+      |         MAX(CASE WHEN seg = 'AUTOMOBILE' THEN sm END) AS sa,
+      |         MAX(CASE WHEN seg = 'AUTOMOBILE' THEN ss END) AS ssa,
+      |         MAX(CASE WHEN seg = 'BUILDING' THEN n END) AS nb,
+      |         MAX(CASE WHEN seg = 'BUILDING' THEN sm END) AS sb,
+      |         MAX(CASE WHEN seg = 'BUILDING' THEN ss END) AS ssb
+      |  FROM s
+      |), v AS (
+      |  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+      |         (ssa - sa * sa / na) / (na - 1) / na AS qa,
+      |         (ssb - sb * sb / nb) / (nb - 1) / nb AS qb
+      |  FROM w
+      |)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |       ROUND(ma, 4) AS mean_a, ROUND(mb, 4) AS mean_b,
+      |       ROUND((ma - mb) / sqrt(qa + qb), 4) + 0.0 AS t_stat,
+      |       ROUND((qa + qb) * (qa + qb) /
+      |             (qa * qa / (na - 1) + qb * qb / (nb - 1)), 4) AS df
+      |FROM v""".stripMargin) { (spark, sfDir) =>
+    val s = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        decOut(sum(dec(col("c_acctbal")))).as("sm"),
+        sum(col("c_acctbal") * col("c_acctbal")).as("ss"))
+    def pick(seg: String, c: String) =
+      max(when(col("seg") === seg, col(c))).as(s"${c}_${seg.take(1)}")
+    val w = s.agg(
+      pick("AUTOMOBILE", "n"), pick("AUTOMOBILE", "sm"), pick("AUTOMOBILE", "ss"),
+      pick("BUILDING", "n"), pick("BUILDING", "sm"), pick("BUILDING", "ss"))
+    val (na, sa, ssa) = (col("n_A"), col("sm_A"), col("ss_A"))
+    val (nb, sb, ssb) = (col("n_B"), col("sm_B"), col("ss_B"))
+    val ma = sa / na; val mb = sb / nb
+    val qa = (ssa - sa * sa / na) / (na - 1) / na
+    val qb = (ssb - sb * sb / nb) / (nb - 1) / nb
+    w.select(
+      na.cast("long").as("n_a"), nb.cast("long").as("n_b"),
+      round(ma, 4).as("mean_a"), round(mb, 4).as("mean_b"),
+      Util.znorm((ma - mb) / sqrt(qa + qb), 4).as("t_stat"),
+      round((qa + qb) * (qa + qb) /
+        (qa * qa / (na - 1) + qb * qb / (nb - 1)), 4).as("df"))
+  }
+
   /** Seasonality-adjusted anomaly detection — daily revenue z-scored
     * against its same-weekday baseline (the day-of-week effect is the
     * dominant seasonality in order data; a plain global z would flag
@@ -1226,5 +1288,5 @@ object AggQueries {
     stringConcat, entropyAgg, regression, boolCountIf, weightedAvg,
     groupingIdRollup, percentileDisc, skewKurt, listaggDistinct,
     cohortRetention, madRobust, giniCoefficient, histogramEquidepth,
-    winsorized, assocRules, bitmapDistinct, seasonalAnomaly)
+    winsorized, assocRules, bitmapDistinct, seasonalAnomaly, welchTtest)
 }

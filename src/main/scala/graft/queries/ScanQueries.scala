@@ -132,6 +132,70 @@ object ScanQueries {
       CsvSource(tmp, schema).load(spark).orderBy(col("n_nationkey"))
   }
 
+  /** Gzip-compressed CSV COPY leg — warehouses ship compressed text
+    * (Redshift's `COPY … GZIP` / `UNLOAD … GZIP`), and the codec rides the
+    * same splittable-read caveat everywhere: a .csv.gz file is ONE read
+    * task (gzip streams don't split), so at scale you shard the unload into
+    * many files and parallelism comes from file count, not byte ranges —
+    * exactly what the directory write below produces. Identity oracle from
+    * the source table; doubles survive the text round-trip exactly
+    * (shortest-representation print, exact re-parse on both engines). */
+  private val csvGzip = CatalogEntry.ansi(
+    "src_csv_gzip",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    val tmp = scratchDir("csv_gzip", sfDir)
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .write.mode("overwrite")
+      .option("header", "true").option("compression", "gzip").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType)))
+    spark.read.schema(schema).option("header", "true").csv(tmp)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Single-scan multi-sink fan-out — the warehouse ETL staple
+    * `etl_quarantine_routing` only CLASSIFIES: one pass over the facts
+    * writes the clean rows to the staged table AND the rule-violating rows
+    * to the quarantine table (Redshift multi-table insert / the classic
+    * good-file+bad-file COPY split). The routed scan is cached so both
+    * sink writes consume ONE materialization of the source — at 100 TB the
+    * fact table is read once, not once per destination (with the cache
+    * swapped for an actual two-destination foreachBatch or a partitioned
+    * staging write when memory is the constraint). The audit is computed
+    * from the SINK READBACK, not the source — it proves what landed. */
+  private val multiFanout = CatalogEntry.ansi(
+    "sink_multi_fanout",
+    """WITH r AS (
+      |  SELECT CASE WHEN l_quantity > 45 OR l_discount > 0.08
+      |              THEN 'quarantine' ELSE 'clean' END AS sink,
+      |         l_extendedprice
+      |  FROM lineitem
+      |)
+      |SELECT sink, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM r GROUP BY sink ORDER BY sink""".stripMargin) { (spark, sfDir) =>
+    val tmp = scratchDir("multi_fanout", sfDir)
+    val routed = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        when(col("l_quantity") > 45 || col("l_discount") > 0.08, "quarantine")
+          .otherwise("clean").as("sink"))
+      .cache()
+    routed.where(col("sink") === "clean")
+      .write.mode("overwrite").parquet(s"$tmp/clean")
+    routed.where(col("sink") === "quarantine")
+      .write.mode("overwrite").parquet(s"$tmp/quarantine")
+    ParquetSource(s"$tmp/clean").load(spark)
+      .unionByName(ParquetSource(s"$tmp/quarantine").load(spark))
+      .groupBy(col("sink"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        decOut(sum(dec(col("l_extendedprice")))).as("revenue"))
+      .orderBy(col("sink"))
+  }
+
   /** Partitioned parquet sink + readback (UNLOAD PARTITION analog).
     * Partition-by-year is the 100-TB layout move: year predicates become
     * directory pruning instead of data reads. */
@@ -562,5 +626,6 @@ object ScanQueries {
   def entries: Seq[CatalogEntry] = Seq(
     scanProject, schemaEnforce, jsonExtract, jsonArrayUnnest, csvRoundtrip,
     jsonRoundtrip, orcRoundtrip, csvBadRecords, partitionedWrite, bucketedJoin,
-    jdbcSurface, zorderWrite, textRoundtrip, schemaMerge, csvQuoted, bloomWrite)
+    jdbcSurface, zorderWrite, textRoundtrip, schemaMerge, csvQuoted, bloomWrite,
+    csvGzip, multiFanout)
 }

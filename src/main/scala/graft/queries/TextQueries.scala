@@ -1918,6 +1918,109 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity — the production LM-filter
+    * algorithm (KenLM's smoothing), upgrading [[perplexityBigram]]'s
+    * add-one baseline: P(w₂|w₁) = max(c₁₂−d,0)/c₁· + d·N₁₊(w₁·)/c₁· ·
+    * N₁₊(·w₂)/B with discount d = 3/4 — continuation probability replaces
+    * raw unigram frequency, which is what makes KN robust for filtering
+    * ("Francisco" is frequent but only ever follows "San").
+    *
+    * Determinism: d = 3/4 makes every probability an exact integer
+    * rational — P = ((4·c₁₂−3)·B + 3·N₁₊(w₁·)·N₁₊(·w₂)) / (4·c₁··B) —
+    * so both engines divide the SAME two integers and ln() sees an
+    * identical double (the quantized-log determinism class established by
+    * perplexity_bigram/unigram_logprob; ROUND(,4) + the sorted fold guard
+    * the sum). All counts come from one bigram aggregation: c₁·, N₁₊(w₁·)
+    * (= that w₁'s distinct-continuation row count), N₁₊(·w₂), and the
+    * bigram-type total B are GROUP BYs over the (b, c₁₂) frame, never a
+    * re-scan. The corpus is its own training set (no OOV, same posture as
+    * the add-one entry); bigram-keyed shuffles throughout — linear at any
+    * scale, the doc join is by bigram hash. */
+  private val perplexityKn = CatalogEntry.dialect(
+    "text_perplexity_kn",
+    duckdb = """WITH t AS (
+               |  SELECT doc_id, string_split(text, ' ') AS toks,
+               |         len(string_split(text, ' ')) AS n FROM documents
+               |), bg AS (
+               |  SELECT doc_id,
+               |         unnest(list_transform(range(1, n), i -> toks[i] || ' ' || toks[i+1])) AS b
+               |  FROM t WHERE n >= 2
+               |), cb AS (SELECT b, COUNT(*) AS c12 FROM bg GROUP BY b),
+               |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1dot,
+               |              CAST(COUNT(*) AS BIGINT) AS n1w1
+               |       FROM (SELECT string_split(b, ' ')[1] AS w1, c12 FROM cb) GROUP BY w1),
+               |c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w2
+               |       FROM (SELECT string_split(b, ' ')[2] AS w2 FROM cb) GROUP BY w2),
+               |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS btypes FROM cb),
+               |db AS (SELECT doc_id, b, COUNT(*) AS dc FROM bg GROUP BY doc_id, b)
+               |SELECT db.doc_id, CAST(SUM(db.dc) AS BIGINT) AS n_bigrams,
+               |       ROUND(SUM(db.dc * ln(((4*cb.c12 - 3) * bt.btypes + 3 * c1.n1w1 * c2.n1w2)
+               |                            * CAST(1.0 AS DOUBLE) / (4 * c1.c1dot * bt.btypes)))
+               |             / SUM(db.dc), 4) AS avg_logprob
+               |FROM db JOIN cb USING (b)
+               |JOIN c1 ON string_split(db.b, ' ')[1] = c1.w1
+               |JOIN c2 ON string_split(db.b, ' ')[2] = c2.w2
+               |CROSS JOIN bt
+               |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
+    spark = """WITH t AS (
+              |  SELECT doc_id, split(text, ' ') AS toks, size(split(text, ' ')) AS n FROM documents
+              |), bg AS (
+              |  SELECT doc_id,
+              |         explode(transform(sequence(1, n - 1),
+              |                 i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS b
+              |  FROM t WHERE n >= 2
+              |), cb AS (SELECT b, COUNT(*) AS c12 FROM bg GROUP BY b),
+              |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1dot,
+              |              CAST(COUNT(*) AS BIGINT) AS n1w1
+              |       FROM (SELECT split(b, ' ')[0] AS w1, c12 FROM cb) GROUP BY w1),
+              |c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w2
+              |       FROM (SELECT split(b, ' ')[1] AS w2 FROM cb) GROUP BY w2),
+              |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS btypes FROM cb),
+              |db AS (SELECT doc_id, b, COUNT(*) AS dc FROM bg GROUP BY doc_id, b)
+              |SELECT db.doc_id, CAST(SUM(db.dc) AS BIGINT) AS n_bigrams,
+              |       ROUND(SUM(db.dc * ln(((4*cb.c12 - 3) * bt.btypes + 3 * c1.n1w1 * c2.n1w2)
+              |                            * CAST(1.0 AS DOUBLE) / (4 * c1.c1dot * bt.btypes)))
+              |             / SUM(db.dc), 4) AS avg_logprob
+              |FROM db JOIN cb USING (b)
+              |JOIN c1 ON split(db.b, ' ')[0] = c1.w1
+              |JOIN c2 ON split(db.b, ' ')[1] = c2.w2
+              |CROSS JOIN bt
+              |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin) { (spark, sfDir) =>
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") >= 2)
+    val bg = t.select(col("doc_id"),
+      explode(expr("transform(sequence(1, n - 1), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("b"))
+    val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("c12"))
+    val c1 = cb.groupBy(split(col("b"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1dot"),
+        count(lit(1)).cast("long").as("n1w1"))
+    val c2 = cb.groupBy(split(col("b"), " ").getItem(1).as("w2"))
+      .agg(count(lit(1)).cast("long").as("n1w2"))
+    val bt = cb.agg(count(lit(1)).cast("long").as("btypes"))
+    val db = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("dc"))
+    db.join(cb, "b")
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+      .withColumn("w2", split(col("b"), " ").getItem(1))
+      .join(c1, "w1")
+      .join(c2, "w2")
+      .crossJoin(broadcast(bt))
+      .select(col("doc_id"), col("b"), col("dc"),
+        (col("dc") * log(
+          ((lit(4) * col("c12") - 3) * col("btypes") +
+            lit(3) * col("n1w1") * col("n1w2")) * lit(1.0) /
+            (lit(4) * col("c1dot") * col("btypes")))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dc")).as("n_bigrams"),
+        collect_list(struct(col("b"), col("lp"))).as("xs"))
+      .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+        round(aggregate(transform(array_sort(col("xs")), e => e.getField("lp")),
+          lit(0.0), (a, x) => a + x) / col("n_bigrams"), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Chunk-level exact dedup — close the `text_chunk_windows` → dedup
     * loop: hash every 32/16 sliding chunk, count DISTINCT documents per
     * hash, and score each document by the fraction of its chunks shared
@@ -2418,13 +2521,82 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Heaps-law vocabulary growth — distinct-type count vs cumulative token
+    * count at ten doc-id decile checkpoints, the corpus-health diagnostic
+    * beside [[zipfSlope]] (a healthy natural corpus grows vocab ∝ nᵝ,
+    * β≈0.5; a saturating curve flags templated/synthetic text — which this
+    * corpus IS, so the curve here saturates fast, and that is the signal).
+    * Shape: one per-doc token count (linear), one token→first-doc_id
+    * aggregation (linear, map-side combinable), then both tiny frames join
+    * the 10-row cutoff table on an inequality — the expansion is bounded
+    * ×10 regardless of corpus size, never a scan re-read. All-integer
+    * outputs → hash-exact. */
+  private val vocabGrowth = CatalogEntry.dialect(
+    "text_vocab_growth",
+    duckdb = """WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+               |d AS (SELECT CAST(k AS BIGINT) AS decile,
+               |             CAST(FLOOR((SELECT n FROM nn) * k / 10.0) AS BIGINT) AS cutoff
+               |      FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) t(k)),
+               |pd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+               |       FROM documents),
+               |fs AS (SELECT token, MIN(doc_id) AS first_doc FROM (
+               |         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               |         FROM documents) GROUP BY token),
+               |da AS (SELECT d.decile, d.cutoff, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               |              CAST(SUM(pd.n_toks) AS BIGINT) AS n_tokens
+               |       FROM d JOIN pd ON pd.doc_id < d.cutoff GROUP BY d.decile, d.cutoff),
+               |va AS (SELECT d.decile, CAST(COUNT(*) AS BIGINT) AS n_distinct
+               |       FROM d JOIN fs ON fs.first_doc < d.cutoff GROUP BY d.decile)
+               |SELECT da.decile, da.cutoff, da.n_docs, da.n_tokens, va.n_distinct
+               |FROM da JOIN va ON da.decile = va.decile ORDER BY da.decile""".stripMargin,
+    spark = """WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+              |d AS (SELECT CAST(k AS BIGINT) AS decile,
+              |             CAST(FLOOR((SELECT n FROM nn) * k / 10.0) AS BIGINT) AS cutoff
+              |      FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) t(k)),
+              |pd AS (SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n_toks
+              |       FROM documents),
+              |fs AS (SELECT token, MIN(doc_id) AS first_doc FROM (
+              |         SELECT doc_id, explode(split(text, ' ')) AS token
+              |         FROM documents) GROUP BY token),
+              |da AS (SELECT d.decile, d.cutoff, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |              CAST(SUM(pd.n_toks) AS BIGINT) AS n_tokens
+              |       FROM d JOIN pd ON pd.doc_id < d.cutoff GROUP BY d.decile, d.cutoff),
+              |va AS (SELECT d.decile, CAST(COUNT(*) AS BIGINT) AS n_distinct
+              |       FROM d JOIN fs ON fs.first_doc < d.cutoff GROUP BY d.decile)
+              |SELECT da.decile, da.cutoff, da.n_docs, da.n_tokens, va.n_distinct
+              |FROM da JOIN va ON da.decile = va.decile ORDER BY da.decile""".stripMargin) {
+    (spark, sfDir) =>
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val perDoc = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+    val firstSeen = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val n = Tables.documents(spark, sfDir).agg((max(col("doc_id")) + 1).as("n"))
+    val cutoffs = spark.range(1, 11).toDF("decile")
+      .crossJoin(broadcast(n))
+      .select(col("decile"),
+        floor(col("n") * col("decile") / 10.0).cast("long").as("cutoff"))
+    val docsAt = perDoc.join(broadcast(cutoffs), col("doc_id") < col("cutoff"))
+      .groupBy(col("decile"), col("cutoff"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"))
+    val vocabAt = firstSeen.join(broadcast(cutoffs), col("first_doc") < col("cutoff"))
+      .groupBy(col("decile").as("vd"))
+      .agg(count(lit(1)).cast("long").as("n_distinct"))
+    docsAt.join(vocabAt, col("decile") === col("vd"))
+      .select(col("decile"), col("cutoff"), col("n_docs"), col("n_tokens"),
+        col("n_distinct"))
+      .orderBy(col("decile"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    vocabGrowth,
     dedupReport, spanDedup,
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
     idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
     unigramLogprob, containment, corpusFilter, ngramTopk, urlCanonicalize,
-    chunkWindows, perplexityBigram, dedupChunk, docKeywords, mixWeights,
-    zipfSlope, gopherRules, perplexityBucket)
+    chunkWindows, perplexityBigram, perplexityKn, dedupChunk, docKeywords,
+    mixWeights, zipfSlope, gopherRules, perplexityBucket)
 }
