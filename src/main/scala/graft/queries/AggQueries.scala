@@ -1220,6 +1220,57 @@ object AggQueries {
         (qa * qa / (na - 1) + qb * qb / (nb - 1)), 4).as("df"))
   }
 
+  /** Chi-square test of independence — market segment × order priority
+    * contingency, the categorical counterpart of [[welchTtest]]'s
+    * two-sample inference (is priority mix independent of segment?). The
+    * contingency table is one grouped count (map-side combinable); margins
+    * ride window sums over the |segments|×|priorities| frame — 25 rows at
+    * ANY corpus size, so the unpartitioned windows are plan control, not a
+    * data sort. Expected counts e = r·c/N divide identical integers on
+    * both engines; the 25-term χ² sum is ROUND(,4)-absorbed (agg_stats
+    * class). Emits n_cells so a sparse contingency (a zero cell would
+    * silently drop from the observed-only frame) fails the compare instead
+    * of skewing the statistic. */
+  private val chi2Independence = CatalogEntry.ansi(
+    "agg_chi2_independence",
+    """WITH j AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |), ct AS (
+      |  SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY seg, pri
+      |), tot AS (
+      |  SELECT seg, pri, n,
+      |         SUM(n) OVER (PARTITION BY seg) AS rs,
+      |         SUM(n) OVER (PARTITION BY pri) AS cs,
+      |         SUM(n) OVER () AS nn
+      |  FROM ct
+      |)
+      |SELECT CAST(MAX(nn) AS BIGINT) AS n_total,
+      |       CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |       CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT pri) - 1) AS BIGINT) AS df,
+      |       ROUND(SUM((n - CAST(rs AS DOUBLE) * cs / nn)
+      |                 * (n - CAST(rs AS DOUBLE) * cs / nn)
+      |                 / (CAST(rs AS DOUBLE) * cs / nn)), 4) AS chi2
+      |FROM tot""".stripMargin) { (spark, sfDir) =>
+    val j = Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_orderpriority"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+    val ct = j.groupBy(col("seg"), col("pri")).agg(count(lit(1)).cast("long").as("n"))
+    val tot = ct
+      .withColumn("rs", sum(col("n")).over(Window.partitionBy(col("seg"))))
+      .withColumn("cs", sum(col("n")).over(Window.partitionBy(col("pri"))))
+      .withColumn("nn", sum(col("n")).over(Window.partitionBy()))
+    val e = col("rs").cast("double") * col("cs") / col("nn")
+    tot.agg(
+      max(col("nn")).cast("long").as("n_total"),
+      count(lit(1)).cast("long").as("n_cells"),
+      ((countDistinct(col("seg")) - 1) * (countDistinct(col("pri")) - 1))
+        .cast("long").as("df"),
+      round(sum((col("n") - e) * (col("n") - e) / e), 4).as("chi2"))
+  }
+
   /** Seasonality-adjusted anomaly detection — daily revenue z-scored
     * against its same-weekday baseline (the day-of-week effect is the
     * dominant seasonality in order data; a plain global z would flag
@@ -1288,5 +1339,6 @@ object AggQueries {
     stringConcat, entropyAgg, regression, boolCountIf, weightedAvg,
     groupingIdRollup, percentileDisc, skewKurt, listaggDistinct,
     cohortRetention, madRobust, giniCoefficient, histogramEquidepth,
-    winsorized, assocRules, bitmapDistinct, seasonalAnomaly, welchTtest)
+    winsorized, assocRules, bitmapDistinct, seasonalAnomaly, welchTtest,
+    chi2Independence)
 }

@@ -2021,6 +2021,120 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Distributed BPE tokenizer training — greedy byte-pair-encoding merge
+    * learning, the way production tokenizer trainers actually run at
+    * corpus scale (HF tokenizers / SentencePiece shape): ONE distributed
+    * pass builds the (word, freq) table — the only part that touches the
+    * corpus, linear at 100 TB — then N=10 merge rounds iterate over that
+    * table alone: count adjacent symbol pairs weighted by word frequency
+    * (grouped agg, map-side combinable), pick the argmax (1-row collect —
+    * plan control, the centroid-collect class), and apply the merge to
+    * every word's symbol array with a leftmost-first non-overlapping
+    * aggregate() fold. Each round caches its words frame and unpersists
+    * the last so the plan never deepens past one fold.
+    *
+    * Determinism: pair counts are exact long sums; the argmax orders by
+    * (count DESC, left, right) — a total order; the fold is sequential by
+    * definition. No oracle by design (iterative argmax is not
+    * SQL-expressible without list-state recursion — same exemption class
+    * as dedup_cluster_cc / vec_mmr_diversify); BpeSpec replays the greedy
+    * algorithm in pure Scala over the collected word-frequency table and
+    * pins the merge table exactly. */
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** One leftmost-first non-overlapping merge application as a SQL fold.
+    * try_element_at: ANSI element_at(-1) throws on the empty initial
+    * accumulator because AND does not short-circuit under codegen. */
+  private def mergeFoldSql(a: String, b: String, m: String): String =
+    s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
+       |  (acc, s) -> CASE WHEN try_element_at(acc, -1) = '${esc(a)}'
+       |                    AND s = '${esc(b)}'
+       |    THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(m)}'))
+       |    ELSE concat(acc, array(s)) END)""".stripMargin
+
+  /** The greedy merge-learning loop shared by `pipeline_bpe_train` (which
+    * emits the merge table) and `pipeline_bpe_apply` (which tokenizes with
+    * it — deterministic trainer, so the two entries always agree). */
+  private def trainBpe(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nMerges: Int = 10): Seq[(Long, String, String, String, Long)] = {
+    val wordFreq = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var words = wordFreq
+      .select(col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    for (r <- 1 to nMerges) {
+      // single-symbol words carry no pairs — and sequence(1, 0) DESCENDS
+      // in Spark, so they must be filtered before the transform, not
+      // left to produce an out-of-bounds probe
+      val best = words
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, a, b, a + b, n))
+        val prev = words
+        words = prev.select(col("freq"),
+          expr(mergeFoldSql(a, b, a + b)).as("syms")).cache()
+        words.count() // materialize before releasing the previous round
+        prev.unpersist(false)
+      }
+    }
+    words.unpersist(false)
+    merges.toSeq
+  }
+
+  private val bpeTrain = CatalogEntry.noOracle("pipeline_bpe_train") { (spark, sfDir) =>
+    import spark.implicits._
+    trainBpe(spark, sfDir).toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** BPE tokenization with the learned merges — the inference side of
+    * [[bpeTrain]], in the production shape: the merge chain is applied
+    * ONCE per DISTINCT word (the vocabulary frame — tiny next to the
+    * corpus), and documents get their token counts by joining that
+    * vocabulary back on the word key. At 100 TB the corpus is touched
+    * exactly twice (word extraction, count join) and the 10 chained folds
+    * run over |vocab| rows only. Output: per-doc char/BPE-token counts and
+    * the compression ratio (exact integer division of identical operands
+    * on any engine — but no oracle, since the merges come from the
+    * iterative trainer; BpeSpec pins tokenization against the pure-Scala
+    * replay). */
+  private val bpeApply = CatalogEntry.noOracle("pipeline_bpe_apply") { (spark, sfDir) =>
+    val merges = trainBpe(spark, sfDir)
+    val vocabRaw = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_uses"))
+    var vocab = vocabRaw.select(col("w"), col("n_uses"),
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+    for ((_, a, b, m, _) <- merges)
+      vocab = vocab.select(col("w"), col("n_uses"),
+        expr(mergeFoldSql(a, b, m)).as("syms"))
+    val wordTok = vocab
+      .select(col("w"), size(col("syms")).cast("long").as("n_bpe"),
+        length(col("w")).cast("long").as("n_chr"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(wordTok, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_chr")).cast("long").as("n_chars"),
+        sum(col("n_bpe")).cast("long").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Chunk-level exact dedup — close the `text_chunk_windows` → dedup
     * loop: hash every 32/16 sliding chunk, count DISTINCT documents per
     * hash, and score each document by the fraction of its chunks shared
@@ -2598,5 +2712,5 @@ object TextQueries {
     idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
     unigramLogprob, containment, corpusFilter, ngramTopk, urlCanonicalize,
     chunkWindows, perplexityBigram, perplexityKn, dedupChunk, docKeywords,
-    mixWeights, zipfSlope, gopherRules, perplexityBucket)
+    mixWeights, zipfSlope, gopherRules, perplexityBucket, bpeTrain, bpeApply)
 }

@@ -621,4 +621,13 @@ class PlanShapeSpec extends SparkSpecBase {
         s.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
+  test("text_vocab_growth broadcasts the 10-row cutoff frame (bounded expansion)") {
+    // the decile join is an inequality (doc_id < cutoff) — a nested-loop
+    // by nature. Correct at scale ONLY because the loop side is the 10-row
+    // cutoff table, broadcast: the corpus streams once with a x10 bounded
+    // fan-out, never a corpus-vs-corpus product
+    val p = planOf("text_vocab_growth")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast NLJ on the cutoff frame in:\n$p")
+  }
 }
