@@ -132,6 +132,32 @@ object ScanQueries {
       CsvSource(tmp, schema).load(spark).orderBy(col("n_nationkey"))
   }
 
+  /** SPLIT_PART battery — the Redshift delimited-field extractor the str_*
+    * family hadn't exercised: positive index, negative (from-end) index,
+    * and the out-of-range → empty-string contract, over the '#'-delimited
+    * name and a manufactured '|'-delimited field. Identical 1-based semantics in Spark
+    * (3.3+) and DuckDB — probed before declaring. Pure projection,
+    * codegen'd, partition-local. */
+  private val splitPart = CatalogEntry.ansi(
+    "str_split_part",
+    """SELECT c_custkey,
+      |       split_part(c_name, '#', 1) AS name_prefix,
+      |       split_part(c_name, '#', 2) AS name_id,
+      |       split_part(c_name, '#', -1) AS name_last,
+      |       split_part(c_name, '#', 5) AS oob_empty,
+      |       split_part(concat(c_mktsegment, '|', CAST(c_custkey AS STRING), '|x'), '|', 2) AS mid_field
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (spark, sfDir) =>
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        expr("split_part(c_name, '#', 1)").as("name_prefix"),
+        expr("split_part(c_name, '#', 2)").as("name_id"),
+        expr("split_part(c_name, '#', -1)").as("name_last"),
+        expr("split_part(c_name, '#', 5)").as("oob_empty"),
+        expr("split_part(concat(c_mktsegment, '|', CAST(c_custkey AS STRING), '|x'), '|', 2)")
+          .as("mid_field"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Gzip-compressed CSV COPY leg — warehouses ship compressed text
     * (Redshift's `COPY … GZIP` / `UNLOAD … GZIP`), and the codec rides the
     * same splittable-read caveat everywhere: a .csv.gz file is ONE read
@@ -627,5 +653,5 @@ object ScanQueries {
     scanProject, schemaEnforce, jsonExtract, jsonArrayUnnest, csvRoundtrip,
     jsonRoundtrip, orcRoundtrip, csvBadRecords, partitionedWrite, bucketedJoin,
     jdbcSurface, zorderWrite, textRoundtrip, schemaMerge, csvQuoted, bloomWrite,
-    csvGzip, multiFanout)
+    csvGzip, multiFanout, splitPart)
 }

@@ -2052,11 +2052,30 @@ object TextQueries {
        |    THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(m)}'))
        |    ELSE concat(acc, array(s)) END)""".stripMargin
 
+  /** Train-once memo for the BPE merge table, the [[graft.queries]] analog
+    * of VectorQueries' pqModels cache: the trainer is deterministic and
+    * partition-invariant (BpeSpec + PerturbationSpec), so sharing the
+    * learned merges between `pipeline_bpe_train` and `pipeline_bpe_apply`
+    * within one session changes nothing but the second entry's cost.
+    * Session-reference-keyed; stopped sessions evicted on lookup. */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Int),
+    Seq[(Long, String, String, String, Long)]]()
+
   /** The greedy merge-learning loop shared by `pipeline_bpe_train` (which
     * emits the merge table) and `pipeline_bpe_apply` (which tokenizes with
     * it — deterministic trainer, so the two entries always agree). */
   private def trainBpe(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       nMerges: Int = 10): Seq[(Long, String, String, String, Long)] = {
+    bpeCache.forEach { (k, _) =>
+      if (k._1.sparkContext.isStopped) bpeCache.remove(k)
+    }
+    bpeCache.computeIfAbsent((spark, sfDir, nMerges), _ =>
+      trainBpeUncached(spark, sfDir, nMerges))
+  }
+
+  private def trainBpeUncached(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nMerges: Int): Seq[(Long, String, String, String, Long)] = {
     val wordFreq = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
