@@ -1220,6 +1220,100 @@ object AggQueries {
         (qa * qa / (na - 1) + qb * qb / (nb - 1)), 4).as("df"))
   }
 
+  /** Deterministic Poisson bootstrap — 95% CI for each segment's mean
+    * balance from B=50 resampled replicates, completing the inference
+    * family ([[welchTtest]] compares two groups; the bootstrap puts an
+    * interval on ONE statistic with no normality assumption). The
+    * classic blocker — rand() — is replaced by the md5 draw the split/
+    * sample entries standardized: row i's weight in replicate b is
+    * Poisson(1) via inverse-CDF on u = first 6 md5 hex chars of "i#b",
+    * and the CDF cuts are PRE-COMPUTED 6-hex-char string constants
+    * (⌊cdf·16⁶⌋), so weight assignment is pure string comparison —
+    * engine-exact, no floating point anywhere until the replicate means.
+    * Poisson bootstrap is also the 100-TB shape (each row draws its
+    * weight independently — no global resample pass, the streaming-
+    * bootstrap standard). Weighted sums ride DECIMAL×int (exact); the
+    * percentile over 50 replicate means uses the proven interpolation
+    * spelling. */
+  private val bootstrapCi = CatalogEntry.dialect(
+    "agg_bootstrap_ci",
+    duckdb = """WITH r AS (SELECT unnest(range(0, 50)) AS b),
+               |d AS (SELECT c_mktsegment AS seg, c_custkey,
+               |             CAST(c_acctbal AS DECIMAL(18,4)) AS x FROM customer),
+               |w AS (
+               |  SELECT seg, b, x,
+               |    CASE WHEN h < '5e2d58' THEN 0 WHEN h < 'bc5ab1' THEN 1
+               |         WHEN h < 'eb715e' THEN 2 WHEN h < 'fb2397' THEN 3
+               |         WHEN h < 'ff1025' THEN 4 WHEN h < 'ffd90f' THEN 5
+               |         ELSE 6 END AS wt
+               |  FROM (SELECT d.seg, d.x, r.b,
+               |          substring(md5(CAST(d.c_custkey AS VARCHAR) || '#' || CAST(r.b AS VARCHAR)), 1, 6) AS h
+               |        FROM d CROSS JOIN r)
+               |), rep AS (
+               |  SELECT seg, b, CAST(SUM(wt * x) AS DOUBLE) / NULLIF(SUM(wt), 0) AS m
+               |  FROM w GROUP BY seg, b
+               |), base AS (
+               |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               |         CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean_bal
+               |  FROM d GROUP BY seg
+               |)
+               |SELECT base.seg, base.n_rows, ROUND(base.mean_bal, 4) AS mean_bal,
+               |       ROUND(percentile_cont(0.025) WITHIN GROUP (ORDER BY rep.m), 4) AS ci_lo,
+               |       ROUND(percentile_cont(0.975) WITHIN GROUP (ORDER BY rep.m), 4) AS ci_hi
+               |FROM rep JOIN base USING (seg)
+               |GROUP BY base.seg, base.n_rows, base.mean_bal
+               |ORDER BY 1""".stripMargin,
+    spark = """WITH r AS (SELECT explode(sequence(0, 49)) AS b),
+              |d AS (SELECT c_mktsegment AS seg, c_custkey,
+              |             CAST(c_acctbal AS DECIMAL(18,4)) AS x FROM customer),
+              |w AS (
+              |  SELECT seg, b, x,
+              |    CASE WHEN h < '5e2d58' THEN 0 WHEN h < 'bc5ab1' THEN 1
+              |         WHEN h < 'eb715e' THEN 2 WHEN h < 'fb2397' THEN 3
+              |         WHEN h < 'ff1025' THEN 4 WHEN h < 'ffd90f' THEN 5
+              |         ELSE 6 END AS wt
+              |  FROM (SELECT d.seg, d.x, r.b,
+              |          substring(md5(CAST(d.c_custkey AS STRING) || '#' || CAST(r.b AS STRING)), 1, 6) AS h
+              |        FROM d CROSS JOIN r)
+              |), rep AS (
+              |  SELECT seg, b, CAST(SUM(wt * x) AS DOUBLE) / NULLIF(SUM(wt), 0) AS m
+              |  FROM w GROUP BY seg, b
+              |), base AS (
+              |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              |         CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean_bal
+              |  FROM d GROUP BY seg
+              |)
+              |SELECT base.seg, base.n_rows, ROUND(base.mean_bal, 4) AS mean_bal,
+              |       ROUND(percentile(rep.m, 0.025), 4) AS ci_lo,
+              |       ROUND(percentile(rep.m, 0.975), 4) AS ci_hi
+              |FROM rep JOIN base USING (seg)
+              |GROUP BY base.seg, base.n_rows, base.mean_bal
+              |ORDER BY 1""".stripMargin) { (spark, sfDir) =>
+    val d = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment").as("seg"), col("c_custkey"), dec(col("c_acctbal")).as("x"))
+    val reps = spark.range(0, 50).toDF("b")
+    val h = substring(
+      md5(concat(col("c_custkey").cast("string"), lit("#"), col("b").cast("string"))), 1, 6)
+    val wt = when(h < "5e2d58", 0).when(h < "bc5ab1", 1).when(h < "eb715e", 2)
+      .when(h < "fb2397", 3).when(h < "ff1025", 4).when(h < "ffd90f", 5).otherwise(6)
+    val rep = d.crossJoin(broadcast(reps))
+      .select(col("seg"), col("b"), col("x"), wt.as("wt"))
+      .groupBy(col("seg"), col("b"))
+      .agg((sum(col("wt") * col("x")).cast("double") /
+        nullif(sum(col("wt")), lit(0))).as("m"))
+    val base = d.groupBy(col("seg"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        (sum(col("x")).cast("double") / count(lit(1))).as("mean_bal"))
+    rep.join(base, "seg")
+      .groupBy(col("seg"), col("n_rows"), col("mean_bal"))
+      .agg(
+        round(expr("percentile(m, 0.025)"), 4).as("ci_lo"),
+        round(expr("percentile(m, 0.975)"), 4).as("ci_hi"))
+      .select(col("seg"), col("n_rows"), round(col("mean_bal"), 4).as("mean_bal"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy(col("seg"))
+  }
+
   /** Chi-square test of independence — market segment × order priority
     * contingency, the categorical counterpart of [[welchTtest]]'s
     * two-sample inference (is priority mix independent of segment?). The
@@ -1340,5 +1434,5 @@ object AggQueries {
     groupingIdRollup, percentileDisc, skewKurt, listaggDistinct,
     cohortRetention, madRobust, giniCoefficient, histogramEquidepth,
     winsorized, assocRules, bitmapDistinct, seasonalAnomaly, welchTtest,
-    chi2Independence)
+    chi2Independence, bootstrapCi)
 }

@@ -268,6 +268,87 @@ object JoinQueries {
       .orderBy(col("err_id"))
   }
 
+  /** NEAREST-direction as-of join — for each error event the closest
+    * purchase by |Δt| in EITHER direction (sensor-fusion / nearest-reading
+    * alignment; the backward-only entries cover the classic asof). Same
+    * single-shuffle no-join plan as `join_asof_sorted`, run twice over one
+    * user_id sort domain: a forward-ordered carry picks the latest
+    * purchase at-or-before, a reverse-ordered carry the earliest
+    * at-or-after, and a row-local comparison keeps the closer (ties →
+    * backward; equal-ts candidate sets tie-break to the carry's id —
+    * max id backward, min id forward — which the oracle's rank restates
+    * exactly). The oracle is the naive inequality join + ABS(Δepoch) rank:
+    * fine at DuckDB's in-memory scale, quadratic at 100 TB — the
+    * carry-forward form IS the scale story. NULL guard: an error with no
+    * purchase at all emits NULL candidate AND NULL direction (the naive
+    * CASE would mislabel the null row 'forward'). */
+  private val asofNearest = CatalogEntry.dialect(
+    "join_asof_nearest",
+    duckdb = """SELECT err_id, user_id, near_id, near_ts, direction FROM (
+               |  SELECT e.event_id AS err_id, e.user_id AS user_id,
+               |         p.event_id AS near_id, p.ts AS near_ts,
+               |         CASE WHEN p.event_id IS NULL THEN NULL
+               |              WHEN p.ts <= e.ts THEN 'backward' ELSE 'forward' END AS direction,
+               |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+               |           ORDER BY ABS(epoch(p.ts) - epoch(e.ts)),
+               |                    CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END,
+               |                    CASE WHEN p.ts <= e.ts THEN -p.event_id ELSE p.event_id END) AS rn
+               |  FROM (SELECT * FROM events WHERE event_type = 'error') e
+               |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+               |    ON p.user_id = e.user_id
+               |) WHERE rn = 1
+               |ORDER BY err_id""".stripMargin,
+    spark = """SELECT err_id, user_id, near_id, near_ts, direction FROM (
+              |  SELECT e.event_id AS err_id, e.user_id AS user_id,
+              |         p.event_id AS near_id, p.ts AS near_ts,
+              |         CASE WHEN p.event_id IS NULL THEN NULL
+              |              WHEN p.ts <= e.ts THEN 'backward' ELSE 'forward' END AS direction,
+              |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+              |           ORDER BY ABS(unix_timestamp(p.ts) - unix_timestamp(e.ts)),
+              |                    CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END,
+              |                    CASE WHEN p.ts <= e.ts THEN -p.event_id ELSE p.event_id END) AS rn
+              |  FROM (SELECT * FROM events WHERE event_type = 'error') e
+              |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              |    ON p.user_id = e.user_id
+              |) WHERE rn = 1
+              |ORDER BY err_id""".stripMargin) { (spark, sfDir) =>
+    val tagged = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("error", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("unix_timestamp(ts)").as("ep"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("kind"))
+    // backward: purchase sorts before the error at equal ts (kind asc), so
+    // the carry is at-or-before; among equal ts the carry keeps the LAST
+    // seen = max event_id
+    val wB = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: reverse time order, purchase still first at equal ts; the
+    // carry keeps the last seen = min event_id among the nearest ts
+    val wF = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("kind"), col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carry(w: org.apache.spark.sql.expressions.WindowSpec, c: String) =
+      last(when(col("kind") === 0, col(c)), ignoreNulls = true).over(w)
+    val picked = tagged
+      .withColumn("b_id", carry(wB, "event_id"))
+      .withColumn("b_ts", carry(wB, "ts"))
+      .withColumn("b_ep", carry(wB, "ep"))
+      .withColumn("f_id", carry(wF, "event_id"))
+      .withColumn("f_ts", carry(wF, "ts"))
+      .withColumn("f_ep", carry(wF, "ep"))
+      .where(col("kind") === 1)
+    val useB = col("b_id").isNotNull &&
+      (col("f_id").isNull || (col("ep") - col("b_ep")) <= (col("f_ep") - col("ep")))
+    picked.select(
+        col("event_id").as("err_id"), col("user_id"),
+        when(useB, col("b_id")).otherwise(col("f_id")).as("near_id"),
+        when(useB, col("b_ts")).otherwise(col("f_ts")).as("near_ts"),
+        when(col("b_id").isNull && col("f_id").isNull, lit(null).cast("string"))
+          .when(useB, lit("backward")).otherwise(lit("forward")).as("direction"))
+      .orderBy(col("err_id"))
+  }
+
   /** 5-way star rollup (TPC-H Q5-shaped): dims broadcast, facts shuffle. */
   private val starMultiway = CatalogEntry.ansi(
     "join_star_multiway",
@@ -524,6 +605,6 @@ object JoinQueries {
   def entries: Seq[CatalogEntry] = Seq(
     innerEqui, bhjDims, smjFacts, leftOuter, rightOuter, fullOuter,
     leftSemi, leftAnti, crossSmall, thetaRange, asofEventOrder, asofSorted,
-    starMultiway, skewSalted, rangeBucketed, nullSafe, intervalOverlap,
-    lateralTopk)
+    asofNearest, starMultiway, skewSalted, rangeBucketed, nullSafe,
+    intervalOverlap, lateralTopk)
 }
