@@ -65,7 +65,7 @@ object Multimodal {
 
   /** Near-dup asset corpus for the perceptual-hash entries/tests: asset i
     * carries the payload of asset (i mod 350) — so above 350 every asset is
-    * a copy — and copied assets with an even id get a 4-byte tail edit.
+    * a copy — and copied assets with an even id get a 1-byte tail edit.
     * That manufactures the two populations a phash dedup exists to find:
     * exact re-uploads (Hamming 0 by construction) and lightly-edited
     * re-encodes (the edit REPLACES the last payload byte in place — the

@@ -277,7 +277,12 @@ object JoinQueries {
     * at-or-after, and a row-local comparison keeps the closer (ties →
     * backward; equal-ts candidate sets tie-break to the carry's id —
     * max id backward, min id forward — which the oracle's rank restates
-    * exactly). The oracle is the naive inequality join + ABS(Δepoch) rank:
+    * exactly). Distances are EXACT MICROSECOND epochs on both engines
+    * (epoch_us in DuckDB, unix_micros in Spark) — whole-second epoch()
+    * vs unix_timestamp() truncate differently (date_epoch scaladoc) and
+    * would let the nearest pick flip when backward/forward candidates
+    * land within the rounding error.
+    * The oracle is the naive inequality join + ABS(Δepoch) rank:
     * fine at DuckDB's in-memory scale, quadratic at 100 TB — the
     * carry-forward form IS the scale story. NULL guard: an error with no
     * purchase at all emits NULL candidate AND NULL direction (the naive
@@ -290,7 +295,7 @@ object JoinQueries {
                |         CASE WHEN p.event_id IS NULL THEN NULL
                |              WHEN p.ts <= e.ts THEN 'backward' ELSE 'forward' END AS direction,
                |         ROW_NUMBER() OVER (PARTITION BY e.event_id
-               |           ORDER BY ABS(epoch(p.ts) - epoch(e.ts)),
+               |           ORDER BY ABS(epoch_us(p.ts) - epoch_us(e.ts)),
                |                    CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END,
                |                    CASE WHEN p.ts <= e.ts THEN -p.event_id ELSE p.event_id END) AS rn
                |  FROM (SELECT * FROM events WHERE event_type = 'error') e
@@ -304,7 +309,7 @@ object JoinQueries {
               |         CASE WHEN p.event_id IS NULL THEN NULL
               |              WHEN p.ts <= e.ts THEN 'backward' ELSE 'forward' END AS direction,
               |         ROW_NUMBER() OVER (PARTITION BY e.event_id
-              |           ORDER BY ABS(unix_timestamp(p.ts) - unix_timestamp(e.ts)),
+              |           ORDER BY ABS(unix_micros(cast(p.ts as timestamp_ltz)) - unix_micros(cast(e.ts as timestamp_ltz))),
               |                    CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END,
               |                    CASE WHEN p.ts <= e.ts THEN -p.event_id ELSE p.event_id END) AS rn
               |  FROM (SELECT * FROM events WHERE event_type = 'error') e
@@ -315,7 +320,7 @@ object JoinQueries {
     val tagged = Tables.events(spark, sfDir)
       .where(col("event_type").isin("error", "purchase"))
       .select(col("user_id"), col("ts"), col("event_id"),
-        expr("unix_timestamp(ts)").as("ep"),
+        expr("unix_micros(cast(ts as timestamp_ltz))").as("ep"),
         when(col("event_type") === "purchase", 0).otherwise(1).as("kind"))
     // backward: purchase sorts before the error at equal ts (kind asc), so
     // the carry is at-or-before; among equal ts the carry keeps the LAST

@@ -21,7 +21,10 @@ class DeterminismSpec extends SparkSpecBase {
       // driver compare. Any declared output emitting a literal -0.0 must
       // go through Util.znorm (+ 0.0 on the oracle side). Token-exact
       // match on the collected row text — "-0.05" must not trip it.
-      val negZero = first.iterator.flatMap(_.split("[\\[\\],]")).contains("-0.0")
+      // Split on every non-numeric character (not just row brackets/commas)
+      // so a -0.0 nested inside an array/struct rendering — e.g.
+      // "ArraySeq(-0.0" — is still isolated into its own token.
+      val negZero = first.iterator.flatMap(_.split("[^0-9.Ee+\\-]+")).contains("-0.0")
       assert(!negZero,
         s"${entry.key} emits -0.0 — wrap the rounded output in Util.znorm " +
           "and append + 0.0 to the oracle column")
