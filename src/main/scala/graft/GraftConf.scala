@@ -111,6 +111,20 @@ object GraftConf {
     v
   }
 
+  /** Target SRP bucket occupancy: the effective bits per table are raised
+    * above `graft.ann.lsh.bits` to ceil(log2(n / target)) as the corpus
+    * grows, keeping expected bucket size — and with it the co-bucket
+    * candidate count per point — CONSTANT in n. Without this the bucket
+    * population grows linearly and co-bucket pair enumeration goes
+    * quadratic: the round-12 10× scale proof measured vec_knn_graph_lsh
+    * at 77× cost for 10× data under fixed 4-bit tables, vs candidate
+    * counts linear in n once the occupancy is pinned. */
+  def lshAnnTargetBucket(spark: SparkSession): Int = {
+    val v = get(spark, "graft.ann.lsh.targetBucket", "128").toInt
+    require(v >= 2, s"graft.ann.lsh.targetBucket=$v invalid: must be >= 2")
+    v
+  }
+
   /** Pair-verifier blocking: char-length band half-width (docs pair only
     * within ±width chars) and the derived bucket width. At 100 TB this is
     * the knob that bounds intra-bucket quadratic cost — narrow it as the

@@ -164,31 +164,14 @@ object GraphQueries {
     * Exact integer inputs (counts) feed one double division at the end, so
     * the ROUND(…,6) output is bit-identical across engines.
     */
-  private val triangleCount = CatalogEntry.ansi(
-    "graph_triangle_count",
-    """WITH pp AS (
-      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
-      |  FROM lineitem l1 JOIN lineitem l2
-      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
-      |), e AS (
-      |  SELECT a AS u, b AS v FROM pp UNION ALL SELECT b AS u, a AS v FROM pp
-      |), d AS (
-      |  SELECT u, COUNT(*) AS dg FROM e GROUP BY u
-      |), o AS (
-      |  SELECT e.u, e.v FROM e
-      |  JOIN d du ON e.u = du.u JOIN d dv ON e.v = dv.u
-      |  WHERE du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
-      |), tri AS (
-      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-      |  FROM o e1 JOIN o e2 ON e1.v = e2.u JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
-      |), w AS (
-      |  SELECT CAST(SUM(dg * (dg - 1) / 2) AS BIGINT) AS wedges FROM d
-      |)
-      |SELECT (SELECT COUNT(*) FROM d) AS n_nodes,
-      |       (SELECT COUNT(*) FROM pp) AS n_edges,
-      |       (SELECT COUNT(*) FROM tri) AS n_triangles,
-      |       ROUND(3.0 * (SELECT COUNT(*) FROM tri) / (SELECT wedges FROM w), 6) AS global_cc""".stripMargin) {
-    (spark, sfDir) =>
+  /** Lazy closure plan for `graph_triangle_count` — the summary DataFrame
+    * BEFORE the entry materializes it (test seam: PlanShapeSpec asserts
+    * the wedge closure stays equi-join-only on THIS plan; the entry's
+    * returned frame is the already-computed 1-row local result). Returns
+    * (plan, the two cached frames to unpersist after consumption). */
+  def triangleSummary(spark: org.apache.spark.sql.SparkSession, sfDir: String)
+      : (org.apache.spark.sql.DataFrame,
+         Seq[org.apache.spark.sql.DataFrame]) = {
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
     // distinct co-occurrence pairs, cached: referenced by edges (twice via
     // the union) and the edge count — same reuse shape as pagerank's e0
@@ -222,9 +205,47 @@ object GraphQueries {
     val nEdges = pp.agg(count(lit(1)).as("n_edges"))
     val nTri = tri.agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
     val wedges = d.agg(sum(col("dg") * (col("dg") - 1) / 2).cast("long").as("wedges"))
-    nNodes.crossJoin(nEdges).crossJoin(nTri).crossJoin(wedges)
+    val summary = nNodes.crossJoin(nEdges).crossJoin(nTri).crossJoin(wedges)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("wedges"), 6).as("global_cc"))
+    (summary, Seq(pp, o))
+  }
+
+  private val triangleCount = CatalogEntry.ansi(
+    "graph_triangle_count",
+    """WITH pp AS (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |), e AS (
+      |  SELECT a AS u, b AS v FROM pp UNION ALL SELECT b AS u, a AS v FROM pp
+      |), d AS (
+      |  SELECT u, COUNT(*) AS dg FROM e GROUP BY u
+      |), o AS (
+      |  SELECT e.u, e.v FROM e
+      |  JOIN d du ON e.u = du.u JOIN d dv ON e.v = dv.u
+      |  WHERE du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+      |), tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM o e1 JOIN o e2 ON e1.v = e2.u JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+      |), w AS (
+      |  SELECT CAST(SUM(dg * (dg - 1) / 2) AS BIGINT) AS wedges FROM d
+      |)
+      |SELECT (SELECT COUNT(*) FROM d) AS n_nodes,
+      |       (SELECT COUNT(*) FROM pp) AS n_edges,
+      |       (SELECT COUNT(*) FROM tri) AS n_triangles,
+      |       ROUND(3.0 * (SELECT COUNT(*) FROM tri) / (SELECT wedges FROM w), 6) AS global_cc""".stripMargin) {
+    (spark, sfDir) =>
+    val (summary, caches) = triangleSummary(spark, sfDir)
+    // the result is ONE summary row — materialize it here (bounded driver
+    // action, same class as the other O(model) collects) so pp/o can be
+    // unpersisted before returning: a lazy return would pin both caches
+    // past the entry's lifetime in any harness without a between-query
+    // sweep, and their blocks tax every later entry's GC
+    val row = summary.collect()
+    caches.foreach(_.unpersist(blocking = false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(row.toIndexedSeq, 1), summary.schema)
   }
 
   /** Common-neighbor Jaccard link prediction over the SPARSIFIED part

@@ -801,6 +801,71 @@ object ScalarQueries {
       .orderBy(col("dt"))
   }
 
+  /** Redshift/Oracle-style fractional MONTHS_BETWEEN — the last obvious
+    * date-surface hole (VERDICT r11 #4). Semantics: whole-month difference
+    * plus (day1 − day2)/31.0, EXCEPT when the days-of-month are equal or
+    * both dates are month-ends, where the fraction is dropped. DuckDB has
+    * no fractional months_between, so the oracle restates that closed form
+    * explicitly (`date_business_days` pattern); the Spark side runs the
+    * genuine builtin with roundOff=false, whose unrounded result is
+    * months.toDouble + dayDiff/31.0 — the identical IEEE ops, probed
+    * bit-equal across both engines on the general, both-month-end
+    * (1997-02-28 vs 1996-10-31 → 4.0; 1996-03-31 vs 1996-02-29 → 1.0),
+    * same-day, and negative cases. Four branches exercised per row: order
+    * →ship (general), reversed (negative), month-end pair (integer
+    * branch), and a fixed mid-month anchor (varied fractions, both
+    * signs). First-line items only; l_linenumber is NOT unique per order
+    * in the fixture, so the ORDER BY is total over the date pair. */
+  private val monthsBetween = {
+    // closed-form MONTHS_BETWEEN(x, y) in DuckDB SQL (x, y are DATE exprs)
+    def mb(x: String, y: String): String =
+      s"""(year($x) - year($y)) * 12 + (month($x) - month($y))
+         | + CASE WHEN day($x) = day($y)
+         |          OR ($x = last_day($x) AND $y = last_day($y)) THEN 0.0
+         |        ELSE (day($x) - day($y)) / 31.0 END""".stripMargin
+    CatalogEntry.dialect(
+      "date_months_between",
+      duckdb = s"""WITH p AS (
+                  |  SELECT l_orderkey, CAST(l_shipdate AS DATE) AS ship_d,
+                  |         CAST(o_orderdate AS DATE) AS ord_d
+                  |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  |  WHERE l_linenumber = 1
+                  |)
+                  |SELECT l_orderkey, ship_d, ord_d,
+                  |  ${mb("ship_d", "ord_d")} AS mb,
+                  |  ${mb("ord_d", "ship_d")} AS mb_rev,
+                  |  ${mb("last_day(ship_d)", "last_day(ord_d)")} AS mb_eom,
+                  |  ${mb("ship_d", "DATE '1995-06-15'")} AS mb_anchor
+                  |FROM p ORDER BY l_orderkey, ship_d, ord_d""".stripMargin,
+      spark = """WITH p AS (
+                |  SELECT l_orderkey, CAST(l_shipdate AS DATE) AS ship_d,
+                |         CAST(o_orderdate AS DATE) AS ord_d
+                |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                |  WHERE l_linenumber = 1
+                |)
+                |SELECT l_orderkey, ship_d, ord_d,
+                |  months_between(ship_d, ord_d, false) AS mb,
+                |  months_between(ord_d, ship_d, false) AS mb_rev,
+                |  months_between(last_day(ship_d), last_day(ord_d), false) AS mb_eom,
+                |  months_between(ship_d, DATE '1995-06-15', false) AS mb_anchor
+                |FROM p ORDER BY l_orderkey, ship_d, ord_d""".stripMargin) { (spark, sfDir) =>
+      val li = Tables.lineitem(spark, sfDir)
+        .where(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship_d"))
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("ord_d"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("ship_d"), col("ord_d"),
+          months_between(col("ship_d"), col("ord_d"), roundOff = false).as("mb"),
+          months_between(col("ord_d"), col("ship_d"), roundOff = false).as("mb_rev"),
+          months_between(last_day(col("ship_d")), last_day(col("ord_d")),
+            roundOff = false).as("mb_eom"),
+          months_between(col("ship_d"), lit("1995-06-15").cast("date"),
+            roundOff = false).as("mb_anchor"))
+        .orderBy(col("l_orderkey"), col("ship_d"), col("ord_d"))
+    }
+  }
+
   /** Case-insensitive semantics via Spark 4 collations — COUNT(DISTINCT)
     * under `UTF8_LCASE` collapses case variants where binary collation
     * keeps them apart (the Redshift CASE_INSENSITIVE column analog, and a
@@ -901,5 +966,6 @@ object ScalarQueries {
     strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
     greatestLeast, tzConvert, businessDays, bitwiseOps, dateFormatToChar,
     decodeNvl, numberFormat, tryArith, hashFuncs, isoWeek, urlParse,
-    widthBucket, fiscalCalendar, monthArith, collationGroup, parseNumber)
+    widthBucket, fiscalCalendar, monthArith, monthsBetween, collationGroup,
+    parseNumber)
 }

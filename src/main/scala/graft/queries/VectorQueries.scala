@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{CatalogEntry, Tables}
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -270,10 +270,29 @@ object VectorQueries {
     * nTables×nBits projection sums codegen'd (the dedup_minhash_lsh
     * signature trick — no interpreted HOF per plane); buckets
     * broadcast-join against the query's. */
+  /** Effective SRP bits per table for a corpus of n vectors: the
+    * configured floor raised to ceil(log2(n / targetBucket)), capped at
+    * 30. Pinning expected bucket occupancy makes co-bucket candidate
+    * counts LINEAR in n (occupancy × n × tables / 2) where fixed-width
+    * tables degrade quadratically — the round-12 scale proof measured
+    * exactly that cliff (77× cost at 10× data) before this adaptation.
+    * At every test SF (n ≤ 2000) this resolves to the configured 4 bits,
+    * so recall floors and bench baselines are untouched; the count that
+    * feeds it is a single-long driver probe, the accepted plan-control
+    * class (same as the IVF probe labels). */
+  private def srpEffectiveBits(spark: SparkSession, n: Long): Int = {
+    val floor = graft.GraftConf.lshAnnBits(spark)
+    val target = graft.GraftConf.lshAnnTargetBucket(spark)
+    val scaled = math.ceil(
+      math.log(math.max(1.0, n.toDouble / target)) / math.log(2.0)).toInt
+    math.min(30, math.max(floor, scaled))
+  }
+
   private val lshAnn = CatalogEntry.noOracle("vec_lsh_ann") { (spark, sfDir) =>
     VectorFunctions.ensureRegistered(spark)
     val nTables = graft.GraftConf.lshAnnTables(spark)
-    val bits = graft.GraftConf.lshAnnBits(spark)
+    val bits = srpEffectiveBits(spark,
+      Tables.embeddings(spark, sfDir).count())
     val nPlanes = nTables * bits
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), vdouble(col("embedding")).as("v"))
@@ -1269,8 +1288,10 @@ object VectorQueries {
     * projection sums, deterministic xxhash64 hyperplanes — no stored
     * model) → co-bucket pairs per (table, bucket) deduped across tables →
     * exact cosine rerank of candidates → per-src ROW_NUMBER top-5. Work is
-    * candidate-linear in bucket sizes — no all-pairs product ever forms;
-    * at scale the bucket width tunes via nBits ≈ log2(n/target_bucket).
+    * candidate-linear in bucket sizes — no all-pairs product ever forms,
+    * and bucket width now AUTO-TUNES with corpus size (srpEffectiveBits
+    * pins expected occupancy, so candidate pairs grow linearly in n — the
+    * round-12 scale proof is the receipt).
     * Honest physics on THIS near-orthogonal corpus (same note as lshAnn):
     * true neighbors sit at ~70°, so 8×4-bit tables leave wide buckets —
     * corpora with genuine near-dup structure sit on the cheap side of the
@@ -1279,10 +1300,12 @@ object VectorQueries {
   private val knnGraphLsh = CatalogEntry.noOracle("vec_knn_graph_lsh") { (spark, sfDir) =>
     VectorFunctions.ensureRegistered(spark)
     val nTables = graft.GraftConf.lshAnnTables(spark)
-    val bits = graft.GraftConf.lshAnnBits(spark)
-    val nPlanes = nTables * bits
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+    // occupancy-pinned bucket width (see srpEffectiveBits): candidate
+    // pairs stay linear in corpus size instead of quadratic
+    val bits = srpEffectiveBits(spark, emb.count())
+    val nPlanes = nTables * bits
     def rcomp(p: Int): Column =
       (pmod(xxhash64(lit(p), col("pos")), lit(2001L)) - lit(1000L)) / lit(1000.0)
     val sumExprs = (0 until nPlanes).map(p => sum(col("x") * rcomp(p)).as(s"s$p"))

@@ -495,11 +495,16 @@ class PlanShapeSpec extends SparkSpecBase {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    val plan = Catalog.byKey("graph_triangle_count").run(spark, sfDir)
+    // the entry materializes its 1-row result and returns a local frame
+    // (round-12 cache hygiene), so assert on the closure plan via the
+    // triangleSummary test seam instead of the returned DataFrame
+    val (summary, caches) = graft.queries.GraphQueries.triangleSummary(spark, sfDir)
+    val plan = summary
       .queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
+    caches.foreach(_.unpersist(blocking = false))
     assert(!plan.toString.contains("CartesianProduct"))
     plan.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
       val scalarAgg = j.right.collect {
