@@ -1127,7 +1127,12 @@ object TextQueries {
     // because dropping it costs a full extra propagation round of pure
     // stage overhead before the sum invariant notices the fixpoint —
     // measured ~25% slower end-to-end than the ~free probe.
-    var prevSum = labelSum(labels)
+    // Sentinel start instead of labelSum(labels): the initial sum's only
+    // job was detecting a round-1 fixpoint, which the contraction isEmpty
+    // probe below catches anyway — dropping it saves one driver action
+    // per entry invocation (labels' sum of non-negative ids can never
+    // equal MinValue, so round 1 always proceeds to the probe).
+    var prevSum = Long.MinValue
     while (!converged && rounds < maxRounds) {
       val next = ccCheckpoint(
         (1 to fuse).foldLeft(labels)((c, _) => iterate(c)), eager = false)
