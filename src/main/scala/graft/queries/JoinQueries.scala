@@ -607,9 +607,99 @@ object JoinQueries {
         |ORDER BY c_custkey, rnk""".stripMargin)
   }
 
+  /** 2-D spatial proximity join (the Redshift ST_DWithin / geospatial
+    * analog) — the one join GEOMETRY the catalog lacked: every other
+    * non-equi entry is 1-D (theta-range, interval-overlap, asof). Points
+    * are manufactured on a 1000×1000 integer grid from the keys (distinct
+    * hashes per side, so co-location is incidental, not key-identity);
+    * the predicate is squared euclidean distance ≤ R² in pure BIGINT
+    * arithmetic — exact on both engines, no libm trig to drift (a
+    * haversine spelling would hash-flip on last-ulp sin/cos differences).
+    * Spark plan is the scale path: bucket each point into R-sized grid
+    * cells, explode the probe side into its 3×3 cell neighborhood (×9,
+    * constant), equi-join on the cell key, THEN verify the exact
+    * predicate — candidates are density-bounded per cell instead of
+    * |S|×|C|, and the equi-join shuffles hash-partitioned like any other.
+    * The 3×3 neighborhood is complete for cell=R: |Δx|≤R implies adjacent
+    * cells. Per-supplier rollup: neighbor count, min distance², nearest
+    * customer via the min-encoded (d2·10⁶ + custkey) trick — integer
+    * tie-break, no arg_min dialect drift. Oracle: DuckDB states the same
+    * semantics as the quadratic cross-join filter (ground truth; candidate
+    * completeness of the grid IS part of what's under test). At 100 TB:
+    * cell size tracks R, hot cells salt like any skewed equi-key, and the
+    * ×9 explode rides the small side. */
+  private val spatialGrid = CatalogEntry.dialect(
+    "join_spatial_grid",
+    duckdb = """WITH c AS (
+               |  SELECT c_custkey, (c_custkey*7919)%1000 AS x, (c_custkey*104729)%1000 AS y
+               |  FROM customer
+               |), s AS (
+               |  SELECT s_suppkey, (s_suppkey*4409+137)%1000 AS x, (s_suppkey*9973+411)%1000 AS y
+               |  FROM supplier
+               |), p AS (
+               |  SELECT s.s_suppkey, c.c_custkey,
+               |         (s.x-c.x)*(s.x-c.x)+(s.y-c.y)*(s.y-c.y) AS d2
+               |  FROM s CROSS JOIN c
+               |)
+               |SELECT s_suppkey, COUNT(*) AS n_near,
+               |       CAST(MIN(d2) AS BIGINT) AS min_d2,
+               |       CAST(MIN(d2*1000000 + c_custkey) % 1000000 AS BIGINT) AS nearest_cust
+               |FROM p WHERE d2 <= 3600
+               |GROUP BY 1 ORDER BY 1""".stripMargin,
+    spark = """WITH c AS (
+              |  SELECT c_custkey, (c_custkey*7919)%1000 AS x, (c_custkey*104729)%1000 AS y
+              |  FROM customer
+              |), s AS (
+              |  SELECT s_suppkey, (s_suppkey*4409+137)%1000 AS x, (s_suppkey*9973+411)%1000 AS y
+              |  FROM supplier
+              |), sx AS (
+              |  SELECT s_suppkey, x, y, (x DIV 60) + dx AS cx, (y DIV 60) + dy AS cy
+              |  FROM s
+              |  LATERAL VIEW explode(array(-1, 0, 1)) t1 AS dx
+              |  LATERAL VIEW explode(array(-1, 0, 1)) t2 AS dy
+              |), cand AS (
+              |  SELECT sx.s_suppkey, c.c_custkey,
+              |         (sx.x-c.x)*(sx.x-c.x)+(sx.y-c.y)*(sx.y-c.y) AS d2
+              |  FROM sx JOIN c ON sx.cx = (c.x DIV 60) AND sx.cy = (c.y DIV 60)
+              |)
+              |SELECT s_suppkey, COUNT(*) AS n_near,
+              |       MIN(d2) AS min_d2,
+              |       MIN(d2*1000000 + c_custkey) % 1000000 AS nearest_cust
+              |FROM cand WHERE d2 <= 3600
+              |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (spark, sfDir) =>
+    val R2 = 3600L
+    val cell = 60L
+    val c = Tables.customer(spark, sfDir).select(
+      col("c_custkey"),
+      (col("c_custkey") * 7919 % 1000).as("cx_pos"),
+      (col("c_custkey") * 104729 % 1000).as("cy_pos"))
+    val s = Tables.supplier(spark, sfDir).select(
+      col("s_suppkey"),
+      ((col("s_suppkey") * 4409 + 137) % 1000).as("sx_pos"),
+      ((col("s_suppkey") * 9973 + 411) % 1000).as("sy_pos"))
+    val sx = s
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("s_suppkey"), col("sx_pos"), col("sy_pos"),
+        (floor(col("sx_pos") / cell) + col("dx")).as("cellx"),
+        (floor(col("sy_pos") / cell) + col("dy")).as("celly"))
+    val d2 = (col("sx_pos") - col("cx_pos")) * (col("sx_pos") - col("cx_pos")) +
+      (col("sy_pos") - col("cy_pos")) * (col("sy_pos") - col("cy_pos"))
+    sx.join(c,
+        col("cellx") === floor(col("cx_pos") / cell) &&
+        col("celly") === floor(col("cy_pos") / cell))
+      .select(col("s_suppkey"), col("c_custkey"), d2.as("d2"))
+      .where(col("d2") <= R2)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_near"),
+        min(col("d2")).as("min_d2"),
+        (min(col("d2") * 1000000L + col("c_custkey")) % 1000000L).as("nearest_cust"))
+      .orderBy(col("s_suppkey"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     innerEqui, bhjDims, smjFacts, leftOuter, rightOuter, fullOuter,
     leftSemi, leftAnti, crossSmall, thetaRange, asofEventOrder, asofSorted,
     asofNearest, starMultiway, skewSalted, rangeBucketed, nullSafe,
-    intervalOverlap, lateralTopk)
+    intervalOverlap, lateralTopk, spatialGrid)
 }

@@ -961,11 +961,82 @@ object ScalarQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** MAP-typed columns + map higher-order functions — the one Spark complex
+    * type the rest of the catalog never touches (arrays and structs are
+    * everywhere; maps are the SUPER-object / hstore-style analog). Per
+    * order: build a `MAP<returnflag, line_count>` with `map_from_entries`
+    * over the collected per-flag counts, then exercise the map HOF surface —
+    * `transform_values` (rescore each count), `map_filter` (drop weak keys
+    * AFTER the transform, so the lambda composition order is observable),
+    * `map_keys` (sorted key census as a scalar string), `size` — and
+    * explode the surviving entries back to scalars. All values are exact
+    * BIGINTs (counts), so no numeric policy applies. The map itself never
+    * reaches the output (engine-internal, like DECIMAL/VARIANT — §2.0
+    * physical-type rules). Oracle: DuckDB restates the same semantics
+    * map-free (per-flag counts joined to a per-order key census +
+    * HAVING-style predicate on the transformed value) — the map machinery
+    * is the Spark surface under test, the relational meaning is identical.
+    * Scale: two narrow hash aggs on (orderkey[, flag]) — map-side combined,
+    * one shuffle each — and per-order maps are ≤|distinct flags| entries
+    * (bounded, 3 here), so rows stay O(|orders|) at any SF. */
+  private val mapOps = CatalogEntry.dialect(
+    "scalar_map_ops",
+    duckdb = """WITH per AS (
+               |  SELECT l_orderkey, l_returnflag AS k, COUNT(*) AS v
+               |  FROM lineitem WHERE l_orderkey % 97 = 0
+               |  GROUP BY 1, 2
+               |), census AS (
+               |  SELECT l_orderkey,
+               |         string_agg(k, ',' ORDER BY k) AS flags,
+               |         COUNT(*) AS n_flags
+               |  FROM per GROUP BY 1
+               |)
+               |SELECT per.l_orderkey, census.flags, census.n_flags,
+               |       per.k AS rflag, per.v * 10 + 1 AS score
+               |FROM per JOIN census USING (l_orderkey)
+               |WHERE per.v * 10 + 1 >= 21
+               |ORDER BY per.l_orderkey, rflag""".stripMargin,
+    spark = """WITH per AS (
+              |  SELECT l_orderkey, l_returnflag AS k, COUNT(*) AS v
+              |  FROM lineitem WHERE l_orderkey % 97 = 0
+              |  GROUP BY 1, 2
+              |), m AS (
+              |  SELECT l_orderkey,
+              |         map_from_entries(sort_array(collect_list(struct(k, v)))) AS mp
+              |  FROM per GROUP BY l_orderkey
+              |), d AS (
+              |  SELECT l_orderkey,
+              |         array_join(sort_array(map_keys(mp)), ',') AS flags,
+              |         CAST(size(mp) AS BIGINT) AS n_flags,
+              |         map_filter(transform_values(mp, (k, v) -> v * 10 + 1),
+              |                    (k, v) -> v >= 21) AS m2
+              |  FROM m
+              |)
+              |SELECT l_orderkey, flags, n_flags, rflag, score
+              |FROM d LATERAL VIEW explode(m2) t AS rflag, score
+              |ORDER BY l_orderkey, rflag""".stripMargin) { (spark, sfDir) =>
+    val per = Tables.lineitem(spark, sfDir)
+      .where(col("l_orderkey") % 97 === 0)
+      .groupBy(col("l_orderkey"), col("l_returnflag").as("k"))
+      .agg(count(lit(1)).as("v"))
+    val m = per.groupBy(col("l_orderkey"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("k"), col("v"))))).as("mp"))
+    m.select(
+        col("l_orderkey"),
+        array_join(sort_array(map_keys(col("mp"))), ",").as("flags"),
+        size(col("mp")).cast("long").as("n_flags"),
+        map_filter(transform_values(col("mp"), (_, v) => v * 10 + 1),
+          (_, v) => v >= 21).as("m2"))
+      .select(col("l_orderkey"), col("flags"), col("n_flags"),
+        explode(col("m2")).as(Seq("rflag", "score")))
+      .orderBy(col("l_orderkey"), col("rflag"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     derivedExprs, filterCompound, caseWhen, casts, strBasic, strAdvanced,
     strRegex, dateParts, dateArith, mathFuncs, nullHandling, epochExtract,
     greatestLeast, tzConvert, businessDays, bitwiseOps, dateFormatToChar,
     decodeNvl, numberFormat, tryArith, hashFuncs, isoWeek, urlParse,
     widthBucket, fiscalCalendar, monthArith, monthsBetween, collationGroup,
-    parseNumber)
+    parseNumber, mapOps)
 }

@@ -117,6 +117,152 @@ object ScanQueries {
       .orderBy(col("event_id"), col("sku"))
   }
 
+  /** VARIANT navigation — Spark 4's typed semi-structured value (the
+    * Redshift SUPER analog done right): `parse_json` decodes the document
+    * ONCE into the binary variant encoding, then every `variant_get`
+    * navigates that encoded value with a typed path — unlike
+    * `get_json_object` (src_json_extract), which re-parses the raw string
+    * per extraction. At 100 TB that parse-once property is the story: a
+    * wide extraction list costs one decode plus k cheap binary
+    * navigations instead of k full JSON parses, and the variant column
+    * shuffles/spills in its compact encoded form. The nested doc is
+    * manufactured deterministically from event_id (fixture props is
+    * single-key scalar JSON); value classes covered: nested object path,
+    * boolean, decimal-typed number cast to double (exact quarter
+    * fractions — binary-exact in both engines), array index, and a
+    * missing path through `try_variant_get` (NULL, never error). Oracle:
+    * DuckDB JSON extraction states the same navigation. VARIANT itself
+    * never reaches the output (it is engine-internal, like DECIMAL —
+    * §2.0 physical-type rules); every output is a plain scalar. */
+  private val variantNav = CatalogEntry.dialect(
+    "src_variant_nav",
+    duckdb = """WITH j AS (
+               |  SELECT event_id,
+               |    '{"u":{"id":' || event_id % 97 || ',"vip":' ||
+               |    CASE WHEN event_id % 3 = 0 THEN 'true' ELSE 'false' END ||
+               |    '},"amt":' || event_id % 50 || '.25,"tags":["t' || event_id % 5 || '","x"]}' AS doc
+               |  FROM events WHERE event_type = 'purchase'
+               |)
+               |SELECT event_id,
+               |  CAST(json_extract_string(doc, '$.u.id') AS BIGINT) AS uid,
+               |  CAST(json_extract_string(doc, '$.u.vip') AS BOOLEAN) AS vip,
+               |  CAST(json_extract_string(doc, '$.amt') AS DOUBLE) AS amt,
+               |  json_extract_string(doc, '$.tags[0]') AS tag0,
+               |  CAST(json_extract_string(doc, '$.missing.path') AS INTEGER) AS miss
+               |FROM j ORDER BY event_id""".stripMargin,
+    spark = """WITH j AS (
+              |  SELECT event_id,
+              |    '{"u":{"id":' || CAST(event_id % 97 AS STRING) || ',"vip":' ||
+              |    CASE WHEN event_id % 3 = 0 THEN 'true' ELSE 'false' END ||
+              |    '},"amt":' || CAST(event_id % 50 AS STRING) || '.25,"tags":["t' || CAST(event_id % 5 AS STRING) || '","x"]}' AS doc
+              |  FROM events WHERE event_type = 'purchase'
+              |), v AS (
+              |  SELECT event_id, parse_json(doc) AS var FROM j
+              |)
+              |SELECT event_id,
+              |  variant_get(var, '$.u.id', 'bigint') AS uid,
+              |  variant_get(var, '$.u.vip', 'boolean') AS vip,
+              |  variant_get(var, '$.amt', 'double') AS amt,
+              |  variant_get(var, '$.tags[0]', 'string') AS tag0,
+              |  try_variant_get(var, '$.missing.path', 'int') AS miss
+              |FROM v ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    val doc = concat(
+      lit("{\"u\":{\"id\":"), (col("event_id") % 97).cast("string"),
+      lit(",\"vip\":"),
+      when(col("event_id") % 3 === 0, lit("true")).otherwise(lit("false")),
+      lit("},\"amt\":"), (col("event_id") % 50).cast("string"),
+      lit(".25,\"tags\":[\"t"), (col("event_id") % 5).cast("string"),
+      lit("\",\"x\"]}"))
+    Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), parse_json(doc).as("var"))
+      .select(col("event_id"),
+        expr("variant_get(var, '$.u.id', 'bigint')").as("uid"),
+        expr("variant_get(var, '$.u.vip', 'boolean')").as("vip"),
+        expr("variant_get(var, '$.amt', 'double')").as("amt"),
+        expr("variant_get(var, '$.tags[0]', 'string')").as("tag0"),
+        expr("try_variant_get(var, '$.missing.path', 'int')").as("miss"))
+      .orderBy(col("event_id"))
+  }
+
+  /** XML extraction — the third decode family next to JSON string paths
+    * (src_json_extract) and VARIANT (src_variant_nav): Spark's Hive-lineage
+    * `xpath_*` battery plus Spark 4's native `from_xml`. Semantics under
+    * test are XPath's, which differ from JSON paths in ways worth pinning:
+    * a missing path yields '' from xpath_string (empty node-set → empty
+    * string, NOT NULL — the opposite of get_json_object), attributes are
+    * addressed with `@`, position predicates are 1-based (`t[1]`), and
+    * XPath itself can aggregate (`sum(/o/tags/t/@w)` — computed inside the
+    * path engine, not the SQL engine). `from_xml` is schema-projected
+    * parsing (partial schemas legal — unlisted elements are simply not
+    * materialized). The doc is manufactured deterministically from
+    * event_id (same pattern as src_variant_nav; the fixtures ship no XML).
+    * Oracle: DuckDB has no XML type, so it re-extracts the same scalars
+    * from the same manufactured string with regexp_extract — a genuine
+    * restatement of "recover the injected values from markup". Scale: one
+    * narrow projected scan, per-row parse, no shuffle until the sort; at
+    * 100 TB the xpath battery re-parses per call like get_json_object, so
+    * wide extraction lists belong on from_xml (parse once per schema) —
+    * both appear here deliberately. */
+  private val xmlExtract = CatalogEntry.dialect(
+    "src_xml_extract",
+    duckdb = """WITH j AS (
+               |  SELECT event_id,
+               |    '<o id="' || event_id % 89 || '"><amt>' || event_id % 40 ||
+               |    '.75</amt><qty>' || event_id % 7 || '</qty><tags><t w="' ||
+               |    event_id % 4 || '">t' || event_id % 3 ||
+               |    '</t><t w="2">x</t></tags></o>' AS doc
+               |  FROM events WHERE event_type = 'click' AND event_id % 5 = 0
+               |)
+               |SELECT event_id,
+               |  CAST(regexp_extract(doc, 'id="([0-9]+)"', 1) AS INTEGER) AS uid,
+               |  CAST(regexp_extract(doc, '<amt>([0-9.]+)</amt>', 1) AS DOUBLE) AS amt,
+               |  CAST(regexp_extract(doc, '<qty>([0-9]+)</qty>', 1) AS INTEGER) AS qty,
+               |  regexp_extract(doc, '<t[^>]*>([^<]*)</t>', 1) AS tag0,
+               |  regexp_extract(doc, '<t[^>]*>([^<]*)</t>', 1) || ',x' AS tags,
+               |  CAST(event_id % 4 + 2 AS BIGINT) AS wsum,
+               |  '' AS miss
+               |FROM j ORDER BY event_id""".stripMargin,
+    spark = """WITH j AS (
+              |  SELECT event_id,
+              |    '<o id="' || CAST(event_id % 89 AS STRING) || '"><amt>' ||
+              |    CAST(event_id % 40 AS STRING) || '.75</amt><qty>' ||
+              |    CAST(event_id % 7 AS STRING) || '</qty><tags><t w="' ||
+              |    CAST(event_id % 4 AS STRING) || '">t' ||
+              |    CAST(event_id % 3 AS STRING) ||
+              |    '</t><t w="2">x</t></tags></o>' AS doc
+              |  FROM events WHERE event_type = 'click' AND event_id % 5 = 0
+              |)
+              |SELECT event_id,
+              |  xpath_int(doc, '/o/@id') AS uid,
+              |  xpath_double(doc, '/o/amt') AS amt,
+              |  from_xml(doc, 'qty INT').qty AS qty,
+              |  xpath_string(doc, '/o/tags/t[1]') AS tag0,
+              |  array_join(xpath(doc, '/o/tags/t/text()'), ',') AS tags,
+              |  xpath_long(doc, 'sum(/o/tags/t/@w)') AS wsum,
+              |  xpath_string(doc, '/o/missing') AS miss
+              |FROM j ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+    val doc = concat(
+      lit("<o id=\""), (col("event_id") % 89).cast("string"),
+      lit("\"><amt>"), (col("event_id") % 40).cast("string"),
+      lit(".75</amt><qty>"), (col("event_id") % 7).cast("string"),
+      lit("</qty><tags><t w=\""), (col("event_id") % 4).cast("string"),
+      lit("\">t"), (col("event_id") % 3).cast("string"),
+      lit("</t><t w=\"2\">x</t></tags></o>"))
+    Tables.events(spark, sfDir)
+      .where(col("event_type") === "click" && col("event_id") % 5 === 0)
+      .select(col("event_id"), doc.as("doc"))
+      .select(col("event_id"),
+        expr("xpath_int(doc, '/o/@id')").as("uid"),
+        expr("xpath_double(doc, '/o/amt')").as("amt"),
+        expr("from_xml(doc, 'qty INT').qty").as("qty"),
+        expr("xpath_string(doc, '/o/tags/t[1]')").as("tag0"),
+        array_join(expr("xpath(doc, '/o/tags/t/text()')"), ",").as("tags"),
+        expr("xpath_long(doc, 'sum(/o/tags/t/@w)')").as("wsum"),
+        expr("xpath_string(doc, '/o/missing')").as("miss"))
+      .orderBy(col("event_id"))
+  }
+
   /** CSV write→read fidelity (COPY-in / UNLOAD-out): result must equal source. */
   private val csvRoundtrip = CatalogEntry.ansi(
     "src_csv_roundtrip",
@@ -650,7 +796,8 @@ object ScanQueries {
   }
 
   def entries: Seq[CatalogEntry] = Seq(
-    scanProject, schemaEnforce, jsonExtract, jsonArrayUnnest, csvRoundtrip,
+    scanProject, schemaEnforce, jsonExtract, jsonArrayUnnest, variantNav,
+    xmlExtract, csvRoundtrip,
     jsonRoundtrip, orcRoundtrip, csvBadRecords, partitionedWrite, bucketedJoin,
     jdbcSurface, zorderWrite, textRoundtrip, schemaMerge, csvQuoted, bloomWrite,
     csvGzip, multiFanout, splitPart)
