@@ -4,14 +4,19 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev utility: dump formatted physical plans of representative catalog
   * entries (the `.explain("formatted")` review loop, captured as an
-  * artifact — see PLANS.md). Usage: runMain graft.Plans <sfDir> <outFile> */
+  * artifact — see PLANS.md). Usage: runMain graft.Plans <sfDir> <outFile>
+  *
+  * NOTE: PLANS.md ends with hand-written prose sections (e.g. "Global
+  * windows at 100 TB") that this tool does NOT emit — when regenerating
+  * in place, re-append everything after the last generated block. */
 object Plans {
   val representative: Seq[String] = Seq(
     "src_scan_project", "agg_pricing_summary", "join_bhj_dims",
     "join_smj_facts", "join_star_multiway", "subq_correlated_exists",
     "win_topk_per_group", "sink_bucketed_join", "vec_pairwise_topk",
     "dedup_minhash_lsh", "stream_tumbling_agg", "mm_decode_features",
-    "agg_topk_sketch", "etl_incremental_load", "etl_cdc_diff")
+    "agg_topk_sketch", "etl_incremental_load", "etl_cdc_diff",
+    "join_spatial_grid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outFile = args(1)

@@ -290,6 +290,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("bucket"), s"expected the bucket key in:\n$p")
   }
 
+  test("join_spatial_grid equi-joins on cell keys — no nested loop") {
+    // the entry's claim: 2-D proximity planned as a keyed join over grid
+    // cells (3×3 neighborhood explode on the small side), never a
+    // cartesian distance filter
+    val p = planOf("join_spatial_grid")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected a keyed join on the cell grid in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"spatial grid join must not nested-loop:\n$p")
+  }
+
   test("join_null_safe plans the null-safe key as a hash join") {
     val p = planOf("join_null_safe")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
