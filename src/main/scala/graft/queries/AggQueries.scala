@@ -90,6 +90,39 @@ object AggQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** HLL SKETCH AS A VALUE — the Redshift HLLSKETCH / hll_combine surface,
+    * distinct from agg_approx_hll's direct estimate: here the sketch itself
+    * is materialized per group (`hll_sketch_agg`, Apache DataSketches HLL),
+    * then MERGED across groups (`hll_union_agg`) and only then estimated.
+    * That mergeability is the semantics under test — it is what makes
+    * pre-aggregated rollups work at 100 TB: store a per-partition/day
+    * sketch (a few KB), answer any coarser distinct by register-max union,
+    * never rescan. Union IS sketch-of-union exactly (HLL registers are
+    * max-of-hashes, so merge is associative/commutative/idempotent —
+    * SketchSpec pins estimate(union(per-nation)) == estimate(direct whole
+    * table) as EXACT equality, plus ±5%-of-exact per group). Deterministic:
+    * register maxima are order-independent, so the estimate is a pure
+    * function of the value set. No oracle — DuckDB's approx_distinct is a
+    * different HLL implementation; driver does the rows-only check. The
+    * sketch BINARY never reaches the output (engine-internal, like
+    * DECIMAL/MAP — §2.0 physical-type rules). */
+  private val hllSketchUnion = CatalogEntry.noOracle("agg_hll_sketch_union") { (spark, sfDir) =>
+    val per = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"))
+      .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+        countDistinct(col("c_custkey")).as("exact"))
+    val perOut = per.select(
+      concat(lit("nation_"), lpad(col("c_nationkey").cast("string"), 2, "0")).as("scope"),
+      hll_sketch_estimate(col("sk")).as("est"),
+      col("exact"))
+    // customers partition by nation, so the global exact distinct is the sum
+    val allOut = per
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+        sum(col("exact")).as("exact"))
+      .select(lit("ALL").as("scope"), col("est"), col("exact"))
+    perOut.unionByName(allOut).orderBy(col("scope"))
+  }
+
   /** GROUPING SETS with grouping() indicators (cast INT both sides so the
     * physical type matches — Spark grouping() is TINYINT). */
   private val groupingSets = CatalogEntry.ansi(
@@ -1426,7 +1459,8 @@ object AggQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     corrMatrix,
-    pricingSummary, countDistinctExact, multiDistinct, approxHll, groupingSets,
+    pricingSummary, countDistinctExact, multiDistinct, approxHll,
+    hllSketchUnion, groupingSets,
     rollupTree, cubeFlags, havingFilter, filteredAgg, statsAgg, collectSorted,
     percentileExact, approxPctl, minMaxBy, saltedSkewAgg, hllSketchMerge, sampledQuantiles,
     kllQuantiles, modeFreq, topkSketch, histogramFixed, cmsFreq, thetaSets,

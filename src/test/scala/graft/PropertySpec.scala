@@ -21,6 +21,26 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("agg_hll_sketch_union: union of per-nation sketches == direct sketch; ±5% of exact") {
+    val rows = Catalog.byKey("agg_hll_sketch_union").run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val all = rows.filter(_._1 == "ALL")
+    assert(all.length == 1, "exactly one ALL row")
+    // mergeability is EXACT: HLL registers are max-of-hashes, so the union
+    // of per-group sketches has identical registers to sketching the whole
+    // column in one pass — same estimate to the last bit, not just close
+    val direct = Tables.customer(spark, sfDir)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("c_custkey"))).as("est"))
+      .collect()(0).getLong(0)
+    assert(all.head._2 == direct,
+      s"union-of-sketches estimate ${all.head._2} != direct estimate $direct")
+    // every scope (nations + ALL) estimates within 5% of its exact count
+    rows.foreach { case (scope, est, exact) =>
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"HLL sketch for $scope: est=$est exact=$exact (>5% off)")
+    }
+  }
+
   test("dedup_minhash_lsh recall >= 0.9 against exact Jaccard >= 0.9 pairs") {
     val lsh = Catalog.byKey("dedup_minhash_lsh").run(spark, sfDir)
       .select("doc_a", "doc_b").collect()
