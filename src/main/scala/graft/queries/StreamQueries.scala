@@ -543,8 +543,97 @@ object StreamQueries {
     }
   }
 
+  /** Per-user event-type census over transformWithState: updates a typed
+    * MapState[event_type → count] across batches and emits a running
+    * snapshot (total, n_types, top_type) per user per batch. */
+  private class TypeCensusProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, Long, Long, String)] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, String)] = {
+      rows.foreach { case (_, t) =>
+        val c = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, c + 1)
+      }
+      val m = counts.iterator().toList
+      val total = m.map(_._2).sum
+      // deterministic argmax: count desc, then type asc
+      val top = m.minBy { case (t, c) => (-c, t) }._1
+      Iterator.single((key, total, m.size.toLong, top))
+    }
+  }
+
+  /** Arbitrary typed state via `transformWithState` (SPARK-40434, the
+    * Spark 4 successor to flatMapGroupsWithState): a `StatefulProcessor`
+    * holding a typed `MapState[event_type → count]` per user, updated
+    * across MULTIPLE micro-batches (`maxFilesPerTrigger=8` under
+    * AvailableNow) on the RocksDB state store the API requires. What's new
+    * vs `stream_stateful_sessions` is the state model itself: named,
+    * individually-typed state variables (Value/List/Map) with per-variable
+    * TTL, readable/updatable point-wise — per-KEY-AND-FIELD state access
+    * instead of one opaque blob per key, which at 100-TB state sizes is
+    * the difference between a point read and deserializing everything.
+    * Each batch emits a running per-user snapshot; snapshots are strictly
+    * increasing in `total`, so keeping each user's max-total row yields
+    * the final census no matter how the file listing batched — that
+    * batching-invariance is exactly what StreamSpec's batch-twin equality
+    * asserts. No oracle: the census itself is trivially SQL, but snapshot
+    * emission under arbitrary batch splits is not a fixed row set;
+    * StreamSpec pins the reduced result to the batch aggregate. */
+  private val transformState = CatalogEntry.noOracle("stream_transform_state") {
+    (spark, sfDir) => withStreamingConf(spark, skipNoDataBatch = true) {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val src = stageSource(spark, sfDir)
+      val sfx = src.replaceAll("[^A-Za-z0-9]", "_")
+      val sink = s"${sys.props("java.io.tmpdir")}/graft_stream_sink_tws_$sfx"
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_tws_$sfx"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = spark.readStream.schema(eventsSchema)
+          .option("maxFilesPerTrigger", "8").parquet(src)
+          .select(col("user_id"), col("event_type"))
+          .as[(Long, String)]
+        val snapshots = in.groupByKey(_._1)
+          .transformWithState(new TypeCensusProcessor,
+            TimeMode.None(), OutputMode.Append(),
+            implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, String)]])
+          .toDF("user_id", "total", "n_types", "top_type")
+        val q = snapshots.writeStream
+          .format("parquet").option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      // each user's snapshots strictly increase in total — the max-total
+      // row is the complete census (struct max: total is the first field;
+      // ties impossible within a user)
+      spark.read.parquet(sink)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("total"), col("n_types"), col("top_type"))).as("s"))
+        .select(col("user_id"), col("s.total").as("total"),
+          col("s.n_types").as("n_types"), col("s.top_type").as("top_type"))
+        .orderBy(col("user_id"))
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     tumblingAgg, slidingAgg, sessionGaps, sessionWindowAgg, statefulSessions,
     dedupWatermark, lateData, foreachBatchUpsert, streamStreamJoin, staticJoin,
-    incrementalResume, updateRocksdb)
+    incrementalResume, updateRocksdb, transformState)
 }

@@ -121,4 +121,25 @@ class StreamSpec extends SparkSpecBase {
       .collect().map(r => (r.get(0).toString, r.getLong(1))).toSeq
     assert(streamed == batch)
   }
+
+  test("transformWithState census equals the batch aggregate") {
+    // the entry's multi-batch MapState carry, reduced to last-snapshot per
+    // user, must equal a plain batch groupBy — whatever the file batching
+    val streamed = Catalog.byKey("stream_transform_state").run(spark, sfDir)
+      .orderBy("user_id")
+    val perType = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("c").desc, col("event_type").asc)
+    val batch = perType
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("total"),
+        count(lit(1)).as("n_types"),
+        max(when(col("rk") === 1, col("event_type"))).as("top_type"))
+      .orderBy("user_id")
+      .select("user_id", "total", "n_types", "top_type")
+    assert(rowsOf(streamed) == rowsOf(batch))
+  }
 }
