@@ -123,5 +123,64 @@ object UdfQueries {
       .orderBy(col("o_orderkey"))
   }
 
-  def entries: Seq[CatalogEntry] = Seq(scalarUdf, typedUdaf, udtfGenerator, typedDataset)
+  /** SQL-defined functions (SPARK-46246, Spark 4.0) — the Redshift
+    * `CREATE FUNCTION ... RETURN` SQL-UDF analog and the one extension
+    * point in this category that is NOT host-language code: the body is a
+    * SQL expression Catalyst INLINES at resolution, so unlike the Scala
+    * `udf()` exemplar above it stays inside WholeStageCodegen and keeps
+    * predicate pushdown — at 100 TB a SQL UDF is an abstraction with zero
+    * execution cost, which is why it is preferred over a JVM UDF whenever
+    * the logic is expressible. Three resolution behaviors under test:
+    * a scalar function over a column, a scalar function CALLING the first
+    * (nested resolution), and a TABLE function invoked with a CORRELATED
+    * lateral argument (`LATERAL slots(o_orderkey % 3 + 1)` — the TVF form
+    * of the join_lateral_topk surface). Functions are session-temporary;
+    * the entry creates them idempotently (OR REPLACE) on each run. Oracle:
+    * DuckDB inlines the bodies (tier CASE, rank CASE, generate_series
+    * unnest) — exactly what Catalyst does internally, stated explicitly. */
+  private val sqlFunction = CatalogEntry.dialect(
+    "udf_sql_function",
+    duckdb = """SELECT o_orderkey,
+               |  CASE WHEN o_totalprice < 50000 THEN 'low'
+               |       WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS tier,
+               |  CASE WHEN o_totalprice < 50000 THEN 1
+               |       WHEN o_totalprice < 150000 THEN 2 ELSE 3 END AS rk,
+               |  CAST(i AS INTEGER) AS slot
+               |FROM orders, LATERAL (
+               |  SELECT unnest(generate_series(1, CAST(o_orderkey % 3 + 1 AS INTEGER))) AS i) t
+               |WHERE o_orderkey % 31 = 0
+               |ORDER BY o_orderkey, slot""".stripMargin,
+    spark = """SELECT o_orderkey,
+              |  CASE WHEN o_totalprice < 50000 THEN 'low'
+              |       WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS tier,
+              |  CASE WHEN o_totalprice < 50000 THEN 1
+              |       WHEN o_totalprice < 150000 THEN 2 ELSE 3 END AS rk,
+              |  i AS slot
+              |FROM orders LATERAL VIEW explode(sequence(1, CAST(o_orderkey % 3 + 1 AS INT))) t AS i
+              |WHERE o_orderkey % 31 = 0
+              |ORDER BY o_orderkey, slot""".stripMargin) { (spark, sfDir) =>
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_sqlfn_orders")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_price_tier(p DOUBLE) RETURNS STRING
+        |RETURN CASE WHEN p < 50000 THEN 'low'
+        |            WHEN p < 150000 THEN 'mid' ELSE 'high' END""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_tier_rank(p DOUBLE) RETURNS INT
+        |RETURN CASE graft_price_tier(p) WHEN 'low' THEN 1 WHEN 'mid' THEN 2 ELSE 3 END""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_slots(n INT) RETURNS TABLE(i INT)
+        |RETURN SELECT explode(sequence(1, n)) AS i""".stripMargin)
+    spark.sql(
+      """SELECT o_orderkey,
+        |  graft_price_tier(o_totalprice) AS tier,
+        |  graft_tier_rank(o_totalprice) AS rk,
+        |  i AS slot
+        |FROM graft_sqlfn_orders,
+        |  LATERAL graft_slots(CAST(o_orderkey % 3 + 1 AS INT))
+        |WHERE o_orderkey % 31 = 0
+        |ORDER BY o_orderkey, slot""".stripMargin)
+  }
+
+  def entries: Seq[CatalogEntry] =
+    Seq(scalarUdf, typedUdaf, udtfGenerator, typedDataset, sqlFunction)
 }
