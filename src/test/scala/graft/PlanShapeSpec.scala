@@ -290,6 +290,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("bucket"), s"expected the bucket key in:\n$p")
   }
 
+  test("udf_sql_function inlines to pure expressions — no UDF call in the plan") {
+    // the entry's claim: a SQL-defined function is an abstraction with
+    // zero execution cost — Catalyst resolves the body into the plan, so
+    // nothing UDF-shaped survives (contrast udf_scalar_expr, which keeps
+    // its ScalaUDF node and breaks codegen)
+    val p = planOf("udf_sql_function")
+    assert(!p.contains("ScalaUDF"), s"SQL function body not inlined:\n$p")
+    val scalaUdfPlan = planOf("udf_scalar_expr")
+    assert(scalaUdfPlan.contains("UDF"), // the contrast is real, not vacuous
+      s"expected the JVM UDF exemplar to retain its UDF node:\n$scalaUdfPlan")
+  }
+
   test("join_spatial_grid equi-joins on cell keys — no nested loop") {
     // the entry's claim: 2-D proximity planned as a keyed join over grid
     // cells (3×3 neighborhood explode on the small side), never a
