@@ -622,8 +622,11 @@ object JoinQueries {
     * |S|×|C|, and the equi-join shuffles hash-partitioned like any other.
     * The 3×3 neighborhood is complete for cell=R: |Δx|≤R implies adjacent
     * cells. Per-supplier rollup: neighbor count, min distance², nearest
-    * customer via the min-encoded (d2·10⁶ + custkey) trick — integer
-    * tie-break, no arg_min dialect drift. Oracle: DuckDB states the same
+    * customer via lexicographic struct-min over (d2, custkey) — exact
+    * integer tie-break at ANY key range (ADVICE r12: the previous
+    * d2·10⁶+custkey packing silently broke above custkey 10⁶), and both
+    * engines order structs field-by-field so there is no arg_min dialect
+    * drift. Oracle: DuckDB states the same
     * semantics as the quadratic cross-join filter (ground truth; candidate
     * completeness of the grid IS part of what's under test). At 100 TB:
     * cell size tracks R, hot cells salt like any skewed equi-key, and the
@@ -643,7 +646,7 @@ object JoinQueries {
                |)
                |SELECT s_suppkey, COUNT(*) AS n_near,
                |       CAST(MIN(d2) AS BIGINT) AS min_d2,
-               |       CAST(MIN(d2*1000000 + c_custkey) % 1000000 AS BIGINT) AS nearest_cust
+               |       CAST((MIN(struct_pack(d := d2, c := c_custkey))).c AS BIGINT) AS nearest_cust
                |FROM p WHERE d2 <= 3600
                |GROUP BY 1 ORDER BY 1""".stripMargin,
     spark = """WITH c AS (
@@ -664,7 +667,7 @@ object JoinQueries {
               |)
               |SELECT s_suppkey, COUNT(*) AS n_near,
               |       MIN(d2) AS min_d2,
-              |       MIN(d2*1000000 + c_custkey) % 1000000 AS nearest_cust
+              |       (MIN(named_struct('d', d2, 'c', c_custkey))).c AS nearest_cust
               |FROM cand WHERE d2 <= 3600
               |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (spark, sfDir) =>
     val R2 = 3600L
@@ -693,7 +696,8 @@ object JoinQueries {
       .groupBy(col("s_suppkey"))
       .agg(count(lit(1)).as("n_near"),
         min(col("d2")).as("min_d2"),
-        (min(col("d2") * 1000000L + col("c_custkey")) % 1000000L).as("nearest_cust"))
+        min(struct(col("d2").as("d"), col("c_custkey").as("c")))
+          .getField("c").as("nearest_cust"))
       .orderBy(col("s_suppkey"))
   }
 

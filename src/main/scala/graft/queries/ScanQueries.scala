@@ -197,9 +197,13 @@ object ScanQueries {
     * parsing (partial schemas legal — unlisted elements are simply not
     * materialized). The doc is manufactured deterministically from
     * event_id (same pattern as src_variant_nav; the fixtures ship no XML).
-    * Oracle: DuckDB has no XML type, so it re-extracts the same scalars
-    * from the same manufactured string with regexp_extract — a genuine
-    * restatement of "recover the injected values from markup". Scale: one
+    * Oracle: DuckDB has no XML type, so it re-extracts EVERY output —
+    * scalars, the tag list (regexp_extract_all over the markup) and the
+    * w-attribute sum (list_sum over re-extracted attributes) — from the
+    * same manufactured string, a genuine restatement of "recover the
+    * injected values from markup" with no generator-formula shortcuts
+    * (ADVICE r12: wsum/tags previously restated the generator arithmetic,
+    * which could not catch a doc-construction bug). Scale: one
     * narrow projected scan, per-row parse, no shuffle until the sort; at
     * 100 TB the xpath battery re-parses per call like get_json_object, so
     * wide extraction lists belong on from_xml (parse once per schema) —
@@ -219,8 +223,9 @@ object ScanQueries {
                |  CAST(regexp_extract(doc, '<amt>([0-9.]+)</amt>', 1) AS DOUBLE) AS amt,
                |  CAST(regexp_extract(doc, '<qty>([0-9]+)</qty>', 1) AS INTEGER) AS qty,
                |  regexp_extract(doc, '<t[^>]*>([^<]*)</t>', 1) AS tag0,
-               |  regexp_extract(doc, '<t[^>]*>([^<]*)</t>', 1) || ',x' AS tags,
-               |  CAST(event_id % 4 + 2 AS BIGINT) AS wsum,
+               |  array_to_string(regexp_extract_all(doc, '<t[^>]*>([^<]*)</t>', 1), ',') AS tags,
+               |  CAST(list_sum(list_transform(regexp_extract_all(doc, 'w="([0-9]+)"', 1),
+               |       x -> CAST(x AS BIGINT))) AS BIGINT) AS wsum,
                |  '' AS miss
                |FROM j ORDER BY event_id""".stripMargin,
     spark = """WITH j AS (

@@ -252,28 +252,32 @@ object TextQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash + LSH banding — the O(n) near-dup path for 100 TB.
+  /** Shared representative-level MinHash+LSH stage for the near-dup
+    * family — builds the canonicalized membership and the VERIFIED
+    * rep-pair graph that both the cluster-form catalog entry
+    * ([[minhashLsh]]) and the spec-scale pair enumeration
+    * ([[minhashPairs]]) consume.
     *
     * Canonicalize-first: the corpus carries large exact-clone groups (248
     * docs share one token set at sf0.1), and clone groups hit the same LSH
     * bucket in every band, re-deriving the same quadratic pairs five
     * times. So the pipeline dedups to one representative per distinct
-    * token set (md5 shingle fingerprint), runs MinHash+LSH over the
-    * representatives only, and expands verified representative pairs back
-    * to member pairs with plain joins:
+    * token set (md5 shingle fingerprint) and runs MinHash+LSH over the
+    * representatives only:
     *
     *   1. fp = md5(sorted distinct tokens); rep = min(doc_id) per fp
     *   2. reps → 40 minhashes (min over tokens of xxhash64(seed, token)),
     *      5 bands × 8 rows → bucket join → rep candidate pairs
     *   3. verify reps with exact Jaccard, keep ≥ 0.9
-    *   4. output = intra-group pairs (Jaccard exactly 1.0, recall 1.0 by
-    *      construction) ∪ cross-group expansion of verified rep pairs
     *
     * P(rep-pair candidate) = 1-(1-j⁸)⁵ ≈ 0.02 at j=0.5, 0.94 at j=0.9.
-    * No oracle (xxhash64 minhash isn't reproducible in DuckDB); recall and
-    * precision are property-tested in PropertySpec.
+    *
+    * @return (members: (fp, doc_id), repIds: (fp, rep_id),
+    *          repPairs: (fp_a, fp_b, jaccard) with jaccard ≥ threshold)
     */
-  private val minhashLsh = CatalogEntry.noOracle("dedup_minhash_lsh") { (spark, sfDir) =>
+  private def minhashRepStage(spark: org.apache.spark.sql.SparkSession, sfDir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     // corpus-dependent knobs — spark.conf, defaults profiled in round 1
     // (graft.dedup.minhash.{hashes,bands,threshold}; VERDICT.md r1 #5)
     val nHashes = graft.GraftConf.minhashHashes(spark)
@@ -359,6 +363,26 @@ object TextQueries {
         round(inter * 1.0 / (size(col("toks_a")) + size(col("toks_b")) - inter), 4))
       .where(col("jaccard") >= threshold)
       .select(col("fp_a"), col("fp_b"), col("jaccard"))
+    (members, reps.select(col("fp"), col("rep_id")), repPairs)
+  }
+
+  /** Pair ENUMERATION over the verified rep graph — the spec-scale
+    * property-check path, deliberately NOT the catalog entry.
+    *
+    * Round-12 ScaleProof measured the pair form at 62.6× cost for 10×
+    * data: the per-pair cost stayed flat (2.4→4.3 µs) but the OUTPUT is
+    * quadratic in clique depth by definition — a 10-deep dup clique emits
+    * C(10,2) pairs, and deep duplication is exactly what 100-TB corpora
+    * carry. So the catalog entry ([[minhashLsh]]) emits the linear
+    * cluster/representative form, and this helper keeps the pair spelling
+    * alive for PropertySpec's recall/precision floors at spec scale:
+    *   output = intra-group pairs (identical token sets, Jaccard exactly
+    *   1.0, recall 1.0 by construction) ∪ cross-group expansion of
+    *   verified rep pairs, each inheriting the set-level Jaccard.
+    */
+  private[graft] def minhashPairs(spark: org.apache.spark.sql.SparkSession,
+                                  sfDir: String): org.apache.spark.sql.DataFrame = {
+    val (members, _, repPairs) = minhashRepStage(spark, sfDir)
     // intra-group: identical token sets, Jaccard exactly 1.0
     val ma = members.select(col("fp"), col("doc_id").as("doc_a"))
     val mb = members.select(col("fp"), col("doc_id").as("doc_b"))
@@ -371,6 +395,52 @@ object TextQueries {
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
     intra.unionByName(cross).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash + LSH banding — the O(n) near-dup path for 100 TB, in
+    * CLUSTER-REPRESENTATIVE form (re-specced round 13, VERDICT r12 #1).
+    *
+    * The previous spelling enumerated near-dup PAIRS, whose output is
+    * quadratic in dup-clique depth (measured 62.6× at 10× data — the one
+    * scale-killer left in the catalog). This form contracts the verified
+    * rep-pair graph with the same min-label propagation the clustering
+    * twin uses ([[ccLabels]]) and emits one row per document in a
+    * non-trivial near-dup cluster:
+    *
+    *   (doc_id, cluster_id = min doc_id in the ≥0.9-Jaccard component,
+    *    cluster_size)
+    *
+    * — LINEAR in the corpus at any clique depth; `doc_id != cluster_id`
+    * is directly the "drop these" dedup predicate. Clustering runs in
+    * rep-id space (one node per distinct token set), so the CC input is
+    * the contracted graph, not the member expansion; membership fans back
+    * out with one hash join. Pair semantics (recall/precision floors vs
+    * exact Jaccard ground truth, and cluster↔pair-component agreement)
+    * stay pinned at spec scale in PropertySpec via [[minhashPairs]].
+    * No oracle (xxhash64 minhash isn't reproducible in DuckDB).
+    */
+  private val minhashLsh = CatalogEntry.noOracle("dedup_minhash_lsh") { (spark, sfDir) =>
+    val (members, repIds, repPairs) = minhashRepStage(spark, sfDir)
+    // verified rep pairs → edges in rep_id (= min member doc_id) space;
+    // min-propagation over rep ids therefore converges to the min doc_id
+    // of the whole member component, giving a deterministic cluster label
+    val edges = repPairs
+      .join(repIds.select(col("fp").as("fp_a"), col("rep_id").as("src")), "fp_a")
+      .join(repIds.select(col("fp").as("fp_b"), col("rep_id").as("dst")), "fp_b")
+      .select(col("src"), col("dst"))
+    val labels = ccLabels(edges) // (node, comp) — only reps touched by an edge
+    val fpLab = repIds.join(labels, repIds("rep_id") === labels("node"), "left")
+      .select(col("fp"), coalesce(col("comp"), col("rep_id")).as("cluster_id"))
+    val docLab = members.join(fpLab, "fp").select(col("doc_id"), col("cluster_id"))
+    // cluster_size via one keyed agg + join-back (both shuffle on the
+    // cluster key, so AQE coalesces them into one exchange reuse); the
+    // ≥2 filter keeps the output to dedup-relevant rows only
+    val sizes = docLab.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .where(col("cluster_size") >= 2)
+    docLab.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("cluster_id"), col("doc_id"))
   }
 
   /** SimHash near-dup: 64-bit sign-of-sums fingerprint over token hashes.

@@ -288,11 +288,25 @@ object VectorQueries {
     math.min(30, math.max(floor, scaled))
   }
 
+  /** Memoized embeddings-corpus row count per (session, sfDir) — the
+    * single-long probe feeding [[srpEffectiveBits]]. Without the memo,
+    * every invocation of `vec_lsh_ann` / `vec_knn_graph_lsh` paid one
+    * extra scan-and-count driver action — including every bench rep,
+    * where the result is always the configured floor anyway (ADVICE
+    * r12). Same pattern and justification as TextQueries.bpeCache:
+    * the count is immutable for a given parquet dir within a session. */
+  private val embCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private def embCorpusCount(spark: SparkSession, sfDir: String): Long = {
+    embCountCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    embCountCache.computeIfAbsent((spark, sfDir),
+      _ => Tables.embeddings(spark, sfDir).count()).longValue()
+  }
+
   private val lshAnn = CatalogEntry.noOracle("vec_lsh_ann") { (spark, sfDir) =>
     VectorFunctions.ensureRegistered(spark)
     val nTables = graft.GraftConf.lshAnnTables(spark)
-    val bits = srpEffectiveBits(spark,
-      Tables.embeddings(spark, sfDir).count())
+    val bits = srpEffectiveBits(spark, embCorpusCount(spark, sfDir))
     val nPlanes = nTables * bits
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), vdouble(col("embedding")).as("v"))
@@ -1303,8 +1317,9 @@ object VectorQueries {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), vdouble(col("embedding")).as("v"))
     // occupancy-pinned bucket width (see srpEffectiveBits): candidate
-    // pairs stay linear in corpus size instead of quadratic
-    val bits = srpEffectiveBits(spark, emb.count())
+    // pairs stay linear in corpus size instead of quadratic; the count
+    // probe is memoized per (session, sfDir) — see embCorpusCount
+    val bits = srpEffectiveBits(spark, embCorpusCount(spark, sfDir))
     val nPlanes = nTables * bits
     def rcomp(p: Int): Column =
       (pmod(xxhash64(lit(p), col("pos")), lit(2001L)) - lit(1000L)) / lit(1000.0)

@@ -19,12 +19,16 @@ class DeterminismSpec extends SparkSpecBase {
       // the sign of a rounded zero (HALF_UP normalizes, DuckDB keeps the
       // sign bit) — numerically equal values then hash-mismatch in the
       // driver compare. Any declared output emitting a literal -0.0 must
-      // go through Util.znorm (+ 0.0 on the oracle side). Token-exact
-      // match on the collected row text — "-0.05" must not trip it.
-      // Split on every non-numeric character (not just row brackets/commas)
-      // so a -0.0 nested inside an array/struct rendering — e.g.
-      // "ArraySeq(-0.0" — is still isolated into its own token.
-      val negZero = first.iterator.flatMap(_.split("[^0-9.Ee+\\-]+")).contains("-0.0")
+      // go through Util.znorm (+ 0.0 on the oracle side). Whole-value
+      // match on the collected row text — "-0.05" must not trip it, and
+      // (ADVICE r12) neither must a STRING value that merely CONTAINS the
+      // substring "-0.0" (e.g. "v-0.0x"): the match must be delimited by
+      // row/array/struct punctuation or string boundaries on both sides,
+      // so only a rendered numeric -0.0 fires — including one nested in
+      // an array/struct rendering like "ArraySeq(-0.0,".
+      val negZeroRe = java.util.regex.Pattern.compile(
+        "(^|[\\[,(\\s])-0\\.0([\\],)\\s]|$)")
+      val negZero = first.exists(s => negZeroRe.matcher(s).find())
       assert(!negZero,
         s"${entry.key} emits -0.0 — wrap the rounded output in Util.znorm " +
           "and append + 0.0 to the oracle column")

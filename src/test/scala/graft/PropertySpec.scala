@@ -42,7 +42,10 @@ class PropertySpec extends SparkSpecBase {
   }
 
   test("dedup_minhash_lsh recall >= 0.9 against exact Jaccard >= 0.9 pairs") {
-    val lsh = Catalog.byKey("dedup_minhash_lsh").run(spark, sfDir)
+    // pair recall/precision are spec-scale properties of the shared rep
+    // graph; the catalog entry emits the linear cluster form (r13 re-spec)
+    // and is validated against these pairs in the cluster-agreement test
+    val lsh = queries.TextQueries.minhashPairs(spark, sfDir)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // exact >= 0.9 pairs over ALL pairs (no blocking — ground truth)
@@ -63,6 +66,38 @@ class PropertySpec extends SparkSpecBase {
     assert((lsh -- exact).isEmpty, "LSH emitted a pair below the threshold")
   }
 
+  test("dedup_minhash_lsh clusters == connected components of the pair graph") {
+    // The catalog entry's linear cluster form must be EXACTLY the
+    // contraction of the spec-scale pair enumeration: same membership,
+    // cluster_id = min doc_id of the component, cluster_size consistent.
+    // Ground truth components via driver-side union-find over the pairs
+    // (spec scale — the pair set is small here by construction).
+    val pairs = queries.TextQueries.minhashPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(d => d -> find(d)).toMap // doc -> min of component
+    val got = Catalog.byKey("dedup_minhash_lsh").run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gotMap = got.map { case (d, c, _) => d -> c }.toMap
+    assert(gotMap == truth,
+      s"cluster membership mismatch: |got|=${gotMap.size} |truth|=${truth.size}, " +
+        s"diff=${(gotMap.toSet diff truth.toSet).take(5)} / ${(truth.toSet diff gotMap.toSet).take(5)}")
+    val sizesTruth = truth.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    got.foreach { case (d, c, sz) =>
+      assert(sz == sizesTruth(c), s"cluster_size for doc $d cluster $c: got $sz want ${sizesTruth(c)}")
+      assert(sz >= 2, s"singleton cluster leaked: doc $d")
+    }
+  }
+
   test("LSH-composed verification: precision 1.0, recall >= 0.9 vs blocked path (VERDICT r1 #5)") {
     // Scale story: the blocked self-join pair metrics are quadratic in
     // their buckets; at 100 TB they run as a *verification stage* over
@@ -78,7 +113,7 @@ class PropertySpec extends SparkSpecBase {
     //     ground-truth recall property above.
     val threshold = graft.GraftConf.minhashThreshold(spark)
     val band = graft.GraftConf.pairLengthBand(spark)
-    val lshPairs = Catalog.byKey("dedup_minhash_lsh").run(spark, sfDir)
+    val lshPairs = queries.TextQueries.minhashPairs(spark, sfDir)
     val composed = queries.TextQueries.verifyPairs(spark, sfDir, lshPairs)
       .where(col("jaccard") >= threshold
         && col("lang_a") === col("lang_b")
