@@ -31,6 +31,16 @@ object GraftConf {
   def minhashThreshold(spark: SparkSession): Double =
     get(spark, "graft.dedup.minhash.threshold", "0.9").toDouble
 
+  /** Independent chain orders per band for dedup_minhash_lsh's linear
+    * candidate spelling (cluster form). Each salt contributes one more
+    * O(m log m) window pass and ≤ 2(m-1) candidates per bucket — still
+    * linear in bucket depth; more salts → higher connectivity recall on
+    * the verified pair graph (measured at sf0.001 vs the quadratic
+    * expansion's components: co-clustered pair recall 0.91 at s=4,
+    * 0.94 at s=6 — the default; precision is structurally 1.0). */
+  def minhashChainSalts(spark: SparkSession): Int =
+    get(spark, "graft.dedup.minhash.chainSalts", "6").toInt
+
   /** SimHash: max Hamming distance accepted as near-dup. Block count for
     * candidate generation is derived: maxHamming+1 blocks (pigeonhole —
     * a pair within the bound must agree on at least one block).

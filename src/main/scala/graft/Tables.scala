@@ -31,7 +31,28 @@ object Tables {
     * construction, so every derived timestamp (window bounds, date_trunc,
     * lag) stays naive end-to-end and matches DuckDB's reading.
     */
+  /** Memoized relation per (session, sfDir, table) — fixed-overhead
+    * control (VERDICT r12 #3). Every catalog entry used to rebuild its
+    * source DataFrames from `spark.read.parquet`, re-paying file listing,
+    * footer schema read, and analysis for the SAME immutable input on
+    * every invocation; across the 274-entry bench that re-planning is
+    * pure per-action floor. DataFrames are immutable and reusable across
+    * queries within a session, so handing every caller the same analyzed
+    * relation changes no semantics (the testdata dirs never mutate
+    * mid-session). `graft.tables.memo=false` restores the old behavior
+    * (the A/B lever FloorProbe uses). Stopped sessions are evicted on
+    * lookup, same pattern as the other driver-side memos. */
+  private val loadCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (spark.conf.get("graft.tables.memo", "true").toBoolean) {
+      loadCache.keySet.removeIf(_._1.sparkContext.isStopped)
+      loadCache.computeIfAbsent((spark, sfDir, name),
+        _ => doLoad(spark, sfDir, name))
+    } else doLoad(spark, sfDir, name)
+
+  private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")

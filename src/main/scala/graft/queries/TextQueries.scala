@@ -272,10 +272,25 @@ object TextQueries {
     *
     * P(rep-pair candidate) = 1-(1-j⁸)⁵ ≈ 0.02 at j=0.5, 0.94 at j=0.9.
     *
+    * Candidate generation has two spellings, picked by `chainCandidates`:
+    *   - false (the [[minhashPairs]] spec-scale path): full within-bucket
+    *     expansion, m(m-1)/2 pairs per bucket — complete, quadratic in
+    *     bucket depth. Required when the OUTPUT is the pair set itself.
+    *   - true (the [[minhashLsh]] cluster entry): chain + skip-level
+    *     links over a band-salted per-bucket order, ≤ 2(m-1) candidates
+    *     per bucket — LINEAR at any dup-clique depth. Sufficient when
+    *     only CONNECTIVITY is consumed (the r13 ScaleProof measured the
+    *     full expansion at 18× cost for 10× data on the replica corpus,
+    *     all of it candidate+verify work on C(k,2) clique pairs; chains
+    *     verify ~2k). Same design as [[clusterLsh]]: lead(2) bridges a
+    *     single interloper, and each band salts its own chain order so a
+    *     pair missed in one band is adjacent in another.
+    *
     * @return (members: (fp, doc_id), repIds: (fp, rep_id),
     *          repPairs: (fp_a, fp_b, jaccard) with jaccard ≥ threshold)
     */
-  private def minhashRepStage(spark: org.apache.spark.sql.SparkSession, sfDir: String)
+  private def minhashRepStage(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                              chainCandidates: Boolean)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
     // corpus-dependent knobs — spark.conf, defaults profiled in round 1
@@ -331,10 +346,6 @@ object TextQueries {
         xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
           col(s"h${b * rowsPerBand + r}"))): _*)): _*)).as(Seq("band", "bucket")))
       .cache()
-    val l = banded.select(col("band"), col("bucket"), col("fp").as("fp_a"),
-      col("n_toks").as("n_a"))
-    val r = banded.select(col("band"), col("bucket"), col("fp").as("fp_b"),
-      col("n_toks").as("n_b"))
     // Length-ratio prune (standard in exact set-similarity joins):
     // jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair can only reach
     // `threshold` when the smaller set is ≥ threshold × the larger. A
@@ -345,11 +356,53 @@ object TextQueries {
     // round(jaccard,4) >= threshold, which admits exact jaccard down to
     // threshold - 5e-5 — prune with a slightly conservative ratio so no
     // rounding-boundary pair the verify would keep can be dropped.
-    val candidates = l.join(r, Seq("band", "bucket"))
-      .where(col("fp_a") < col("fp_b")
-        && least(col("n_a"), col("n_b")) >= greatest(col("n_a"), col("n_b")) * (threshold - 1e-4))
-      .select(col("fp_a"), col("fp_b"))
-      .distinct()
+    def ratioOk(na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
+      least(na, nb) >= greatest(na, nb) * (threshold - 1e-4)
+    val candidates = if (!chainCandidates) {
+      val l = banded.select(col("band"), col("bucket"), col("fp").as("fp_a"),
+        col("n_toks").as("n_a"))
+      val r = banded.select(col("band"), col("bucket"), col("fp").as("fp_b"),
+        col("n_toks").as("n_b"))
+      l.join(r, Seq("band", "bucket"))
+        .where(col("fp_a") < col("fp_b") && ratioOk(col("n_a"), col("n_b")))
+        .select(col("fp_a"), col("fp_b"))
+        .distinct()
+    } else {
+      // chain + skip-level candidates over SEVERAL independent bucket
+      // orders (design rationale in the scaladoc above; each window sort
+      // is O(m log m) per bucket, candidates ≤ 2·s·(m-1) — linear).
+      // Order 0 is n_toks-primary (a θ=0.9 pair differs ≤ ~10% in
+      // n_toks, so sorting by length makes true partners near-
+      // neighbors); the remaining s-1 orders are pure band+salt hashes,
+      // each contributing an independent adjacency draw — the union of s
+      // random chains over a bucket approaches a connected random graph
+      // over its verified subgraph (same levers as [[clusterLsh]],
+      // widened because this entry's 5 coarse bands give fewer
+      // independent draws than clusterLsh's 16).
+      val salts = graft.GraftConf.minhashChainSalts(spark)
+      (0 until salts).map { s =>
+        val ord =
+          if (s == 0) Seq(col("n_toks"), xxhash64(col("band"), col("fp")), col("fp"))
+          else Seq(xxhash64(lit(s), col("band"), col("fp")), col("fp"))
+        val chainW = Window.partitionBy(col("band"), col("bucket")).orderBy(ord: _*)
+        // both leads share ONE window spec ⇒ one Window operator / one
+        // sort per salt (the lead(1)/lead(2)-as-separate-branches form
+        // paid the bucket sort twice per salt — measured at sf0.1)
+        banded
+          .select(col("fp"), col("n_toks"),
+            lead(col("fp"), 1).over(chainW).as("n1fp"),
+            lead(col("n_toks"), 1).over(chainW).as("n1n"),
+            lead(col("fp"), 2).over(chainW).as("n2fp"),
+            lead(col("n_toks"), 2).over(chainW).as("n2n"))
+          .select(col("fp"), col("n_toks"), explode(array(
+            struct(col("n1fp").as("nfp"), col("n1n").as("nn")),
+            struct(col("n2fp").as("nfp"), col("n2n").as("nn")))).as("nx"))
+          .where(col("nx.nfp").isNotNull && ratioOk(col("n_toks"), col("nx.nn")))
+          .select(least(col("fp"), col("nx.nfp")).as("fp_a"),
+            greatest(col("fp"), col("nx.nfp")).as("fp_b"))
+      }.reduce(_ unionByName _)
+        .distinct()
+    }
     val ta = reps.select(col("fp").as("fp_a"), col("toks").as("toks_a"))
     val tb = reps.select(col("fp").as("fp_b"), col("toks").as("toks_b"))
     val inter = expr("sorted_intersect_size(toks_a, toks_b)")
@@ -382,7 +435,7 @@ object TextQueries {
     */
   private[graft] def minhashPairs(spark: org.apache.spark.sql.SparkSession,
                                   sfDir: String): org.apache.spark.sql.DataFrame = {
-    val (members, _, repPairs) = minhashRepStage(spark, sfDir)
+    val (members, _, repPairs) = minhashRepStage(spark, sfDir, chainCandidates = false)
     // intra-group: identical token sets, Jaccard exactly 1.0
     val ma = members.select(col("fp"), col("doc_id").as("doc_a"))
     val mb = members.select(col("fp"), col("doc_id").as("doc_b"))
@@ -414,13 +467,17 @@ object TextQueries {
     * is directly the "drop these" dedup predicate. Clustering runs in
     * rep-id space (one node per distinct token set), so the CC input is
     * the contracted graph, not the member expansion; membership fans back
-    * out with one hash join. Pair semantics (recall/precision floors vs
+    * out with one hash join. Candidate generation uses the CHAIN spelling
+    * of [[minhashRepStage]] (≤ 2(m-1) verified edges per bucket): the r13
+    * ScaleProof measured the full within-bucket expansion at 18× cost for
+    * 10× data on the 10-deep-replica corpus — all candidate+verify work on
+    * C(k,2) clique pairs that connectivity never needed. Pair semantics (recall/precision floors vs
     * exact Jaccard ground truth, and cluster↔pair-component agreement)
     * stay pinned at spec scale in PropertySpec via [[minhashPairs]].
     * No oracle (xxhash64 minhash isn't reproducible in DuckDB).
     */
   private val minhashLsh = CatalogEntry.noOracle("dedup_minhash_lsh") { (spark, sfDir) =>
-    val (members, repIds, repPairs) = minhashRepStage(spark, sfDir)
+    val (members, repIds, repPairs) = minhashRepStage(spark, sfDir, chainCandidates = true)
     // verified rep pairs → edges in rep_id (= min member doc_id) space;
     // min-propagation over rep ids therefore converges to the min doc_id
     // of the whole member component, giving a deterministic cluster label
