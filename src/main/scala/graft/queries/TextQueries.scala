@@ -289,7 +289,7 @@ object TextQueries {
     * @return (members: (fp, doc_id), repIds: (fp, rep_id),
     *          repPairs: (fp_a, fp_b, jaccard) with jaccard ≥ threshold)
     */
-  private def minhashRepStage(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+  private[graft] def minhashRepStage(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                               chainCandidates: Boolean)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
