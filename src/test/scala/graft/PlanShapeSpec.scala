@@ -658,4 +658,54 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast NLJ on the cutoff frame in:\n$p")
   }
+
+  test("AQE skew-join splits the hot partition of an SMJ (round 13, SkewProbe twin)") {
+    import org.apache.spark.sql.functions._
+    // Finding first (tools/SkewProbe, measured at 10x): OptimizeSkewedJoin
+    // fires only when BOTH SMJ children are Sort <- ShuffleQueryStage with
+    // ENSURE_REQUIREMENTS, and only past cluster-sized byte thresholds.
+    // Here the thresholds are lowered to spec scale and the dim side is a
+    // parquet round-trip (a .distinct() dim leaves a post-shuffle agg under
+    // the Sort and DISABLES skew handling - pinned as part 2).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    // repartition(8): sf0.001 lineitem is ONE parquet file = ONE map task,
+    // and a skewed reduce partition fed by a single map output has no
+    // map-range to split along - OptimizeSkewedJoin can then never fire.
+    // (At real scale the fact side always has many mappers; this pins the
+    // same multi-mapper shape at spec scale.)
+    def skewedFact(sess: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(sess, sfDir).select(col("l_orderkey"), col("l_quantity"))
+        .repartition(8)
+        .withColumn("k", when(pmod(col("l_orderkey"), lit(10)) < 9, lit(0L))
+          .otherwise(col("l_orderkey")))
+    val dimPath = s"${sys.props("java.io.tmpdir")}/graft_skewspec_dim"
+    skewedFact(s).select(col("k")).distinct()
+      .withColumn("w", pmod(col("k"), lit(97)).cast("long"))
+      .write.mode("overwrite").parquet(dimPath)
+    val j = skewedFact(s).join(s.read.parquet(dimPath), "k")
+      .select(count(lit(1)).as("n"), sum(col("l_quantity") * col("w")).as("v"))
+    val row = j.collect()(0) // execute THIS queryExecution (head() would run its own)
+    val planStr = j.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(planStr.contains("skew=true"), s"no skew split in final plan:\n$planStr")
+    // part 2 - the silent-disable gotcha: an in-plan .distinct() dim puts a
+    // HashAggregate between the join's Sort and the shuffle stage, and the
+    // rule no longer matches even though the fact side is just as skewed
+    val jBlocked = skewedFact(s).join(
+      skewedFact(s).select(col("k")).distinct()
+        .withColumn("w", pmod(col("k"), lit(97)).cast("long")), "k")
+      .select(count(lit(1)).as("n"), sum(col("l_quantity") * col("w")).as("v"))
+    val rowB = jBlocked.collect()(0)
+    val planB = jBlocked.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(!planB.contains("skew=true"),
+      s"skew split unexpectedly fired through the aggregated dim:\n$planB")
+    // both spellings agree on the result regardless of the split
+    assert(row.getLong(0) == rowB.getLong(0) && row.getDouble(1) == rowB.getDouble(1))
+  }
 }
