@@ -135,6 +135,19 @@ object GraftConf {
     v
   }
 
+  /** Per-representative candidate cap for dedup_containment_prefix (the
+    * linear containment twin): each contained-side rep verifies at most
+    * this many prefix-filter candidates. An ABSOLUTE count like
+    * verifyMaxBucket — the cap is what bounds the entry linear on
+    * dup-heavy corpora where true witnesses (and so uncapped candidates)
+    * grow quadratically in clique depth; recall under the cap is
+    * floor-tested against the blocked ground truth. */
+  def containmentCandCap(spark: SparkSession): Int = {
+    val v = get(spark, "graft.dedup.containment.candCap", "64").toInt
+    require(v >= 1, s"graft.dedup.containment.candCap=$v invalid: must be >= 1")
+    v
+  }
+
   /** Pair-verifier blocking: char-length band half-width (docs pair only
     * within ±width chars) and the derived bucket width. At 100 TB this is
     * the knob that bounds intra-bucket quadratic cost — narrow it as the

@@ -1695,6 +1695,126 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Linear containment dedup — the candidate-driven scale twin of
+    * [[containment]] (round 13; the ScaleProof extension measured the
+    * blocked form at 14.0× for 10× data).
+    *
+    * Why a plain banded twin cannot work here (analysis in BASELINE.md):
+    * the blocked entry's COUNTS output is verification-bound by the true
+    * containment-pair count, which is quadratic in dup-clique depth by
+    * definition — on the 10-deep replica corpus every sibling pair
+    * really is a ≥0.95 containment. So this twin follows the
+    * dedup_minhash_lsh playbook instead:
+    *
+    *  1. RE-SPECCED LINEAR OUTPUT — `(doc_id, has_container)`: is ≥95%
+    *     of this doc's vocabulary contained in some other same-lang doc?
+    *     That flag (not the witness count) is what the dedup decision
+    *     consumes, and it is linear at any clique depth.
+    *  2. CANONICALIZE-FIRST — one rep per (lang, distinct token set);
+    *     any member of a ≥2 clone group is contained by its clones
+    *     (ratio exactly 1.0) with ZERO pair work.
+    *  3. PREFIX-FILTER CANDIDATES (SSJoin/PPJoin family): under a global
+    *     rarest-first token order (df asc, token asc), a ≥0.95-contained
+    *     set can miss at most ⌊0.05·n⌋ of its own tokens, so at least
+    *     one of its ⌊0.05·n⌋+2 rarest tokens must appear in any
+    *     container — candidates come from an inverted index over those
+    *     prefix tokens only. Stop-tokens (df > verifyMaxBucket) are
+    *     dropped from the index as non-discriminative, same rationale as
+    *     [[lshCandidates]]'s bucket cap.
+    *  4. CAPPED VERIFICATION — ≤ candCap candidates per rep
+    *     (`graft.dedup.containment.candCap`, biggest-container-first
+    *     deterministic order), then the exact sorted-merge intersect
+    *     verify. The cap is what keeps the entry linear where true
+    *     witnesses are quadratic; it costs recall only when a doc's
+    *     every capped candidate fails while an uncapped one would pass.
+    *
+    * Precision is structural (every flag is backed by one exact-verified
+    * witness or an exact clone); recall vs the blocked ground truth is
+    * floor-tested in PropertySpec. No oracle: the capped candidate set
+    * makes the flag under-approximate on adversarial corpora by design
+    * (the uncapped complete form would re-inherit the quadratic bound
+    * the re-spec exists to escape).
+    */
+  private val containmentPrefix = CatalogEntry.noOracle("dedup_containment_prefix") {
+    (spark, sfDir) =>
+      graft.functions.TextFunctions.ensureRegistered(spark)
+      val theta = 0.95
+      val dfCap = graft.GraftConf.verifyMaxBucket(spark)
+      val candCap = graft.GraftConf.containmentCandCap(spark)
+      // fp is LANG-SCOPED (unlike the minhash family's): the blocked
+      // ground truth pairs same-lang only, so a clone group spanning two
+      // langs must stay two groups — folding lang into the fingerprint
+      // makes fp↔(lang,fp) 1:1 and every later fp-keyed join lang-safe
+      val t = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"),
+          sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+        .withColumn("fp", md5(concat_ws("|", col("lang"), array_join(col("toks"), " "))))
+        .cache()
+      val members = t.select(col("doc_id"), col("lang"), col("fp"))
+      val groups = t.groupBy(col("lang"), col("fp"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"))
+      val reps = groups
+        .join(t.select(col("doc_id").as("rep_id"), col("toks")), "rep_id")
+        .select(col("lang"), col("fp"), col("toks"), size(col("toks")).as("n"))
+        .cache()
+      // global rarest-first token order: df over REPS per lang
+      val df = reps.select(col("lang"), explode(col("toks")).as("t"))
+        .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("df"))
+      val tok = reps.select(col("lang"), col("fp"), col("n"), explode(col("toks")).as("t"))
+        .join(df, Seq("lang", "t"))
+      // prefix = the (floor(0.05 n) + 2) rarest tokens per rep, over the
+      // FULL token set (+2: +1 pigeonhole, +1 absorbs the double-compare
+      // boundary of the verify's inter/n >= 0.95). Never df-filtered: a
+      // fully-templated doc whose every token is common must still get
+      // candidates (a dropped-prefix variant measured recall 0.68 at
+      // sf0.001 - the misses were exactly the all-common-token docs).
+      val rankW = Window.partitionBy(col("lang"), col("fp"))
+        .orderBy(col("df"), col("t"))
+      val prefix = tok
+        .withColumn("r", row_number().over(rankW))
+        .where(col("r") <= floor(col("n") * (1 - theta)) + 2)
+        .select(col("lang"), col("t"), col("fp").as("fp_a"), col("n").as("n_a"))
+      // inverted index with CAPPED posting lists: each (lang, token)
+      // lists at most verifyMaxBucket reps, BIGGEST first (a container
+      // must hold >=0.95 of the probe's vocabulary, so large supersets
+      // are the likeliest witnesses) - rare-token postings stay complete
+      // (pigeonhole bound intact), stop-token postings are truncated
+      // rather than dropped, bounding candidates per prefix token while
+      // keeping template-heavy docs reachable
+      val postW = Window.partitionBy(col("lang"), col("t"))
+        .orderBy(col("n").desc, col("fp"))
+      val index = tok
+        .withColumn("pr", row_number().over(postW))
+        .where(col("pr") <= dfCap)
+        .select(col("lang"), col("t"), col("fp").as("fp_b"), col("n").as("n_b"))
+      // candidates: share a prefix token, container at least θ× the size;
+      // capped per contained rep, biggest container first (deterministic)
+      val capW = Window.partitionBy(col("fp_a"))
+        .orderBy(col("n_b").desc, col("fp_b"))
+      // size prune epsilon-slackened: the verify compares inter/n_a in
+      // double arithmetic, so the prune must not drop a boundary
+      // container the verify would keep (n_b >= inter always)
+      val cand = prefix.join(index, Seq("lang", "t"))
+        .where(col("fp_a") =!= col("fp_b") && col("n_b") >= col("n_a") * (theta - 1e-9))
+        .select(col("fp_a"), col("n_a"), col("fp_b"), col("n_b"))
+        .distinct()
+        .withColumn("rk", row_number().over(capW))
+        .where(col("rk") <= candCap)
+      val ta = reps.select(col("fp").as("fp_a"), col("toks").as("toks_a"))
+      val tb = reps.select(col("fp").as("fp_b"), col("toks").as("toks_b"))
+      val inter = expr("sorted_intersect_size(toks_a, toks_b)")
+      val contained = cand.join(ta, "fp_a").join(tb, "fp_b")
+        .where(inter * lit(1.0) / col("n_a") >= theta)
+        .select(col("fp_a")).distinct()
+        .withColumn("hit", lit(true))
+      members
+        .join(groups.select(col("lang"), col("fp"), col("m")), Seq("lang", "fp"))
+        .join(contained.withColumnRenamed("fp_a", "fp"), Seq("fp"), "left")
+        .select(col("doc_id"),
+          (col("m") >= 2 || coalesce(col("hit"), lit(false))).as("has_container"))
+        .orderBy(col("doc_id"))
+  }
+
   /** The composed training-data filter — what a user of this engine
     * actually RUNS: per-doc length, richness, repetition and near-dup
     * gates evaluated in one pass, each surfaced as its own flag plus the
@@ -2868,7 +2988,7 @@ object TextQueries {
     simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
     idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
-    unigramLogprob, containment, corpusFilter, ngramTopk, urlCanonicalize,
+    unigramLogprob, containment, containmentPrefix, corpusFilter, ngramTopk, urlCanonicalize,
     chunkWindows, perplexityBigram, perplexityKn, dedupChunk, docKeywords,
     mixWeights, zipfSlope, gopherRules, perplexityBucket, bpeTrain, bpeApply)
 }

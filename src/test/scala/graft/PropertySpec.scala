@@ -127,6 +127,27 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_containment_prefix: precision 1.0 + recall floor vs blocked truth") {
+    // Ground truth flags from the blocked-quadratic entry: a doc "has a
+    // container" iff its n_containers count (>=0.95 containment over all
+    // same-lang pairs) is positive. The prefix twin's flag must be a
+    // subset (precision 1.0 - every flag is backed by an exact-verified
+    // witness or an exact same-lang clone) with recall >= 0.9 under its
+    // candidate cap.
+    val truth = Catalog.byKey("dedup_containment").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2) > 0)).toMap
+    val got = Catalog.byKey("dedup_containment_prefix").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.keySet == truth.keySet, "per-doc output must cover every document")
+    val flagged = got.filter(_._2).keySet
+    val truthFlagged = truth.filter(_._2).keySet
+    assert((flagged diff truthFlagged).isEmpty,
+      s"precision violated: ${(flagged diff truthFlagged).take(5)} flagged but not in truth")
+    val recall = (flagged intersect truthFlagged).size.toDouble / truthFlagged.size
+    info(f"containment flag recall $recall%.4f (${truthFlagged.size} truth-flagged docs)")
+    assert(recall >= 0.9, f"recall $recall%.4f below floor")
+  }
+
   test("LSH-composed verification: precision 1.0, recall >= 0.9 vs blocked path (VERDICT r1 #5)") {
     // Scale story: the blocked self-join pair metrics are quadratic in
     // their buckets; at 100 TB they run as a *verification stage* over
