@@ -38,8 +38,14 @@ object GraftConf {
     * the verified pair graph (measured at sf0.001 vs the quadratic
     * expansion's components: co-clustered pair recall 0.91 at s=4,
     * 0.94 at s=6 — the default; precision is structurally 1.0). */
-  def minhashChainSalts(spark: SparkSession): Int =
-    get(spark, "graft.dedup.minhash.chainSalts", "6").toInt
+  def minhashChainSalts(spark: SparkSession): Int = {
+    val v = get(spark, "graft.dedup.minhash.chainSalts", "6").toInt
+    // mirrors containmentCandCap's guard: 0/negative would make the
+    // (0 until salts).map(...).reduce in minhashRepStage throw an opaque
+    // empty-collection UnsupportedOperationException far from the knob
+    require(v >= 1, s"graft.dedup.minhash.chainSalts=$v must be >= 1")
+    v
+  }
 
   /** SimHash: max Hamming distance accepted as near-dup. Block count for
     * candidate generation is derived: maxHamming+1 blocks (pigeonhole —

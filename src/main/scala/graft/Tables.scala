@@ -48,6 +48,13 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (spark.conf.get("graft.tables.memo", "true").toBoolean) {
       loadCache.keySet.removeIf(_._1.sparkContext.isStopped)
+      // Stopped-context eviction alone is not enough in a long-lived JVM
+      // that churns spark.newSession() children off ONE context (tests,
+      // servers): those sessions never stop a context, so their entries
+      // would accumulate unboundedly. The memo is a pure perf cache, so a
+      // size bound with full reset is the simplest safe policy — a clear
+      // costs one re-listing per live (session, sfDir, table), nothing else.
+      if (loadCache.size > 512) loadCache.clear()
       loadCache.computeIfAbsent((spark, sfDir, name),
         _ => doLoad(spark, sfDir, name))
     } else doLoad(spark, sfDir, name)

@@ -1745,13 +1745,23 @@ object TextQueries {
       // ground truth pairs same-lang only, so a clone group spanning two
       // langs must stay two groups — folding lang into the fingerprint
       // makes fp↔(lang,fp) 1:1 and every later fp-keyed join lang-safe
+      // fp must be NULL-PROPAGATING (concat, not concat_ws): concat_ws
+      // silently drops a null array_join(toks) for null-text docs, which
+      // would collapse every null-text doc of a lang into one "clone"
+      // group with has_container=true — diverging from the blocked truth
+      // (which never flags them) and from the minhash family's null-fp
+      // convention (minhashRepStage's md5(array_join) is null on null text)
       val t = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("lang"),
           sort_array(array_distinct(split(col("text"), " "))).as("toks"))
-        .withColumn("fp", md5(concat_ws("|", col("lang"), array_join(col("toks"), " "))))
+        .withColumn("fp",
+          md5(concat(col("lang"), lit("|"), array_join(col("toks"), " "))))
         .cache()
       val members = t.select(col("doc_id"), col("lang"), col("fp"))
-      val groups = t.groupBy(col("lang"), col("fp"))
+      // null-fp docs are excluded from the group/rep pipeline entirely —
+      // they are not clones of each other; they re-enter at the final
+      // left join below as singleton has_container=false rows
+      val groups = t.where(col("fp").isNotNull).groupBy(col("lang"), col("fp"))
         .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"))
       val reps = groups
         .join(t.select(col("doc_id").as("rep_id"), col("toks")), "rep_id")
@@ -1807,11 +1817,15 @@ object TextQueries {
         .where(inter * lit(1.0) / col("n_a") >= theta)
         .select(col("fp_a")).distinct()
         .withColumn("hit", lit(true))
+      // left join: a null-fp (null-text) member matches no group and no
+      // containment hit — coalesce gives it m=1 ⇒ has_container=false,
+      // exactly the blocked truth's treatment (it never pairs null text)
       members
-        .join(groups.select(col("lang"), col("fp"), col("m")), Seq("lang", "fp"))
+        .join(groups.select(col("lang"), col("fp"), col("m")), Seq("lang", "fp"), "left")
         .join(contained.withColumnRenamed("fp_a", "fp"), Seq("fp"), "left")
         .select(col("doc_id"),
-          (col("m") >= 2 || coalesce(col("hit"), lit(false))).as("has_container"))
+          (coalesce(col("m"), lit(1L)) >= 2 ||
+            coalesce(col("hit"), lit(false))).as("has_container"))
         .orderBy(col("doc_id"))
   }
 

@@ -1,25 +1,51 @@
 package graft.tools
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import graft.{SparkEntry, Tables}
 
-/** Fixed-overhead floor profiler (VERDICT r12 #3) — dev tool.
+/** Fixed-overhead floor profiler (VERDICT r12 #3, extended r14 per
+  * VERDICT r13 #1) — dev tool.
   *
-  * The driver bench spends ~40 s of its ~200 s total on ~170 entries that
-  * each run under 0.5 s: per-action floor, not compute. This probe splits
-  * that floor for a set of representative cheap entries into its phases —
-  *   build   : entry function call → DataFrame (includes Tables.load,
-  *             i.e. file listing + footer schema + relation analysis when
-  *             the Tables memo is off)
-  *   plan    : force queryExecution.executedPlan (analyze + optimize +
-  *             physical planning + AQE prep)
-  *   run     : .count() (codegen compile on first touch, scheduling, exec)
-  * and A/Bs the `graft.tables.memo` flag same-JVM interleaved (the only
-  * comparable layout — cross-boot totals are host-noise-dominated).
+  * The driver bench spends ~92 s of its ~187 s total on ~257 entries that
+  * each run under ~0.5 s: per-action floor, not compute. This probe splits
+  * that floor for a set of representative cheap entries into phases —
+  *   build  : entry function call → DataFrame (includes Tables.load)
+  *   plan   : force queryExecution.executedPlan (analyze + optimize +
+  *            physical planning + AQE prep)
+  *   run1   : first .count() (codegen compile on first touch + scheduling
+  *            + execution)
+  *   run2   : second .count() of the SAME DataFrame (codegen + JIT warm ⇒
+  *            pure scheduling + execution; run1 − run2 ≈ compile cost)
+  * and counts the jobs/stages/tasks each run phase dispatched (task count
+  * × per-task dispatch is the scheduling component; AQE multiplies job
+  * count by materializing each shuffle stage as its own job).
+  *
+  * Config levers are A/B'd same-JVM interleaved (the only comparable
+  * layout — cross-boot totals are host-noise-dominated):
+  *   aqe=on/off   : spark.sql.adaptive.enabled — AQE replans per shuffle
+  *                  stage; for sub-second entries the replan/job overhead
+  *                  can exceed what coalescing saves
+  *   sp=32/8      : spark.sql.shuffle.partitions — map-side task count of
+  *                  every shuffle stage (AQE coalesces the REDUCE side
+  *                  only; the shuffle write still runs `sp` tasks? no —
+  *                  the map task count = parent partitions; sp sets the
+  *                  reduce-side bucket count, which without AQE is the
+  *                  reduce task count)
   *
   * Usage: runMain graft.tools.FloorProbe [key ...]   (defaults below)
   */
 object FloorProbe {
+  private class Counter extends SparkListener {
+    val jobs = new AtomicLong; val stages = new AtomicLong; val tasks = new AtomicLong
+    override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = stages.incrementAndGet()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = tasks.incrementAndGet()
+    def snap(): (Long, Long, Long) = (jobs.get, stages.get, tasks.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -29,6 +55,8 @@ object FloorProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val counter = new Counter
+    spark.sparkContext.addSparkListener(counter)
     Tables.names.foreach { n =>
       val df = Tables.load(spark, sfDir, n); df.cache(); df.count()
     }
@@ -36,27 +64,47 @@ object FloorProbe {
       "scalar_casts", "str_basic", "filter_compound", "join_inner_equi",
       "agg_having", "win_ntile", "set_intersect", "sort_multi_limit")
 
-    def phases(key: String): (Double, Double, Double) = {
+    // listener events are async; a short drain keeps the per-phase counts
+    // attributable (untimed — this is a dev probe, not the bench)
+    def drained[A](f: => A): (A, (Long, Long, Long)) = {
+      Thread.sleep(80)
+      val before = counter.snap()
+      val r = f
+      Thread.sleep(80)
+      val after = counter.snap()
+      (r, (after._1 - before._1, after._2 - before._2, after._3 - before._3))
+    }
+
+    def phases(key: String): String = {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(key)(spark, sfDir)
       val t1 = System.nanoTime()
-      df.queryExecution.executedPlan // force analysis->physical planning
+      df.queryExecution.executedPlan
       val t2 = System.nanoTime()
-      df.count()
+      val (_, c1) = drained { df.count() }
       val t3 = System.nanoTime()
-      ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      val (_, c2) = drained { df.count() }
+      val t4 = System.nanoTime()
+      // drained sleeps inside the t2..t3/t3..t4 spans; subtract them out
+      val r1 = (t3 - t2) / 1e9 - 0.16
+      val r2 = (t4 - t3) / 1e9 - 0.16
+      f"build=${(t1 - t0) / 1e9}%6.3f plan=${(t2 - t1) / 1e9}%6.3f " +
+        f"run1=$r1%6.3f(j${c1._1}/s${c1._2}/t${c1._3}) " +
+        f"run2=$r2%6.3f(j${c2._1}/s${c2._2}/t${c2._3})"
     }
 
     // untimed JIT warm (same rationale as Bench's warm pass)
     keys.foreach { k => try SparkEntry.queries(k)(spark, sfDir).count()
                         catch { case _: Throwable => () } }
 
-    for (rep <- 1 to 3; memo <- Seq("true", "false"); key <- keys) {
-      spark.conf.set("graft.tables.memo", memo)
-      val (b, p, r) = phases(key)
-      println(f"[floor] rep$rep memo=$memo%-5s $key%-20s " +
-        f"build=$b%6.3f plan=$p%6.3f run=$r%6.3f total=${b + p + r}%6.3f")
+    val modes = Seq(("true", "32"), ("false", "32"), ("true", "8"), ("false", "8"))
+    for (rep <- 1 to 3; (aqe, sp) <- modes; key <- keys) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+      println(f"[floor] rep$rep aqe=$aqe%-5s sp=$sp%-2s $key%-20s ${phases(key)}")
     }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark.stop()
   }
 }

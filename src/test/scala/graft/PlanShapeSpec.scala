@@ -683,7 +683,10 @@ class PlanShapeSpec extends SparkSpecBase {
         .repartition(8)
         .withColumn("k", when(pmod(col("l_orderkey"), lit(10)) < 9, lit(0L))
           .otherwise(col("l_orderkey")))
-    val dimPath = s"${sys.props("java.io.tmpdir")}/graft_skewspec_dim"
+    // per-run path (applicationId suffix): a fixed name let two concurrent
+    // test JVMs on one host clobber each other's parquet mid-read
+    val dimPath = s"${sys.props("java.io.tmpdir")}/graft_skewspec_dim_" +
+      s.sparkContext.applicationId
     skewedFact(s).select(col("k")).distinct()
       .withColumn("w", pmod(col("k"), lit(97)).cast("long"))
       .write.mode("overwrite").parquet(dimPath)

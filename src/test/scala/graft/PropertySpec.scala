@@ -148,6 +148,37 @@ class PropertySpec extends SparkSpecBase {
     assert(recall >= 0.9, f"recall $recall%.4f below floor")
   }
 
+  test("dedup_containment_prefix: null-text docs are singletons, never flagged (r14 fix)") {
+    // Regression for the concat_ws fp bug: concat_ws silently DROPS a null
+    // array_join(toks), so every null-text doc of a lang shared one fp and
+    // got collapsed into a fake clone group with has_container=true. The
+    // blocked truth never pairs null text, so precision 1.0 broke — latent
+    // only because the real fixtures have no null text. Synthesize a corpus
+    // with two null-text docs in one lang and assert both stay unflagged
+    // while a genuine clone pair still is flagged.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, "alpha beta gamma", "en", "web", 16L),
+      Row(2L, "alpha beta gamma", "en", "web", 16L), // exact clone of 1
+      Row(3L, null, "en", "web", 0L),                // null text
+      Row(4L, null, "en", "web", 0L),                // null text, same lang
+      Row(5L, "delta epsilon", "en", "web", 13L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulltext_sf").toString
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Catalog.byKey("dedup_containment_prefix").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), "every doc present exactly once")
+    assert(got(1L) && got(2L), "the genuine clone pair must be flagged")
+    assert(!got(3L) && !got(4L), "null-text docs must never be flagged as clones")
+    assert(!got(5L), "unrelated doc unflagged")
+  }
+
   test("LSH-composed verification: precision 1.0, recall >= 0.9 vs blocked path (VERDICT r1 #5)") {
     // Scale story: the blocked self-join pair metrics are quadratic in
     // their buckets; at 100 TB they run as a *verification stage* over
