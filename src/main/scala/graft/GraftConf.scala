@@ -47,6 +47,26 @@ object GraftConf {
     v
   }
 
+  /** r14 segment-contraction pre-pass toggle for the chain-candidate
+    * propagation entries (dedup_minhash_lsh, dedup_cluster_lsh): star
+    * verified chain runs to their min node before ccLabels so PATH-shaped
+    * components cost fewer serialized pointer-jump rounds. Connectivity
+    * is identical either way (star edges only connect already-connected
+    * nodes — output row-identical, checked by ProfileContraction).
+    *
+    * Default FALSE — measured negative at sf0.1 (ProfileContraction,
+    * same-JVM interleaved ×3): ccLabels converges in 2 rounds with OR
+    * without the pre-pass (the union of 6 salted chain orders already
+    * gives near-random-graph connectivity, so component diameter is
+    * small), and 2 rounds is the loop's floor (propagate + confirm). The
+    * pre-pass therefore bought zero rounds and cost +1.5–2.5 s/entry in
+    * adjacency caching + ok1 join + two extra window passes. Turn it on
+    * for corpora whose verified chains DO form long paths (e.g. few
+    * salts, heavily ordered near-dup chains — watch `graft.cc.debug`
+    * round counts exceed 2-3). */
+  def dedupStarContraction(spark: SparkSession): Boolean =
+    get(spark, "graft.dedup.starContraction", "false").toBoolean
+
   /** SimHash: max Hamming distance accepted as near-dup. Block count for
     * candidate generation is derived: maxHamming+1 blocks (pigeonhole —
     * a pair within the bound must agree on at least one block).

@@ -37,7 +37,7 @@ object ProfileMinhash {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
-      val (_, _, repPairs) =
+      val (_, _, repPairs, _) =
         graft.queries.TextQueries.minhashRepStage(spark, sfDir, chainCandidates = true)
       val nPairs = repPairs.count()
       val t1 = System.nanoTime()
