@@ -16,6 +16,26 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(planOf("join_bhj_dims").contains("BroadcastHashJoin"))
   }
 
+  test("graph shared-edge memo: one cached frame serves the family (r14)") {
+    // pagerank + degree_stats start from the SAME memo'd txn edge frame,
+    // and triangle's distinct pairs are a projection over the weighted
+    // co-part memo that jaccard consumes — the memo returns the identical
+    // DataFrame object per (session, sfDir), and both consumer plans read
+    // an InMemoryRelation instead of re-running the discovery join.
+    val e1 = graft.queries.GraphQueries.txnEdges(spark, sfDir)
+    val e2 = graft.queries.GraphQueries.txnEdges(spark, sfDir)
+    assert(e1 eq e2, "txnEdges must memo per (session, sfDir)")
+    val p1 = graft.queries.GraphQueries.coPartPairs(spark, sfDir)
+    assert(p1 eq graft.queries.GraphQueries.coPartPairs(spark, sfDir))
+    e1.count(); p1.count() // materialize (Bench does this via warmShared)
+    // degree_stats is the clean plan signal: it has NO entry-local cache,
+    // so an InMemoryTableScan in its plan can only be the shared memo
+    // (pagerank/jaccard cache per-entry frames and would pass vacuously)
+    assert(planOf("graph_degree_stats").contains("InMemoryTableScan"),
+      "graph_degree_stats must read the shared edge memo, not re-derive it")
+    assert(Catalog.byKey("graph_degree_stats").run(spark, sfDir).count() > 0)
+  }
+
   test("join_smj_facts sort-merge-joins the two facts") {
     assert(planOf("join_smj_facts").contains("SortMergeJoin"))
   }
