@@ -392,6 +392,10 @@ object VectorQueries {
   private def cellCentroidsOf(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame = {
     cellCentroidCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    // same bound-with-reset policy as Tables.load / GraphQueries.memo:
+    // newSession() children share one live context, so stopped-context
+    // eviction alone cannot bound a session-churning JVM
+    if (cellCentroidCache.size > 256) cellCentroidCache.clear()
     cellCentroidCache.computeIfAbsent((spark, sfDir), _ =>
       Tables.embeddings(spark, sfDir)
         .select(col("label"), posexplode(vdouble(col("embedding"))).as(Seq("pos", "x")))
@@ -430,6 +434,9 @@ object VectorQueries {
     pqModels.forEach { (k, _) =>
       if (k._1.sparkContext.isStopped) pqModels.remove(k)
     }
+    // bound-with-reset, same policy as the sibling memos (a clear costs
+    // one retrain per live model — pure perf cache, never correctness)
+    if (pqModels.size > 256) pqModels.clear()
     val trainMod = graft.GraftConf.pqTrainSampleMod(spark)
     pqModels.computeIfAbsent((spark, sfDir, trainMod, residual), { _ =>
       VectorFunctions.ensureRegistered(spark)
