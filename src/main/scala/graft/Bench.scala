@@ -48,6 +48,7 @@ object Bench {
       // start from them (VERDICT r13 #7)
       graft.queries.GraphQueries.warmShared(spark, sfDir)
       graft.queries.VectorQueries.warmShared(spark, sfDir)
+      graft.queries.TextQueries.warmShared(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] staging warm failed (continuing): $e")
     }

