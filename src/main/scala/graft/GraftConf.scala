@@ -47,6 +47,12 @@ object GraftConf {
     v
   }
 
+  /** Shared-frame memos (graph edge frames, vector index artifacts,
+    * Tables.load): pure perf caches over immutable inputs — results are
+    * identical either way; off only for memory-starved diagnostics. */
+  def graphMemo(spark: SparkSession): Boolean =
+    get(spark, "graft.graph.memo", "true").toBoolean
+
   /** r14 segment-contraction pre-pass toggle for the chain-candidate
     * propagation entries (dedup_minhash_lsh, dedup_cluster_lsh): star
     * verified chain runs to their min node before ccLabels so PATH-shaped

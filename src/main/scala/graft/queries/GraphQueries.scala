@@ -37,7 +37,7 @@ object GraphQueries {
   private def memo(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                    kind: String)(build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    if (spark.conf.get("graft.graph.memo", "true").toBoolean) {
+    if (graft.GraftConf.graphMemo(spark)) {
       edgeCache.keySet.removeIf(_._1.sparkContext.isStopped)
       if (edgeCache.size > 256) edgeCache.clear()
       edgeCache.computeIfAbsent((spark, sfDir, kind), _ => build.cache())

@@ -54,11 +54,12 @@ object BenchGrid {
       sweep()
     }
 
-    val modes = Seq(
-      ("base",  "true",  "32", None),
-      ("sp8",   "true",  "8",  None),
-      ("sp8i",  "true",  "8",  Some("64")),
-      ("noaqe", "false", "8",  None))
+    // round-14 second question: is 8 the sweet spot? (the first grid
+    // settled aqe=on + sp8 > sp32/sp8i/noaqe; this sweep brackets it)
+    val modes: Seq[(String, String, String, Option[String])] = Seq(
+      ("sp8",  "true", "8",  None),
+      ("sp4",  "true", "4",  None),
+      ("sp16", "true", "16", None))
     val times = scala.collection.mutable.Map[(String, String), Double]()
     for (rep <- 1 to reps; (mode, aqe, sp, init) <- modes) {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
@@ -79,10 +80,11 @@ object BenchGrid {
       }
       println(f"[grid] rep$rep mode=$mode%-5s total=$total%7.1f s over ${entries.size} entries")
     }
-    // per-entry regressions vs base (best-of-reps), worst first
+    // per-entry regressions vs the FIRST mode (best-of-reps), worst first
+    val baseMode = modes.head._1
     for ((mode, _, _, _) <- modes.drop(1)) {
       val regs = entries.map(_._1).map { name =>
-        val b = times(("base", name)); val m = times((mode, name))
+        val b = times((baseMode, name)); val m = times((mode, name))
         (name, b, m, m - b)
       }.sortBy(-_._4)
       println(s"[grid] worst regressions $mode vs base:")
