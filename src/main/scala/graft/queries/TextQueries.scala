@@ -1475,19 +1475,34 @@ object TextQueries {
         && col("nx.nnc").between(col("n_chars") - 20, col("n_chars") + 20))
       .select(least(col("doc_id"), col("nx.nid")).as("src"),
         greatest(col("doc_id"), col("nx.nid")).as("dst"),
-        col("fp").as("fp_a"), col("nx.nfp").as("fp_b"))
+        least(col("fp"), col("nx.nfp")).as("fa"),
+        greatest(col("fp"), col("nx.nfp")).as("fb"))
       .distinct()
-    val ga = reps.select(col("fp").as("fp_a"), col("toks").as("toks_a"))
-    val gb = reps.select(col("fp").as("fp_b"), col("toks").as("toks_b"))
+    val ga = reps.select(col("fp").as("fa"), col("toks").as("toks_a"))
+    val gb = reps.select(col("fp").as("fb"), col("toks").as("toks_b"))
     val inter = expr("sorted_intersect_size(toks_a, toks_b)")
     val contraction = graft.GraftConf.dedupStarContraction(spark)
+    // Verify at REP granularity, not per doc pair (r14 ProfileClusterLsh:
+    // 108k doc-pair candidates at sf0.1 carry far fewer DISTINCT (fa, fb)
+    // token-set pairs — clone-heavy corpora re-ran the same O(|toks|)
+    // intersect once per clone adjacency, and the Jaccard predicate
+    // depends ONLY on the token sets). Identical fps are Jaccard 1.0 by
+    // construction and skip the intersect entirely. Doc pairs then join
+    // back on the verified fp-pair set — predicate-identical output, cost
+    // ∝ distinct rep pairs (at 100 TB, the ratio is the clone depth).
+    val fpOk = {
+      val fpCand = cand.select(col("fa"), col("fb")).distinct()
+      fpCand.where(col("fa") === col("fb"))
+        .unionByName(fpCand.where(col("fa") =!= col("fb"))
+          .join(ga, "fa").join(gb, "fb")
+          .where(round(inter * 1.0 /
+            (size(col("toks_a")) + size(col("toks_b")) - inter), 4) >= 0.5)
+          .select(col("fa"), col("fb")))
+    }
     // with the pre-pass on, cached: feeds the contraction's ok1 probe AND
-    // the edge union — without it the exact-Jaccard verify would run twice
+    // the edge union — without it the rep-level verify would run twice
     val chainEdges = {
-      val e = cand.join(ga, "fp_a").join(gb, "fp_b")
-        .where(round(inter * 1.0 /
-          (size(col("toks_a")) + size(col("toks_b")) - inter), 4) >= 0.5)
-        .select(col("src"), col("dst"))
+      val e = cand.join(fpOk, Seq("fa", "fb")).select(col("src"), col("dst"))
       if (contraction) e.cache() else e
     }
     // segment-contraction pre-pass ([[segmentStarEdges]], same rationale
