@@ -39,16 +39,26 @@ object Bench {
     // (a warehouse lays them down at load time); without this warm a fresh
     // JVM's first sink_bucketed_join / sink_zorder_write / tier-E entry
     // carries a one-time staging write that is not the graded operator.
+    // SPARK_GRAFT_BENCH_SHAREDWARM=0 skips the shared-artifact warm so a
+    // COLD-artifact leg is one flag away (the steady-state vs cold split
+    // must stay auditable per round — the train-shaped entries
+    // (pipeline_bpe_train, PQ/IVF codebooks, graph edge memos) time a
+    // memo hit under the warm posture, and the bench JSON records which
+    // posture ran via "shared_warm" so the two are never conflated).
+    val sharedWarm = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHAREDWARM", "1") != "0"
     try {
       graft.queries.ScanQueries.warmStaging(spark, sfDir)
       graft.queries.StreamQueries.warmStaging(spark, sfDir)
+      graft.queries.JoinQueries.warmStaging(spark, sfDir)
       // shared derived frames (graph-family edge memo, vector-family index
       // artifacts): the materialized-view posture — a warehouse builds hot
       // derived frames / offline index artifacts at load time; queries
       // start from them (VERDICT r13 #7)
-      graft.queries.GraphQueries.warmShared(spark, sfDir)
-      graft.queries.VectorQueries.warmShared(spark, sfDir)
-      graft.queries.TextQueries.warmShared(spark, sfDir)
+      if (sharedWarm) {
+        graft.queries.GraphQueries.warmShared(spark, sfDir)
+        graft.queries.VectorQueries.warmShared(spark, sfDir)
+        graft.queries.TextQueries.warmShared(spark, sfDir)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] staging warm failed (continuing): $e")
     }
@@ -148,7 +158,7 @@ object Bench {
       if (acc == 42L) println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"shared_warm":$sharedWarm}"""
     // The JSON travels three redundant ways (VERDICT.md r1 #5: the driver
     // parsed nothing from round 1's single println buried in sbt noise):
     // (1) a file the driver can read directly, (2) an early stdout line,

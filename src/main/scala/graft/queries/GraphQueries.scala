@@ -39,9 +39,20 @@ object GraphQueries {
       : org.apache.spark.sql.DataFrame =
     if (graft.GraftConf.graphMemo(spark)) {
       edgeCache.keySet.removeIf(_._1.sparkContext.isStopped)
-      if (edgeCache.size > 256) edgeCache.clear()
+      // bound-with-reset must also release the cached blocks: dropping the
+      // map entry alone leaves the InMemoryRelation resident until the
+      // context stops — exactly the memory the bound exists to free
+      if (edgeCache.size > 256) {
+        edgeCache.values.forEach(df =>
+          if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false))
+        edgeCache.clear()
+      }
       edgeCache.computeIfAbsent((spark, sfDir, kind), _ => build.cache())
-    } else build.cache()
+    } else build
+    // memo off (memory-starved diagnostics mode): return UNCACHED — a
+    // per-call .cache() with no owner to unpersist it would accumulate a
+    // fresh cached frame per invocation, defeating the knob's purpose.
+    // Entries that reuse the frame within one query pay the rebuild.
 
   /** Undirected-as-directed txn edge set (2·custkey / 2·suppkey+1 ids),
     * one row per distinct trading pair — pagerank + degree_stats. */

@@ -701,9 +701,109 @@ object JoinQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** CBO-statistics staging: a PARTITIONED external catalog table,
+    * ANALYZEd once per (JVM, sfDir). The partitioning is what makes the
+    * exercise real: an unpartitioned data-source table gets its
+    * sizeInBytes from the file listing, so stats never change its plan —
+    * but a partitioned catalog table uses CatalogFileIndex, which reports
+    * `spark.sql.defaultSizeInBytes` (Long.Max) until `ANALYZE TABLE`
+    * stores real stats. That is exactly the 100-TB shape (big tables are
+    * partitioned), and it means the static join strategy can only come
+    * from COLLECTED statistics. Keyed on sfDir alone (not per-session),
+    * same rationale as ScanQueries.bucketedStaged: sibling sessions share
+    * the external catalog and the staged files. Names are sfDir-tagged so
+    * two scale factors in one JVM never alias.
+    * Returns (analyzed customer table, no-stats twin over the SAME files)
+    * — the twin is what PlanShapeSpec plans cold. */
+  private val cboStaged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Returns (analyzed customer, analyzed orders, no-stats customer twin,
+    * no-stats orders twin) — the twins share the hot tables' files and are
+    * what PlanShapeSpec plans cold. */
+  private[graft] def cboTables(spark: org.apache.spark.sql.SparkSession,
+                               sfDir: String): (String, String, String, String) = {
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val cust = s"graft_cbo_customer_$tag"
+    val ords = s"graft_cbo_orders_$tag"
+    val custCold = s"graft_cbo_customer_nostats_$tag"
+    val ordsCold = s"graft_cbo_orders_nostats_$tag"
+    def exist = Seq(cust, ords, custCold, ordsCold)
+      .forall(spark.catalog.tableExists)
+    if (!(cboStaged.contains(sfDir) && exist)) cboStaged.synchronized {
+      if (!cboStaged.contains(sfDir) || !exist) {
+        val custBase = scratchDir("cbo_customer", sfDir)
+        val ordsBase = scratchDir("cbo_orders", sfDir)
+        // write-once layout (same posture as the bucketed tables): the
+        // partitioned copies are input PREPARATION, not part of the query
+        Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .write.mode("overwrite").partitionBy("c_mktsegment").parquet(custBase)
+        Tables.orders(spark, sfDir)
+          .select(col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(ordsBase)
+        Seq(cust -> custBase, custCold -> custBase).foreach { case (t, base) =>
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          spark.sql(s"""CREATE TABLE $t
+                       |(c_custkey BIGINT, c_mktsegment STRING)
+                       |USING PARQUET PARTITIONED BY (c_mktsegment)
+                       |LOCATION '$base'""".stripMargin)
+          spark.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
+        }
+        Seq(ords -> ordsBase, ordsCold -> ordsBase).foreach { case (t, base) =>
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          spark.sql(s"""CREATE TABLE $t
+                       |(o_custkey BIGINT, o_totalprice DOUBLE,
+                       | o_orderpriority STRING)
+                       |USING PARQUET PARTITIONED BY (o_orderpriority)
+                       |LOCATION '$base'""".stripMargin)
+          spark.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
+        }
+        // FOR COLUMNS computes table-level stats (sizeInBytes, rowCount)
+        // AND per-column NDV/min/max — the full CBO input surface. Only
+        // the hot twins are analyzed; the cold twins stay at Long.Max.
+        spark.sql(s"ANALYZE TABLE $cust COMPUTE STATISTICS FOR COLUMNS c_custkey")
+        spark.sql(s"ANALYZE TABLE $ords COMPUTE STATISTICS FOR COLUMNS o_custkey, o_totalprice")
+        cboStaged.add(sfDir)
+      }
+    }
+    (cust, ords, custCold, ordsCold)
+  }
+
+  /** Bench load-phase hook (same write-once posture as
+    * ScanQueries.warmStaging): the partitioned CBO tables + their ANALYZE
+    * are input preparation — a warehouse lays them down at load time. */
+  def warmStaging(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    cboTables(spark, sfDir)
+
+  /** `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS` → stats-driven join
+    * strategy. The join deliberately carries NO broadcast hint and no
+    * `broadcast()` wrapper: a catalog table without stats plans to
+    * SortMergeJoin (sizeInBytes = Long.Max), and only AQE could rescue it
+    * at runtime — AFTER the first shuffle is already written. With
+    * collected stats the static planner picks BroadcastHashJoin at plan
+    * time (PlanShapeSpec asserts BOTH postures on twin tables). At 100 TB
+    * this is the "first join" argument for maintaining table statistics:
+    * AQE's runtime stats arrive one stage too late to unshuffle the
+    * initial probe of a fact table. */
+  private val cboStatsJoin = CatalogEntry.ansi(
+    "opt_cbo_stats_join",
+    """SELECT c_mktsegment,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (spark, sfDir) =>
+    val (cust, ords, _, _) = cboTables(spark, sfDir)
+    spark.table(ords)
+      .join(spark.table(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        decOut(sum(dec(col("o_totalprice")))).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     innerEqui, bhjDims, smjFacts, leftOuter, rightOuter, fullOuter,
     leftSemi, leftAnti, crossSmall, thetaRange, asofEventOrder, asofSorted,
     asofNearest, starMultiway, skewSalted, rangeBucketed, nullSafe,
-    intervalOverlap, lateralTopk, spatialGrid)
+    intervalOverlap, lateralTopk, spatialGrid, cboStatsJoin)
 }

@@ -1511,8 +1511,13 @@ object TextQueries {
     val star = if (!contraction) chainEdges.limit(0) else segmentStarEdges(
       adj.select(lit(0).as("salt"), col("band"),
         // chain partition here is (band, bucket, lang) — fold lang into
-        // the bucket key to fit the helper's (salt, band, bucket) shape
-        concat(col("bucket"), lit("#"), col("lang")).as("bucket"),
+        // the bucket key to fit the helper's (salt, band, bucket) shape.
+        // lang must be null-proofed: concat null-propagates, and a NULL
+        // folded key would merge EVERY bucket of a band into one window
+        // partition with duplicate pos values — nondeterministic tie order
+        // could then emit star edges between unverified nodes, breaking
+        // the output-identical invariant on null-lang corpora
+        concat(col("bucket"), lit("#"), coalesce(col("lang"), lit("\u0000"))).as("bucket"),
         col("pos"), col("doc_id").as("node"), col("n1id").as("n1node")),
       chainEdges.select(col("src").as("a"), col("dst").as("b")))
       .select(col("a").as("src"), col("b").as("dst"))

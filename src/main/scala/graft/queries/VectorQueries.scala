@@ -395,7 +395,13 @@ object VectorQueries {
     // same bound-with-reset policy as Tables.load / GraphQueries.memo:
     // newSession() children share one live context, so stopped-context
     // eviction alone cannot bound a session-churning JVM
-    if (cellCentroidCache.size > 256) cellCentroidCache.clear()
+    if (cellCentroidCache.size > 256) {
+      // release the cached blocks, not just the map entries (the bound's
+      // point is freeing executor memory in a session-churning JVM)
+      cellCentroidCache.values.forEach(df =>
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false))
+      cellCentroidCache.clear()
+    }
     cellCentroidCache.computeIfAbsent((spark, sfDir), _ =>
       Tables.embeddings(spark, sfDir)
         .select(col("label"), posexplode(vdouble(col("embedding"))).as(Seq("pos", "x")))
@@ -436,7 +442,15 @@ object VectorQueries {
     }
     // bound-with-reset, same policy as the sibling memos (a clear costs
     // one retrain per live model — pure perf cache, never correctness)
-    if (pqModels.size > 256) pqModels.clear()
+    if (pqModels.size > 256) {
+      // unpersist both cached frames per model before dropping the entries
+      pqModels.values.forEach { case (cents, codes) =>
+        if (!cents.sparkSession.sparkContext.isStopped) {
+          cents.unpersist(false); codes.unpersist(false)
+        }
+      }
+      pqModels.clear()
+    }
     val trainMod = graft.GraftConf.pqTrainSampleMod(spark)
     pqModels.computeIfAbsent((spark, sfDir, trainMod, residual), { _ =>
       VectorFunctions.ensureRegistered(spark)
@@ -1157,6 +1171,10 @@ object VectorQueries {
     def update = assign
       .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "val")))
       .groupBy(col("cluster_id"), col("pos"))
+      // ×1e12 fixed-point (deterministic long sum, same convention as the
+      // pagerank quantizer): |val| > ~9.2e6 would overflow the per-element
+      // long — unreachable here (embeddings are unit-scale, |val| ≤ ~1),
+      // and the SUM itself has ~9.2e18/1e12 ≈ 9.2e6 rows of headroom/unit
       .agg(sum(floor(col("val") * 1e12 + 0.5).cast("long")).as("sq"),
         count(lit(1)).as("n_members"))
       .select(col("cluster_id"), col("pos"),

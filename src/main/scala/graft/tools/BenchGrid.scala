@@ -37,6 +37,10 @@ object BenchGrid {
     try {
       graft.queries.ScanQueries.warmStaging(spark, sfDir)
       graft.queries.StreamQueries.warmStaging(spark, sfDir)
+      graft.queries.JoinQueries.warmStaging(spark, sfDir)
+      graft.queries.GraphQueries.warmShared(spark, sfDir)
+      graft.queries.VectorQueries.warmShared(spark, sfDir)
+      graft.queries.TextQueries.warmShared(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[grid] staging warm: $e") }
     val tableRdds = spark.sparkContext.getPersistentRDDs.keySet
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -54,20 +58,26 @@ object BenchGrid {
       sweep()
     }
 
-    // round-14 second question: is 8 the sweet spot? (the first grid
-    // settled aqe=on + sp8 > sp32/sp8i/noaqe; this sweep brackets it)
-    val modes: Seq[(String, String, String, Option[String])] = Seq(
-      ("sp8",  "true", "8",  None),
-      ("sp4",  "true", "4",  None),
-      ("sp16", "true", "16", None))
+    // round-15 question (VERDICT r14 #3): with sp=8 + AQE settled, do the
+    // coalesce knobs move the per-entry floor? parallelismFirst=false makes
+    // AQE coalesce toward advisoryPartitionSizeInBytes instead of maximum
+    // parallelism (fewer, bigger partitions → fewer task dispatches on the
+    // 176 sub-0.5 s entries); the advisory sweep brackets the size target.
+    // All modes keep aqe=on + sp8 (the r14 winners).
+    val PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val ADV = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val modes: Seq[(String, Map[String, String])] = Seq(
+      ("base",   Map.empty),
+      ("pf",     Map(PF -> "false")),
+      ("pf16m",  Map(PF -> "false", ADV -> "16m")),
+      ("pf256m", Map(PF -> "false", ADV -> "256m")))
+    val allKeys = modes.flatMap(_._2.keys).distinct
     val times = scala.collection.mutable.Map[(String, String), Double]()
-    for (rep <- 1 to reps; (mode, aqe, sp, init) <- modes) {
-      spark.conf.set("spark.sql.adaptive.enabled", aqe)
-      spark.conf.set("spark.sql.shuffle.partitions", sp)
-      init match {
-        case Some(v) => spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", v)
-        case None => spark.conf.unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
-      }
+    for (rep <- 1 to reps; (mode, confs) <- modes) {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      allKeys.foreach(spark.conf.unset)
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
       var total = 0.0
       entries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -82,7 +92,7 @@ object BenchGrid {
     }
     // per-entry regressions vs the FIRST mode (best-of-reps), worst first
     val baseMode = modes.head._1
-    for ((mode, _, _, _) <- modes.drop(1)) {
+    for ((mode, _) <- modes.drop(1)) {
       val regs = entries.map(_._1).map { name =>
         val b = times((baseMode, name)); val m = times((mode, name))
         (name, b, m, m - b)

@@ -87,13 +87,23 @@ object FloorProbe {
 
     // listener events are async; a short drain keeps the per-phase counts
     // attributable (untimed — this is a dev probe, not the bench)
-    def drained[A](f: => A): (A, Array[Long]) = {
+    // returns (result, counter deltas, MEASURED drain seconds): sleep(80)
+    // guarantees only a lower bound, so the caller must subtract the
+    // actual drain time, not a constant — a loaded host can oversleep by
+    // tens of ms per call, which would inflate run1/run2 (these numbers
+    // fed the sp=8 decision; a constant subtraction could also go negative)
+    def drained[A](f: => A): (A, Array[Long], Double) = {
+      val d0 = System.nanoTime()
       Thread.sleep(80)
       val before = counter.snap()
+      val d1 = System.nanoTime()
       val r = f
+      val d2 = System.nanoTime()
       Thread.sleep(80)
       val after = counter.snap()
-      (r, after.zip(before).map { case (a, b) => a - b })
+      val d3 = System.nanoTime()
+      val drain = ((d1 - d0) + (d3 - d2)) / 1e9
+      (r, after.zip(before).map { case (a, b) => a - b }, drain)
     }
 
     def fmt(c: Array[Long]): String =
@@ -106,13 +116,14 @@ object FloorProbe {
       val t1 = System.nanoTime()
       df.queryExecution.executedPlan
       val t2 = System.nanoTime()
-      val (_, c1) = drained { df.count() }
+      val (_, c1, d1) = drained { df.count() }
       val t3 = System.nanoTime()
-      val (_, c2) = drained { df.count() }
+      val (_, c2, d2) = drained { df.count() }
       val t4 = System.nanoTime()
-      // drained sleeps inside the t2..t3/t3..t4 spans; subtract them out
-      val r1 = (t3 - t2) / 1e9 - 0.16
-      val r2 = (t4 - t3) / 1e9 - 0.16
+      // drained sleeps inside the t2..t3/t3..t4 spans; subtract the
+      // MEASURED drain durations (not the nominal 160 ms — see drained)
+      val r1 = (t3 - t2) / 1e9 - d1
+      val r2 = (t4 - t3) / 1e9 - d2
       f"build=${(t1 - t0) / 1e9}%6.3f plan=${(t2 - t1) / 1e9}%6.3f " +
         f"run1=$r1%6.3f(${fmt(c1)}) " +
         f"run2=$r2%6.3f(${fmt(c2)})"

@@ -731,4 +731,31 @@ class PlanShapeSpec extends SparkSpecBase {
     // both spellings agree on the result regardless of the split
     assert(row.getLong(0) == rowB.getLong(0) && row.getDouble(1) == rowB.getDouble(1))
   }
+  test("opt_cbo_stats_join: collected stats flip the static first-join SMJ→BHJ with no hint") {
+    // Twin PARTITIONED catalog tables with NO statistics: a partitioned
+    // catalog table's CatalogFileIndex reports
+    // spark.sql.defaultSizeInBytes = Long.Max until ANALYZE runs (an
+    // unpartitioned data-source table would leak its real size through
+    // the file listing — verified while building this test), so the
+    // STATIC planner can only choose SortMergeJoin. AQE could convert it
+    // at runtime — but only after the first shuffle is written, which is
+    // the 100-TB cost the stats exist to avoid.
+    import org.apache.spark.sql.functions.col
+    val (_, _, custCold, ordsCold) =
+      graft.queries.JoinQueries.cboTables(spark, sfDir)
+    val cold = spark.table(ordsCold)
+      .join(spark.table(custCold), col("o_custkey") === col("c_custkey"))
+    val coldPlan = cold.queryExecution.sparkPlan.toString
+    assert(coldPlan.contains("SortMergeJoin"),
+      s"without stats the static planner must fall back to SMJ:\n$coldPlan")
+    assert(!coldPlan.contains("BroadcastHashJoin"))
+    // The entry stages ANALYZEd twins of the same tables: the static plan
+    // must pick BroadcastHashJoin from the collected sizeInBytes alone —
+    // the entry's code carries no broadcast() and no hint.
+    val hot = Catalog.byKey("opt_cbo_stats_join").run(spark, sfDir)
+    val hotPlan = hot.queryExecution.sparkPlan.toString
+    assert(hotPlan.contains("BroadcastHashJoin"),
+      s"with collected stats the static planner must pick BHJ un-hinted:\n$hotPlan")
+    assert(hot.count() > 0)
+  }
 }
