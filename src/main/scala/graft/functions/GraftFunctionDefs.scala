@@ -54,6 +54,9 @@ object GraftFunctionDefs {
     (FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (c: Seq[Expression]) => SortedIntersectSize(c(0), c(1))),
+    (FunctionIdentifier("sorted_intersect_size_l"),
+      new ExpressionInfo(classOf[SortedIntersectSizeLong].getName, "sorted_intersect_size_l"),
+      (c: Seq[Expression]) => SortedIntersectSizeLong(c(0), c(1))),
     (FunctionIdentifier("kll_sketch_agg"),
       new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
       (c: Seq[Expression]) => KllSketchAgg(c.head, kArg(c, "kll_sketch_agg"))),

@@ -95,6 +95,61 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ARRAY<BIGINT> twin of [[SortedIntersectSize]] (r15 100× leg): the
+  * cluster-LSH verify ships token arrays through a shuffle join, and at
+  * the 100× synth that exchange was 3-4× the bytes it needed to be with
+  * string tokens — verifying over per-token xxhash64 arrays cuts the
+  * payload to 8 B/token. Same preconditions (sorted ascending, distinct,
+  * no null elements); same merge-walk, primitive long compares. The
+  * 64-bit token-collision odds within one pair's union (~400 tokens) are
+  * ~C(400,2)/2^64 ≈ 4e-15 — a collision shifts the intersect by 1 at the
+  * J=0.5 boundary; acceptable for the no-oracle LSH paths whose floors
+  * are statistical (the md5 CLONE grouping stays 128-bit — clone identity
+  * never rides a 64-bit hash). */
+case class SortedIntersectSizeLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_size_l"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xi = $a.getLong($i);
+         |  long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSizeLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime registration, same imperative shape as [[VectorFunctions]]. */
 object TextFunctions {
   def ensureRegistered(spark: SparkSession): Unit =

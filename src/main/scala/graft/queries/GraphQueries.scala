@@ -369,6 +369,18 @@ object GraphQueries {
       .where(col("rn") <= 32).select(col("u"), col("v"))
       .cache()
     val d = topw.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    // Wedge enumeration stays the topw⋈topw self-join. The r15 100× leg
+    // A/B'd a partition-local array-explode spelling (collect ≤32
+    // neighbors per center on the window's existing u-partitioning,
+    // generate C(≤32,2) pairs via nested transform() inside the row) —
+    // it measured WORSE (522.8 s best / 1424 s first-rep vs the join's
+    // 478.0 s at 100×): higher-order functions are not whole-stage-
+    // codegen'd, so the ~1 B wedge rows moved from generated join code to
+    // the interpreted lambda path. The join spelling keeps wedge
+    // generation inside codegen; the ~1 B-row groupBy(p1,p2) that follows
+    // is the honest linear cost the top-32 sparsifier contract bounds
+    // (n·C(32,2) wedges regardless of skew — exponent ≈ 1.0 across the
+    // 1×/10×/100× legs, see BASELINE.md round-15 table).
     val wedge = topw.as("e1")
       .join(topw.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .groupBy(col("e1.v").as("p1"), col("e2.v").as("p2"))

@@ -731,8 +731,14 @@ object JoinQueries {
       .forall(spark.catalog.tableExists)
     if (!(cboStaged.contains(sfDir) && exist)) cboStaged.synchronized {
       if (!cboStaged.contains(sfDir) || !exist) {
-        val custBase = scratchDir("cbo_customer", sfDir)
-        val ordsBase = scratchDir("cbo_orders", sfDir)
+        // per-JVM scratch (applicationId suffix, the PlanShapeSpec skew-test
+        // convention): ANALYZE stats live in the per-JVM in-memory catalog,
+        // so cross-JVM file reuse buys nothing — and a fixed path would let
+        // two concurrent JVMs (driver Verify + a local bench) clobber each
+        // other's parquet mid-read
+        val app = spark.sparkContext.applicationId
+        val custBase = scratchDir("cbo_customer", sfDir) + "_" + app
+        val ordsBase = scratchDir("cbo_orders", sfDir) + "_" + app
         // write-once layout (same posture as the bucketed tables): the
         // partitioned copies are input PREPARATION, not part of the query
         Tables.customer(spark, sfDir)

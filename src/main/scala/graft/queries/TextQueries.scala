@@ -1416,14 +1416,22 @@ object TextQueries {
     val rowsPerBand = 2
     val nHashes = bands * rowsPerBand
     graft.functions.TextFunctions.ensureRegistered(spark)
+    // fp as 16-BYTE BINARY, not the 32-char hex string (r15 100× leg:
+    // fp rides every banded row, both sides of every candidate pair, and
+    // the cand DISTINCT key — the hex spelling tripled those shuffle
+    // bytes). Still the full 128-bit md5: clone identity never rides a
+    // truncated hash. htoks = per-token xxhash64, sorted — the verify
+    // payload at 8 B/token instead of full UTF8 tokens (see
+    // SortedIntersectSizeLong for the collision arithmetic).
     val t = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         sort_array(array_distinct(split(col("text"), " "))).as("toks"))
-      .withColumn("fp", md5(array_join(col("toks"), " ")))
+      .withColumn("fp", expr("to_binary(md5(array_join(toks, ' ')), 'hex')"))
+      .withColumn("htoks", expr("array_sort(transform(toks, tk -> xxhash64(tk)))"))
       .cache()
     val members = t.select(col("fp"), col("doc_id"), col("lang"), col("n_chars"))
     val reps = t.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
-      .join(t.select(col("doc_id").as("rep_id"), col("toks")), "rep_id")
+      .join(t.select(col("doc_id").as("rep_id"), col("toks"), col("htoks")), "rep_id")
     // one signature per distinct token set; banding fans out per member
     val minExprs = (0 until nHashes).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
@@ -1478,9 +1486,9 @@ object TextQueries {
         least(col("fp"), col("nx.nfp")).as("fa"),
         greatest(col("fp"), col("nx.nfp")).as("fb"))
       .distinct()
-    val ga = reps.select(col("fp").as("fa"), col("toks").as("toks_a"))
-    val gb = reps.select(col("fp").as("fb"), col("toks").as("toks_b"))
-    val inter = expr("sorted_intersect_size(toks_a, toks_b)")
+    val ga = reps.select(col("fp").as("fa"), col("htoks").as("toks_a"))
+    val gb = reps.select(col("fp").as("fb"), col("htoks").as("toks_b"))
+    val inter = expr("sorted_intersect_size_l(toks_a, toks_b)")
     val contraction = graft.GraftConf.dedupStarContraction(spark)
     // Verify at REP granularity, not per doc pair (r14 ProfileClusterLsh:
     // 108k doc-pair candidates at sf0.1 carry far fewer DISTINCT (fa, fb)

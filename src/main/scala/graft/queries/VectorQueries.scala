@@ -1354,46 +1354,100 @@ object VectorQueries {
     * true neighbors sit at ~70°, so 8×4-bit tables leave wide buckets —
     * corpora with genuine near-dup structure sit on the cheap side of the
     * SRP S-curve. No oracle (bucketing is probabilistic by design);
-    * PropertySpec pins mean per-node edge recall vs the exact twin. */
+    * PropertySpec pins mean per-node edge recall vs the exact twin.
+    *
+    * Canonicalize-first (r15 100× fix): occupancy pinning bounds bucket
+    * width for DISTINCT vectors, but identical vectors share the exact
+    * signature in EVERY table — no number of bits can split them, so a
+    * corpus with g-deep exact-duplicate embedding groups (the norm in web
+    * corpora: duplicate docs → identical embeddings) made the co-bucket
+    * self-join quadratic in g (measured at the 100× leg: 100-deep groups
+    * → 413 s vs a ~4 s base). Same playbook as the text dedup family:
+    * group identical vectors by a (xxhash64, murmur) pair over the value,
+    * run SRP + rerank on one representative per group (candidate pairs
+    * linear again), then fan the graph back out with BOUNDED per-group
+    * id prefixes — a member's true top-k starts with its g−1 duplicate
+    * siblings at cosine exactly 1.0 (tie-break id ASC, so the 6 smallest
+    * member ids cover every member's 5 sibling slots), then the rep-level
+    * neighbors' smallest-id members. For an all-distinct corpus (every
+    * group a singleton) this reduces exactly to the previous pipeline. */
   private val knnGraphLsh = CatalogEntry.noOracle("vec_knn_graph_lsh") { (spark, sfDir) =>
     VectorFunctions.ensureRegistered(spark)
     val nTables = graft.GraftConf.lshAnnTables(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), vdouble(col("embedding")).as("v"))
-    // occupancy-pinned bucket width (see srpEffectiveBits): candidate
-    // pairs stay linear in corpus size instead of quadratic; the count
-    // probe is memoized per (session, sfDir) — see embCorpusCount
+    // exact-duplicate grouping: 96-bit hash pair over the double array —
+    // deterministic, collision odds ~2^-96 per pair (no full-array compare
+    // needed; a collision would only merge two groups' candidate sets)
+    val withFp = emb.withColumn("fp",
+      struct(xxhash64(col("v")).as("h1"), hash(col("v")).as("h2")))
+    // per-group 6-smallest-id prefix via a bounded window (never a full
+    // per-group collect: group depth is unbounded at 100 TB)
+    val wfp = Window.partitionBy(col("fp")).orderBy(col("vec_id"))
+    val ranked = withFp.withColumn("grn", row_number().over(wfp)).cache()
+    val groups = ranked.where(col("grn") <= 6)
+      .groupBy(col("fp"))
+      .agg(min(col("vec_id")).as("rep"),
+        array_sort(collect_list(col("vec_id"))).as("prefix"))
+      .cache()
+    val reps = ranked.where(col("grn") === 1)
+      .select(col("vec_id").as("rep_id"), col("v"))
+    // occupancy-pinned bucket width (see srpEffectiveBits) over the REP
+    // population: candidate pairs stay linear in distinct-vector count;
+    // the count probe is memoized per (session, sfDir) — see embCorpusCount
     val bits = srpEffectiveBits(spark, embCorpusCount(spark, sfDir))
     val nPlanes = nTables * bits
     def rcomp(p: Int): Column =
       (pmod(xxhash64(lit(p), col("pos")), lit(2001L)) - lit(1000L)) / lit(1000.0)
     val sumExprs = (0 until nPlanes).map(p => sum(col("x") * rcomp(p)).as(s"s$p"))
-    val sigs = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("vec_id")).agg(sumExprs.head, sumExprs.tail: _*)
+    val sigs = reps.select(col("rep_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("rep_id")).agg(sumExprs.head, sumExprs.tail: _*)
     val bucketCols = (0 until nTables).map { t =>
       (0 until bits).map { b =>
         when(col(s"s${t * bits + b}") >= 0, lit(1 << b)).otherwise(lit(0))
       }.reduce(_ + _).as(s"bkt$t")
     }
-    val tabled = sigs.select((col("vec_id") +: bucketCols): _*)
-      .select(col("vec_id"),
+    val tabled = sigs.select((col("rep_id") +: bucketCols): _*)
+      .select(col("rep_id"),
         posexplode(array((0 until nTables).map(t => col(s"bkt$t")): _*))
           .as(Seq("tbl", "bucket")))
     val cand = tabled.as("a")
       .join(tabled.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+          col("a.rep_id") < col("b.rep_id"))
+      .select(col("a.rep_id").as("ida"), col("b.rep_id").as("idb"))
       .distinct()
     // candidates are symmetric: emit both directions so each endpoint ranks
     // the other among ITS neighbors
     val pairs = cand.unionByName(cand.select(col("idb").as("ida"), col("ida").as("idb")))
-    val va = emb.select(col("vec_id").as("ida"), col("v").as("va"))
-    val vb = emb.select(col("vec_id").as("idb"), col("v").as("vb"))
-    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
-    pairs.join(va, "ida").join(vb, "idb")
-      .select(col("ida").as("src"), col("idb").as("dst"),
+    val va = reps.select(col("rep_id").as("ida"), col("v").as("va"))
+    val vb = reps.select(col("rep_id").as("idb"), col("v").as("vb"))
+    // rep-level top-5 neighbor GROUPS per source group (exact cosine
+    // rerank, identical to the previous per-node rerank when groups are
+    // singletons); 5 groups × ≥1 member always fill a member's 5 slots
+    val wRep = Window.partitionBy(col("srep")).orderBy(col("sim").desc, col("drep"))
+    val repEdges = pairs.join(va, "ida").join(vb, "idb")
+      .select(col("ida").as("srep"), col("idb").as("drep"),
         round(expr("cosine_sim(va, vb)"), 4).as("sim"))
+      .withColumn("rn", row_number().over(wRep))
+      .where(col("rn") <= 5)
+      .select(col("srep"), col("drep"), col("sim"))
+    // fan back out: per-GROUP candidate list (≤5 groups × ≤5 smallest-id
+    // members + ≤6 own-group siblings at sim 1.0 — cosine_sim(v,v) rounds
+    // to exactly 1.0, so the literal matches what the exact twin computes
+    // for a duplicate pair), then members rank their ≤31 candidates
+    val gsel = groups.select(col("fp"), col("rep"), col("prefix"))
+    val crossCand = repEdges
+      .join(gsel.select(col("rep").as("srep"), col("fp").as("sfp")), "srep")
+      .join(gsel.select(col("rep").as("drep"), col("prefix").as("dprefix")), "drep")
+      .select(col("sfp"), explode(slice(col("dprefix"), 1, 5)).as("dst"), col("sim"))
+    val ownCand = gsel.select(col("fp").as("sfp"),
+      explode(col("prefix")).as("dst"), lit(1.0).as("sim"))
+    val cands = crossCand.unionByName(ownCand)
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    ranked.select(col("fp").as("sfp"), col("vec_id").as("src"))
+      .join(cands, "sfp")
+      .where(col("dst") =!= col("src"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)
       .select(col("src"), col("rn").cast("long").as("rn"), col("dst"), col("sim"))
