@@ -112,6 +112,24 @@ case class SortedIntersectSizeLong(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size_l"
 
+  // Unlike the string sibling (whose getUTF8String on a mistyped array
+  // throws immediately), getLong over e.g. ARRAY<STRING> reads garbage
+  // offsets silently — so misuse must fail at ANALYSIS time, not return
+  // wrong counts at runtime. ExpectsInputTypes is private[sql] in Spark 4;
+  // the public seam is checkInputDataTypes itself.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -42,10 +42,17 @@ object GraphQueries {
       // bound-with-reset must also release the cached blocks: dropping the
       // map entry alone leaves the InMemoryRelation resident until the
       // context stops — exactly the memory the bound exists to free
+      // evict entry-by-entry via the iterator (not forEach + clear()):
+      // clear() would also drop entries inserted concurrently between the
+      // sweep and the clear WITHOUT unpersisting them — leaked blocks until
+      // the context stops. Iterator removal only drops what was unpersisted.
       if (edgeCache.size > 256) {
-        edgeCache.values.forEach(df =>
-          if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false))
-        edgeCache.clear()
+        val it = edgeCache.entrySet().iterator()
+        while (it.hasNext) {
+          val df = it.next().getValue
+          if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
+          it.remove()
+        }
       }
       edgeCache.computeIfAbsent((spark, sfDir, kind), _ => build.cache())
     } else build

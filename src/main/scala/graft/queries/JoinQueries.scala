@@ -722,7 +722,13 @@ object JoinQueries {
     * what PlanShapeSpec plans cold. */
   private[graft] def cboTables(spark: org.apache.spark.sql.SparkSession,
                                sfDir: String): (String, String, String, String) = {
-    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    // Tag with the sanitized FULL sfDir (the Util.scratchDir convention),
+    // not a hashCode: two sfDirs with colliding String.hashCode in one JVM
+    // would alias the same catalog table names while cboStaged (keyed on
+    // the full sfDir) prevents re-staging — the first sfDir's queries
+    // would silently read the second's data.
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+
     val cust = s"graft_cbo_customer_$tag"
     val ords = s"graft_cbo_orders_$tag"
     val custCold = s"graft_cbo_customer_nostats_$tag"

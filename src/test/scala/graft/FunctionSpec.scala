@@ -133,4 +133,21 @@ class FunctionSpec extends SparkSpecBase {
     assert(r.getInt(3) == 2)
     assert(r.isNullAt(4))
   }
+
+  test("sorted_intersect_size_l rejects non-ARRAY<BIGINT> args at analysis time (ADVICE r15)") {
+    // Unlike the string sibling, getLong over a mistyped array reads
+    // garbage offsets SILENTLY — misuse must fail analysis, not return
+    // wrong counts at runtime
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val ok = spark.sql(
+      "SELECT sorted_intersect_size_l(array(1L,2L,3L), array(2L,3L,4L)) AS n")
+      .collect().head.getInt(0)
+    assert(ok == 2)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT sorted_intersect_size_l(array('a','b'), array('b','c'))").collect()
+    }
+    assert(e.getMessage.contains("sorted_intersect_size_l"),
+      s"unexpected analysis error: ${e.getMessage}")
+  }
 }

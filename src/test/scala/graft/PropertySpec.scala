@@ -401,6 +401,53 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("vec_knn_graph_lsh: duplicate-ratio gate + group-branch sibling guarantee (r16)") {
+    // The r16 dup-ratio probe routes all-distinct corpora down the direct
+    // SRP pipeline and duplicate-bearing corpora down the canonicalize-
+    // first branch. The fixture corpus is all-distinct (gate = true);
+    // synthesize a 30-group × 10-replica corpus (distinct ratio 0.1,
+    // gate = false) and assert the group branch's core guarantee: every
+    // member's top-5 is exactly its 5 smallest-id duplicate siblings at
+    // cosine 1.0 (a member's true top-k starts with its siblings; tie-
+    // break dst asc) — the property the 413 s→9.8 s 100× fix must keep.
+    assert(queries.VectorQueries.embAllDistinct(spark, sfDir),
+      "fixture embeddings should read as all-distinct")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new java.util.Random(20260816L)
+    val dim = 16; val nGroups = 30; val depth = 10
+    val base = Array.fill(nGroups)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = new java.util.ArrayList[Row]()
+    // interleave ids across groups (id = m * nGroups + g) so sibling ids
+    // are NON-contiguous — the guarantee must not depend on id layout
+    for (m <- 0 until depth; g <- 0 until nGroups)
+      rows.add(Row((m * nGroups + g).toLong, base(g).toSeq, g))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupvec_sf").toString
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(!queries.VectorQueries.embAllDistinct(spark, dir),
+      "10-deep duplicate corpus must fail the all-distinct gate")
+    val got = Catalog.byKey("vec_knn_graph_lsh").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc.size == nGroups * depth, "every member emits a ranked list")
+    for (g <- 0 until nGroups) {
+      val members = (0 until depth).map(m => (m * nGroups + g).toLong).sorted
+      members.foreach { src =>
+        val edges = bySrc(src).sortBy(_._2)
+        assert(edges.map(_._2).toSeq == (1L to 5L), s"src=$src ranks not dense 1..5")
+        assert(edges.forall(_._4 == 1.0), s"src=$src has a non-sibling (<1.0) edge")
+        val want = members.filter(_ != src).take(5)
+        assert(edges.map(_._3).toSeq == want,
+          s"src=$src neighbors ${edges.map(_._3).toSeq} != 5 smallest siblings $want")
+      }
+    }
+  }
+
   test("vec_ivf_pq MEAN recall over 10 queries vs brute force") {
     // mean over 10 query ids, not one: single-query recall@10 swings ±0.2
     // on this near-orthogonal corpus (measured in RecallAB), so a one-query
