@@ -599,7 +599,24 @@ object TextQueries {
     * agree on at least one of the 4 blocks), verified by bit_count(xor).
     * Fully deterministic; no oracle (xxhash64). Identical token sets ⇒
     * identical fingerprints ⇒ Hamming 0, so exact dups are found with
-    * recall 1.0 (property-tested). */
+    * recall 1.0 (property-tested).
+    *
+    * Scale spelling (r16 100× fix — 260 s → see BASELINE.md): the naive
+    * doc-level co-block self-join is quadratic in clone-CLIQUE depth (a
+    * 100-deep near-dup clique shares most blocks, so one (block, key)
+    * bucket held ~25k docs → ~1.2 B joined rows, then a 420 M-row
+    * DISTINCT to collapse multi-block agreements). Hamming distance
+    * depends ONLY on the two fingerprint values, so the banding runs at
+    * the DISTINCT-simhash level — bucket occupancy collapses from clique
+    * depth to distinct-value count — and doc pairs fan back out through
+    * two value→member joins, linear in OUTPUT size. Multi-block
+    * agreements are deduped with the first-agreeing-block trick (emit a
+    * value pair only from the lowest block index on which it agrees — a
+    * map-side bit-math filter) instead of a global DISTINCT, so no
+    * quadratic-shaped shuffle survives anywhere. Output is unchanged:
+    * every qualifying (doc_a < doc_b, hamming) pair exactly once — the
+    * OUTPUT itself is quadratic in clique depth by contract, and scales
+    * with true near-dup pair mass, not with the join plan. */
   private val simhash = CatalogEntry.noOracle("dedup_simhash") { (spark, sfDir) =>
     val bits = 64
     // pigeonhole: within Hamming distance d, a pair must agree on one of
@@ -619,19 +636,41 @@ object TextQueries {
       (0 until bits).map { k =>
         when(col(s"b$k") >= 0, lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _).as("simhash"))
-    val blocked = sim.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until nBlocks).map(b =>
-        shiftright(col("simhash"), b * blockBits).bitwiseAND(blockMask)): _*)).as(Seq("block", "key")))
-    val l = blocked.select(col("block"), col("key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val r = blocked.select(col("block"), col("key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("block", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    def blockOf(c: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column =
+      shiftright(c, b * blockBits).bitwiseAND(blockMask)
+    // band over DISTINCT fingerprint values, not docs
+    val vals = sim.select(col("simhash")).distinct()
+    val blocked = vals.select(col("simhash"),
+      posexplode(array((0 until nBlocks).map(b => blockOf(col("simhash"), b)): _*))
+        .as(Seq("block", "key")))
+    val l = blocked.select(col("block"), col("key"), col("simhash").as("sh_a"))
+    val r = blocked.select(col("block"), col("key"), col("simhash").as("sh_b"))
+    // emit each value pair from its FIRST agreeing block only: for join
+    // block b, require blocks 0..b-1 to DISAGREE (pure bit math on the
+    // two values — evaluated map-side in the join output, no DISTINCT)
+    val firstAgree = (0 until nBlocks).map { b =>
+      col("block") === b && (0 until b)
+        .map(j => blockOf(col("sh_a"), j) =!= blockOf(col("sh_b"), j))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    val valPairs = l.join(r, Seq("block", "key"))
+      .where(col("sh_a") < col("sh_b") && firstAgree)
+      .select(col("sh_a"), col("sh_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+    // fan back out to doc pairs: cross-value pairs orient by id (every
+    // member pairing qualifies at the value pair's hamming), same-value
+    // members pair at hamming 0
+    val mA = sim.select(col("simhash").as("sh_a"), col("doc_id").as("ida"))
+    val mB = sim.select(col("simhash").as("sh_b"), col("doc_id").as("idb"))
+    val cross = valPairs.join(mA, "sh_a").join(mB, "sh_b")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+    val within = mA.join(mB, col("sh_a") === col("sh_b"))
+      .where(col("ida") < col("idb"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
