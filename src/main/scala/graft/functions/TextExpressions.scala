@@ -119,9 +119,14 @@ case class SortedIntersectSizeLong(left: Expression, right: Expression)
   // the public seam is checkInputDataTypes itself.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    import org.apache.spark.sql.types.{ArrayType, LongType}
+    import org.apache.spark.sql.types.{ArrayType, LongType, NullType}
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(LongType, _) => true
+      // an untyped NULL literal is safe — nullSafeEval returns NULL before
+      // any element access, so the misread-offsets hazard this check
+      // guards against can't arise (ADVICE r16: the strict check silently
+      // broke SQL callers passing bare NULL, which evaluated fine before)
+      case NullType => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess

@@ -722,12 +722,21 @@ object JoinQueries {
     * what PlanShapeSpec plans cold. */
   private[graft] def cboTables(spark: org.apache.spark.sql.SparkSession,
                                sfDir: String): (String, String, String, String) = {
-    // Tag with the sanitized FULL sfDir (the Util.scratchDir convention),
-    // not a hashCode: two sfDirs with colliding String.hashCode in one JVM
-    // would alias the same catalog table names while cboStaged (keyed on
-    // the full sfDir) prevents re-staging — the first sfDir's queries
-    // would silently read the second's data.
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    // Tag = readable sanitized tail + SHA-256 digest prefix of the RAW
+    // sfDir (ADVICE r16): sanitize-alone is non-injective — /data/sf0.01
+    // and /data/sf0_01 collapse to one name while cboStaged stays keyed on
+    // the raw sfDir, so the second sfDir would re-stage over the first's
+    // tables and the first's queries silently read the second's data. The
+    // digest makes distinct raw sfDirs yield distinct table names
+    // (collision odds 2^-64), and truncating the readable tail bounds the
+    // identifier length for arbitrarily deep paths.
+    val tag = {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(sfDir.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString
+      sfDir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase.takeRight(40) +
+        "_" + digest
+    }
 
     val cust = s"graft_cbo_customer_$tag"
     val ords = s"graft_cbo_orders_$tag"

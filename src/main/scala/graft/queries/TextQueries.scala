@@ -617,14 +617,13 @@ object TextQueries {
     * every qualifying (doc_a < doc_b, hamming) pair exactly once — the
     * OUTPUT itself is quadratic in clique depth by contract, and scales
     * with true near-dup pair mass, not with the join plan. */
-  private val simhash = CatalogEntry.noOracle("dedup_simhash") { (spark, sfDir) =>
+  /** Per-document 64-bit SimHash fingerprints `(doc_id, simhash)` — the
+    * sign-of-sums construction both simhash spellings share: one explode +
+    * groupBy pass computes all 64 conditional bit sums (not 64 array
+    * traversals); identical token sets ⇒ identical fingerprints. */
+  private def simhashValues(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
     val bits = 64
-    // pigeonhole: within Hamming distance d, a pair must agree on one of
-    // d+1 equal blocks; maxHamming is corpus-tunable via spark.conf
-    val maxHamming = graft.GraftConf.simhashMaxHamming(spark)
-    val nBlocks = maxHamming + 1
-    val blockBits = bits / nBlocks
-    val blockMask = (1L << blockBits) - 1
     val tokenHashes = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
       .withColumn("h", xxhash64(col("t")))
@@ -632,32 +631,55 @@ object TextQueries {
       sum(shiftright(col("h"), k).bitwiseAND(1) * 2 - 1).as(s"b$k"))
     val bitSums = tokenHashes.groupBy(col("doc_id"))
       .agg(bitSumExprs.head, bitSumExprs.tail: _*)
-    val sim = bitSums.select(col("doc_id"),
+    bitSums.select(col("doc_id"),
       (0 until bits).map { k =>
         when(col(s"b$k") >= 0, lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming-ball edges over DISTINCT fingerprint VALUES (the r16 scale
+    * spelling both simhash entries band through): pigeonhole blocks — a
+    * pair within Hamming distance d agrees on one of d+1 equal 16-bit
+    * blocks, so block collisions are a COMPLETE candidate generator —
+    * with each qualifying value pair emitted from its FIRST agreeing
+    * block only (for join block b, blocks 0..b-1 must DISAGREE: pure bit
+    * math on the two values, evaluated map-side, no global DISTINCT).
+    * Banding over distinct values, not docs, collapses bucket occupancy
+    * from clone-clique depth to distinct-value count — the fix that took
+    * the 100× leg from 260 s to linear-in-output (BASELINE.md cliff 3).
+    * Returns `(sh_a < sh_b, hamming ≤ maxHamming)`, each pair once. */
+  private def simhashValuePairs(sim: org.apache.spark.sql.DataFrame,
+      maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    val bits = 64
+    val nBlocks = maxHamming + 1
+    val blockBits = bits / nBlocks
+    val blockMask = (1L << blockBits) - 1
     def blockOf(c: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column =
       shiftright(c, b * blockBits).bitwiseAND(blockMask)
-    // band over DISTINCT fingerprint values, not docs
     val vals = sim.select(col("simhash")).distinct()
     val blocked = vals.select(col("simhash"),
       posexplode(array((0 until nBlocks).map(b => blockOf(col("simhash"), b)): _*))
         .as(Seq("block", "key")))
     val l = blocked.select(col("block"), col("key"), col("simhash").as("sh_a"))
     val r = blocked.select(col("block"), col("key"), col("simhash").as("sh_b"))
-    // emit each value pair from its FIRST agreeing block only: for join
-    // block b, require blocks 0..b-1 to DISAGREE (pure bit math on the
-    // two values — evaluated map-side in the join output, no DISTINCT)
     val firstAgree = (0 until nBlocks).map { b =>
       col("block") === b && (0 until b)
         .map(j => blockOf(col("sh_a"), j) =!= blockOf(col("sh_b"), j))
         .foldLeft(lit(true))(_ && _)
     }.reduce(_ || _)
-    val valPairs = l.join(r, Seq("block", "key"))
+    l.join(r, Seq("block", "key"))
       .where(col("sh_a") < col("sh_b") && firstAgree)
       .select(col("sh_a"), col("sh_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  private val simhash = CatalogEntry.noOracle("dedup_simhash") { (spark, sfDir) =>
+    // pigeonhole: within Hamming distance d, a pair must agree on one of
+    // d+1 equal blocks; maxHamming is corpus-tunable via spark.conf
+    val maxHamming = graft.GraftConf.simhashMaxHamming(spark)
+    val sim = simhashValues(spark, sfDir)
+    val valPairs = simhashValuePairs(sim, maxHamming)
     // fan back out to doc pairs: cross-value pairs orient by id (every
     // member pairing qualifies at the value pair's hamming), same-value
     // members pair at hamming 0
@@ -672,6 +694,57 @@ object TextQueries {
         lit(0L).as("hamming"))
     cross.unionByName(within)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The Hamming family's native LINEAR-OUTPUT scale path (VERDICT r16
+    * #2): connected components over the Hamming-ball graph, output one
+    * `(doc_id, cluster_id, cluster_size)` row per clustered document —
+    * the cluster spelling of [[simhash]], exactly as
+    * `dedup_minhash_lsh`'s cluster form is to pair-enumerating minhash.
+    * [[simhash]]'s 100× residual (BASELINE.md) is its pair-output
+    * CONTRACT — 105 M qualifying pairs on 100-deep clone cliques, which
+    * no plan can shrink; this entry replaces the quadratic-in-clique
+    * output with one row per member, so the 100-TB dedup consumer
+    * (keep one per cluster) reads cluster labels instead.
+    *
+    * Same machinery end to end, nothing new to trust: fingerprints and
+    * value-level Hamming-ball edges from the shared helpers (banding
+    * complete by pigeonhole, so the components are EXACTLY the connected
+    * components of the pair spelling's graph — CcSpec pins that
+    * equivalence against a driver-side union-find over the emitted
+    * pairs), edges contracted to rep space (rep = min doc_id per distinct
+    * fingerprint: clone cliques collapse to ONE node before propagation,
+    * the same contraction dedup_cluster_lsh rides), then the shared
+    * [[ccLabels]] min-label propagation. cluster_id = min doc_id of the
+    * component (deterministic); singleton VALUES with ≥2 member docs are
+    * hamming-0 clone groups and cluster under their rep without touching
+    * propagation. No oracle (xxhash64 fingerprints are not DuckDB-
+    * reproducible); CcSpec carries the equivalence floor. */
+  private val simhashCluster = CatalogEntry.noOracle("dedup_simhash_cluster") { (spark, sfDir) =>
+    val maxHamming = graft.GraftConf.simhashMaxHamming(spark)
+    val sim = simhashValues(spark, sfDir)
+    val valPairs = simhashValuePairs(sim, maxHamming)
+    // rep = min member doc_id per distinct fingerprint; min-propagation
+    // over rep ids therefore converges to the min doc_id of the whole
+    // member component — the deterministic cluster label
+    val repIds = sim.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep_id"))
+    val edges = valPairs
+      .join(repIds.select(col("simhash").as("sh_a"), col("rep_id").as("src")), "sh_a")
+      .join(repIds.select(col("simhash").as("sh_b"), col("rep_id").as("dst")), "sh_b")
+      .select(col("src"), col("dst"))
+    val labels = ccLabels(edges) // (node, comp) — only reps touched by an edge
+    val shLab = repIds.join(labels, repIds("rep_id") === labels("node"), "left")
+      .select(col("simhash"), coalesce(col("comp"), col("rep_id")).as("cluster_id"))
+    val docLab = sim.join(shLab, "simhash").select(col("doc_id"), col("cluster_id"))
+    // cluster_size via one keyed agg + join-back; the ≥2 filter keeps the
+    // output to dedup-relevant rows only (same contract as the other
+    // cluster entries)
+    val sizes = docLab.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .where(col("cluster_size") >= 2)
+    docLab.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("cluster_id"), col("doc_id"))
   }
 
   /** n-gram (token-bigram) Jaccard — shingle-level near-dup: word-order
@@ -3198,7 +3271,7 @@ object TextQueries {
     vocabGrowth,
     dedupReport, spanDedup,
     tokenizeWordcount, corpusStats, levenshteinBlock, jaccardTokens, minhashLsh,
-    simhash, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
+    simhash, simhashCluster, ngramJaccard, ngramLsh, levenshteinLsh, langId, qualityScore,
     tokenCount, fingerprint, rollingHash, repetitionFilter, contamination,
     idfTopterms, clusterCc, clusterLsh, piiRedact, exactSubstring,
     unigramLogprob, containment, containmentPrefix, corpusFilter, ngramTopk, urlCanonicalize,

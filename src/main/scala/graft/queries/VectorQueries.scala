@@ -1522,18 +1522,23 @@ object VectorQueries {
       val (ranked, groups) = knnFpFrames(spark, sfDir)
       val reps = ranked.where(col("grn") === 1)
         .select(col("vec_id").as("id"), col("v"))
-      // rep-level top-6 neighbor GROUPS per source group (exact cosine
+      // rep-level top-5 neighbor GROUPS per source group (exact cosine
       // rerank, identical to the per-node rerank when groups are
-      // singletons). 5 groups × ≥1 member fill a member's 5 slots; the
-      // 6th absorbs a rounded-cosine tie on the 5th-group boundary, where
-      // the dropped group could hold smaller member ids than a kept one
-      // (ADVICE r15) — the member-level re-rank below then restores the
-      // exact twin's (sim desc, dst asc) order.
-      val wRep = Window.partitionBy(col("srep")).orderBy(col("sim").desc, col("drep"))
+      // singletons), kept by rank() over (sim desc) so ALL groups tied at
+      // the 5th-group boundary survive (ADVICE r16: the previous
+      // row_number <= 6 absorbed a 2-way rounded-cosine tie but a 3-or-
+      // more-way tie could still drop a tied group whose members carry
+      // smaller ids than a kept group's). Ties beyond rank 5 are rare
+      // (cosines are rounded to 4 decimals, and reps are DISTINCT
+      // vectors) and each tied group contributes a bounded ≤5-member
+      // prefix, so the candidate set stays small; the member-level
+      // re-rank below then applies the exact twin's (sim desc, dst asc)
+      // order over the complete tied candidate set.
+      val wRep = Window.partitionBy(col("srep")).orderBy(col("sim").desc)
       val repEdges = srpSimPairs(reps, bits, nTables)
         .select(col("ida").as("srep"), col("idb").as("drep"), col("sim"))
-        .withColumn("rn", row_number().over(wRep))
-        .where(col("rn") <= 6)
+        .withColumn("rk", rank().over(wRep))
+        .where(col("rk") <= 5)
         .select(col("srep"), col("drep"), col("sim"))
       // fan back out: per-GROUP candidate list (≤6 groups × ≤5 smallest-id
       // members + ≤6 own-group siblings at sim 1.0 — cosine_sim(v,v) rounds

@@ -125,6 +125,38 @@ class CcSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_simhash_cluster equals union-find over the pair spelling's graph") {
+    // The cluster spelling's contract (VERDICT r16 #2): its components are
+    // EXACTLY the connected components of dedup_simhash's pair graph (the
+    // pigeonhole banding is a complete candidate generator, so neither
+    // spelling is sampled). Ground truth = driver-side union-find over the
+    // emitted pairs — no shared code with the distributed propagation.
+    // Pinned at TWO scale factors: clone-clique shapes differ across them.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val pairs = Catalog.byKey("dedup_simhash").run(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty, s"$dir: simhash pair set empty — spec would be vacuous")
+      val expected = unionFind(pairs)
+      val got = Catalog.byKey("dedup_simhash_cluster").run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val gotLabels = got.map(t => t._1 -> t._2).toMap
+      // node sets: every doc in a qualifying pair is clustered (size >= 2
+      // is implied by edge membership), and nothing else is
+      assert(gotLabels.keySet == expected.keySet,
+        s"$dir: node sets differ: only-cluster=${(gotLabels.keySet -- expected.keySet).take(5)} " +
+          s"only-truth=${(expected.keySet -- gotLabels.keySet).take(5)}")
+      val bad = gotLabels.collect { case (n, c) if expected(n) != c => (n, c, expected(n)) }
+      assert(bad.isEmpty, s"$dir: label mismatches (node, got, want): ${bad.take(10)}")
+      // cluster_size matches the true component size on every row
+      val truthSizes = expected.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+      val badSize = got.collect {
+        case (n, c, s) if truthSizes(c) != s => (n, c, s, truthSizes(c))
+      }
+      assert(badSize.isEmpty, s"$dir: size mismatches (node, comp, got, want): ${badSize.take(10)}")
+    }
+  }
+
   test("dedup_cluster_cc labels are component minima and edge-consistent") {
     val es = edges()
     val got = Catalog.byKey("dedup_cluster_cc").run(spark, sfDir)

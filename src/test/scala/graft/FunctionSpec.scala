@@ -150,4 +150,30 @@ class FunctionSpec extends SparkSpecBase {
     assert(e.getMessage.contains("sorted_intersect_size_l"),
       s"unexpected analysis error: ${e.getMessage}")
   }
+
+  test("sorted_intersect_size_l rejection message is stable and NULL literals pass (ADVICE r16)") {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    // The rejection text is part of the function's user contract — SQL
+    // callers match on it; pin the full spelling (requirement + both
+    // offending types) so a Spark upgrade that reroutes checkInputDataTypes
+    // through different error plumbing is caught here, not by a user.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT sorted_intersect_size_l(array('a','b'), array(1, 2))").collect()
+    }
+    assert(e.getMessage.contains(
+      "sorted_intersect_size_l requires (array<bigint>, array<bigint>), " +
+        "got (array<string>, array<int>)"),
+      s"rejection message drifted: ${e.getMessage}")
+    // untyped NULL literals evaluate to NULL (nullSafeEval short-circuits
+    // before any element access), so the analysis check must accept
+    // NullType — the r16 strictness regression ADVICE flagged
+    val r = spark.sql(
+      """SELECT sorted_intersect_size_l(NULL, array(1L,2L)) AS a,
+        |       sorted_intersect_size_l(array(1L,2L), NULL) AS b,
+        |       sorted_intersect_size_l(NULL, NULL) AS c""".stripMargin)
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2),
+      s"NULL-literal args should evaluate to NULL, got $r")
+  }
 }

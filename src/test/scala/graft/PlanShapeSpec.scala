@@ -758,4 +758,30 @@ class PlanShapeSpec extends SparkSpecBase {
       s"with collected stats the static planner must pick BHJ un-hinted:\n$hotPlan")
     assert(hot.count() > 0)
   }
+
+  test("etl_pipeline_e2e returns the export readback and reuses the staged landing zone") {
+    // Artifact-flow contract (VERDICT r16 #4): the returned frame must be
+    // the SINK READBACK (a parquet scan of the export dir — proving what
+    // landed), never a recomputation of the rollup from the source tables.
+    val df1 = Catalog.byKey("etl_pipeline_e2e").run(spark, sfDir)
+    val plan1 = df1.queryExecution.executedPlan.toString
+    assert(plan1.contains("graft_e2e_export_"),
+      s"final plan must scan the partitioned export, got:\n$plan1")
+    assert(!plan1.contains("orders.parquet") && !plan1.contains("customer.parquet"),
+      s"final plan recomputes from source tables instead of reading the sink:\n$plan1")
+    assert(df1.count() > 0)
+    // Landing-zone write-once: the CSV staging is the UPSTREAM feed, not
+    // the pipeline's product — a second invocation must consume the same
+    // files, not rewrite them (mtime-stable), while the export rewrite is
+    // the pipeline's job and does happen per run.
+    val csvDir = new java.io.File(
+      graft.queries.Util.scratchDir("e2e_orders_csv", sfDir))
+    assert(csvDir.isDirectory, s"landing zone missing at $csvDir")
+    val before = csvDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val df2 = Catalog.byKey("etl_pipeline_e2e").run(spark, sfDir)
+    assert(df2.count() > 0)
+    val after = csvDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before,
+      s"landing zone rewritten on second invocation: before=$before after=$after")
+  }
 }
