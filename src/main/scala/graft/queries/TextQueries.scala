@@ -621,7 +621,7 @@ object TextQueries {
     * sign-of-sums construction both simhash spellings share: one explode +
     * groupBy pass computes all 64 conditional bit sums (not 64 array
     * traversals); identical token sets ⇒ identical fingerprints. */
-  private def simhashValues(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def simhashValues(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame = {
     val bits = 64
     val tokenHashes = Tables.documents(spark, sfDir)
@@ -648,7 +648,7 @@ object TextQueries {
     * from clone-clique depth to distinct-value count — the fix that took
     * the 100× leg from 260 s to linear-in-output (BASELINE.md cliff 3).
     * Returns `(sh_a < sh_b, hamming ≤ maxHamming)`, each pair once. */
-  private def simhashValuePairs(sim: org.apache.spark.sql.DataFrame,
+  private[graft] def simhashValuePairs(sim: org.apache.spark.sql.DataFrame,
       maxHamming: Int): org.apache.spark.sql.DataFrame = {
     val bits = 64
     val nBlocks = maxHamming + 1
@@ -678,7 +678,11 @@ object TextQueries {
     // pigeonhole: within Hamming distance d, a pair must agree on one of
     // d+1 equal blocks; maxHamming is corpus-tunable via spark.conf
     val maxHamming = graft.GraftConf.simhashMaxHamming(spark)
-    val sim = simhashValues(spark, sfDir)
+    // cached for the same reason as the cluster sibling below: the
+    // fingerprint aggregation feeds both banded join sides AND both
+    // fan-out member maps — uncached, Spark computes it once per
+    // reference (~4×); the harness sweep owns the unpersist
+    val sim = simhashValues(spark, sfDir).cache()
     val valPairs = simhashValuePairs(sim, maxHamming)
     // fan back out to doc pairs: cross-value pairs orient by id (every
     // member pairing qualifies at the value pair's hamming), same-value
@@ -722,12 +726,22 @@ object TextQueries {
     * reproducible); CcSpec carries the equivalence floor. */
   private val simhashCluster = CatalogEntry.noOracle("dedup_simhash_cluster") { (spark, sfDir) =>
     val maxHamming = graft.GraftConf.simhashMaxHamming(spark)
-    val sim = simhashValues(spark, sfDir)
-    val valPairs = simhashValuePairs(sim, maxHamming)
+    // .cache() on the shared frames is load-bearing, not an optimization
+    // nicety (r17 100× attribution, ProfileSimhashCc): the fingerprint
+    // aggregation is referenced by BOTH banded join sides, the rep map
+    // (twice), the doc fan-out, and the size roll-up — and Spark
+    // materializes each reference independently, so the uncached entry
+    // recomputed the 9 s (at 100×) 64-bit-sums pass ~20× across the plan
+    // tree and ccLabels' eager checkpoints: 266 s total where the cached
+    // stages sum to ~65 s. Same entry-cache convention as the other
+    // cluster entries; the harness sweep (Util.sweepEntryCaches) owns the
+    // unpersist.
+    val sim = simhashValues(spark, sfDir).cache()
+    val valPairs = simhashValuePairs(sim, maxHamming).cache()
     // rep = min member doc_id per distinct fingerprint; min-propagation
     // over rep ids therefore converges to the min doc_id of the whole
     // member component — the deterministic cluster label
-    val repIds = sim.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep_id"))
+    val repIds = sim.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep_id")).cache()
     val edges = valPairs
       .join(repIds.select(col("simhash").as("sh_a"), col("rep_id").as("src")), "sh_a")
       .join(repIds.select(col("simhash").as("sh_b"), col("rep_id").as("dst")), "sh_b")
@@ -1410,7 +1424,7 @@ object TextQueries {
     }
   }
 
-  private def ccLabels(edges: org.apache.spark.sql.DataFrame)
+  private[graft] def ccLabels(edges: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     var bi = ccCheckpoint(edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
