@@ -76,8 +76,11 @@ object Multimodal {
     * a real asset store reads the near-dup corpus directly. */
   def nearDupAssets(spark: SparkSession, sfDir: String): DataFrame = {
     val base = synthesizeAssets(spark, sfDir)
-    val pool = base.select(col("asset_id").as("src_id"),
-      col("content").as("src_content"))
+    // join key is asset_id % 350 ∈ [0, 350), so only the first 350 assets
+    // can ever match: filter BEFORE broadcast — the pool stays 350 rows at
+    // any corpus size instead of shipping every payload to every executor
+    val pool = base.where(col("asset_id") < 350)
+      .select(col("asset_id").as("src_id"), col("content").as("src_content"))
     base.select(col("asset_id"), col("media_type"), col("meta"),
         (col("asset_id") % 350).as("src_id"))
       .join(broadcast(pool), "src_id")

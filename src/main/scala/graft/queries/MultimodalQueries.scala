@@ -118,8 +118,11 @@ object MultimodalQueries {
               |       CAST(SUM(bytes * (n_copies - 1)) AS BIGINT) AS reclaimable_bytes
               |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin) { (spark, sfDir) =>
     val docs = Tables.documents(spark, sfDir)
-    val pool = docs.select(col("doc_id").as("src_id"),
-      encode(col("text"), "UTF-8").as("payload"))
+    // join key is doc_id % 350, so only doc_ids < 350 can match: filter
+    // before the broadcast so the pool is 350 payloads at any corpus size
+    val pool = docs.where(col("doc_id") < 350)
+      .select(col("doc_id").as("src_id"),
+        encode(col("text"), "UTF-8").as("payload"))
     docs.select((col("doc_id") % 350).as("src_id"))
       .join(broadcast(pool), "src_id")
       .select(md5(col("payload")).as("h"),
@@ -144,34 +147,60 @@ object MultimodalQueries {
     * MUST agree on ≥1 band by pigeonhole — same trick as simhash banding,
     * and the band guarantee strictly covers the verify cut below) → exact
     * XOR+popcount verify ≤ 6, so EVERY qualifying pair is found: the
-    * histogram is recall-complete, not a sample. Linear in assets per band
-    * bucket, no all-pairs pass; output is the verified-pair Hamming
-    * histogram (bounded, deterministic). No oracle by design — the decode
-    * is not SQL-expressible; MultimodalSpec pins the copy-pair floor and
-    * hash determinism. */
+    * histogram is recall-complete, not a sample.
+    *
+    * Scale spelling (r17 100× fix — 443 s → see BASELINE.md): Hamming
+    * distance depends ONLY on the two 64-bit values, and the output is a
+    * pair-COUNT histogram, so the whole operator runs over DISTINCT phash
+    * values carrying member counts — banding at the value level collapses
+    * bucket occupancy from clone-clique depth (~700 deep at 100×: every
+    * asset draws content from a 350-payload pool) to distinct-value
+    * count, the same rewrite that fixed dedup_simhash in r16, and the
+    * histogram weights are pure count algebra (n_a·n_b per cross-value
+    * pair, C(n,2) at Hamming 0 per value), so no doc-level pair is ever
+    * materialized: linear in assets + quadratic only in DISTINCT values
+    * (~700, constant in corpus growth). Multi-band agreements dedup via
+    * the first-agreeing-band filter (map-side bit math, no global
+    * DISTINCT). Output is bit-identical to the doc-level spelling (A/B'd
+    * at three SFs). No oracle by design — the decode is not
+    * SQL-expressible; MultimodalSpec pins the copy-pair floor and hash
+    * determinism. */
   private val phashDedup = CatalogEntry.noOracle("mm_phash_dedup") { (spark, sfDir) =>
     import org.apache.spark.sql.functions.{abs => _, _}
-    val hashed = Multimodal.perceptualHash(Multimodal.nearDupAssets(spark, sfDir))
+    val nBands = 8
+    def bandOf(c: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column =
+      shiftrightunsigned(c, b * 8).bitwiseAND(lit(0xFFL))
+    // cached: feeds both banded join sides AND the Hamming-0 rollup; the
+    // harness sweep (Util.sweepEntryCaches) owns the unpersist
+    val counts = Multimodal.perceptualHash(Multimodal.nearDupAssets(spark, sfDir))
+      .groupBy(col("phash")).agg(count(lit(1)).as("n"))
       .cache()
-    val banded = hashed.select(col("asset_id"), col("phash"),
-      explode(array((0 until 8).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("phash"), b * 8).bitwiseAND(lit(0xFFL)).as("bkey"))): _*))
-        .as("bx"))
-      .select(col("asset_id"), col("phash"),
-        col("bx.band").as("band"), col("bx.bkey").as("bkey"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.asset_id") < col("b.asset_id"))
-      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
-        col("a.phash").as("ha"), col("b.phash").as("hb"))
-      .distinct()
-    cand
+    val blocked = counts.select(col("phash"), col("n"),
+      posexplode(array((0 until nBands).map(b => bandOf(col("phash"), b)): _*))
+        .as(Seq("band", "bkey")))
+    val l = blocked.select(col("band"), col("bkey"),
+      col("phash").as("ha"), col("n").as("na"))
+    val r = blocked.select(col("band"), col("bkey"),
+      col("phash").as("hb"), col("n").as("nb"))
+    // emit each qualifying value pair from its FIRST agreeing band only:
+    // for join band b, bands 0..b-1 must disagree
+    val firstAgree = (0 until nBands).map { b =>
+      col("band") === b && (0 until b)
+        .map(j => bandOf(col("ha"), j) =!= bandOf(col("hb"), j))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    val cross = l.join(r, Seq("band", "bkey"))
+      .where(col("ha") < col("hb") && firstAgree)
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .where(col("hamming") <= 6)
+      .select(col("hamming"), (col("na") * col("nb")).as("w"))
+    // same-value members pair at Hamming 0: C(n, 2) per distinct value
+    val within = counts.where(col("n") >= 2)
+      .select(lit(0).as("hamming"),
+        ((col("n") * (col("n") - 1)) / 2).cast("long").as("w"))
+    cross.unionByName(within)
       .groupBy(col("hamming"))
-      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .agg(sum(col("w")).cast("long").as("n_pairs"))
       .orderBy(col("hamming"))
   }
 
