@@ -1098,14 +1098,21 @@ object AggQueries {
     * staple the co-occurrence GRAPH entries don't give: directionless
     * pair metrics with frequency thresholds). All-integer counts, so every
     * metric is an exact IEEE division of exact longs — no FP drift — and
-    * the ROUND(lift,4) DESC, x, y ordering is total. Plan: one distinct
-    * (basket, item) projection, a per-basket pair self-join (baskets are
-    * a few items, so pairs-per-basket is bounded), then two broadcast
-    * joins against the |items|-row count frame. At 100 TB the self-join
-    * shuffles once on basket and the support threshold prunes the long
-    * tail before the broadcast stage; the a-priori refinement (filter
-    * items below min-support BEFORE pairing) drops straight into the
-    * `cnt` frame if item cardinality ever grows. */
+    * the ROUND(lift,4) DESC, x, y ordering is total.
+    *
+    * Plan (r17 100× rewrite — 61.8 s → see BASELINE.md): ONE shuffle.
+    * The old spelling self-joined the distinct (basket, item) projection
+    * on basket — linear work (pairs-per-basket is bounded by the ~7-line
+    * order cap) but THREE full-width shuffles of the 100×-scale item
+    * frame (distinct, join left, join right). Now the baskets groupBy
+    * collects each basket's sorted distinct item set in the only
+    * data-sized shuffle; pair generation is map-side array algebra
+    * (combinations via nested transform/slice over the ≤7-element set),
+    * partial-aggregated straight into the ≤C(50,2)-row (x, y) key space,
+    * and nb/cnt read the same cached basket frame (harness sweep owns
+    * the unpersist). The support threshold prunes before the broadcast
+    * stage; the a-priori refinement (filter items below min-support
+    * BEFORE pairing) drops into `cnt` if item cardinality ever grows. */
   private val assocRules = CatalogEntry.ansi(
     "agg_assoc_rules",
     """WITH items AS (
@@ -1124,15 +1131,21 @@ object AggQueries {
       |JOIN cnt cx ON p.x = cx.item JOIN cnt cy ON p.y = cy.item
       |WHERE p.xy >= 5
       |ORDER BY lift DESC, x, y LIMIT 100""".stripMargin) { (spark, sfDir) =>
-    val items = Tables.lineitem(spark, sfDir)
+    val baskets = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("basket"), (col("l_partkey") % 50).as("item"))
-      .distinct()
-    val nb = items.agg(countDistinct(col("basket")).cast("double").as("n"))
-    val cnt = items.groupBy(col("item")).agg(count(lit(1)).cast("double").as("c"))
-    val a = items.select(col("basket"), col("item").as("x"))
-    val b = items.select(col("basket").as("basket_b"), col("item").as("y"))
-    a.join(b, col("basket") === col("basket_b") && col("x") < col("y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("xy"))
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+      .cache()
+    val nb = baskets.agg(count(lit(1)).cast("double").as("n"))
+    val cnt = baskets.select(explode(col("its")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).cast("double").as("c"))
+    // all x < y combinations of the sorted set, generated map-side
+    val pairExpr = expr(
+      "flatten(transform(sequence(0, size(its) - 2), i -> " +
+        "transform(slice(its, i + 2, size(its)), y -> struct(its[i] AS x, y AS y))))")
+    baskets.where(size(col("its")) >= 2)
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y")).agg(count(lit(1)).as("xy"))
       .where(col("xy") >= 5)
       .crossJoin(broadcast(nb))
       .join(broadcast(cnt.withColumnRenamed("item", "x").withColumnRenamed("c", "cx")), "x")
