@@ -26,9 +26,14 @@ import org.apache.spark.sql.types._
   * dropping ids would fake the count).
   */
 object BitmapOps {
+  /** Largest allocatable dictionary domain (2 MB buffer per group).
+    * Callers with a probed domain above this must route to an exact
+    * COUNT(DISTINCT) plan or a sketch — see `agg_bitmap_distinct`. */
+  val MaxDomain: Int = 1 << 24
+
   def alloc(maxId: Int): Array[Long] = {
-    require(maxId > 0 && maxId <= (1 << 24),
-      s"bitmap maxId=$maxId out of range (1 .. ${1 << 24})")
+    require(maxId > 0 && maxId <= MaxDomain,
+      s"bitmap maxId=$maxId out of range (1 .. $MaxDomain)")
     new Array[Long]((maxId + 63) >>> 6)
   }
 

@@ -1195,13 +1195,29 @@ object AggQueries {
       .join(broadcast(Tables.customer(spark, sfDir)
         .select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
-    val perSeg = joined.groupBy(col("c_mktsegment").as("seg"))
-      .agg(expr(s"bitmap_distinct_agg(o_custkey, $maxId)").as("bm"))
-      .cache()
-    val segRows = perSeg.select(col("seg"), expr("bitmap_count(bm)").as("n_buyers"))
-    val allRow = perSeg.agg(expr("bitmap_merge_agg(bm)").as("bm"))
-      .select(lit("ALL").as("seg"), expr("bitmap_count(bm)").as("n_buyers"))
-    segRows.unionAll(allRow).orderBy(col("seg"))
+    if (maxId <= graft.functions.BitmapOps.MaxDomain) {
+      val perSeg = joined.groupBy(col("c_mktsegment").as("seg"))
+        .agg(expr(s"bitmap_distinct_agg(o_custkey, $maxId)").as("bm"))
+        .cache()
+      val segRows = perSeg.select(col("seg"), expr("bitmap_count(bm)").as("n_buyers"))
+      val allRow = perSeg.agg(expr("bitmap_merge_agg(bm)").as("bm"))
+        .select(lit("ALL").as("seg"), expr("bitmap_count(bm)").as("n_buyers"))
+      segRows.unionAll(allRow).orderBy(col("seg"))
+    } else {
+      // dictionary-applicability guard (r17): the probe found a key space
+      // the fixed-size bitmap cannot hold (sparse/offset ids — e.g. the
+      // synth corpora's replica-offset keys reach ~10⁹). The operator's
+      // contract is EXACT distinct, so route to the exact COUNT(DISTINCT)
+      // plan over the same joined frame — identical output, still
+      // oracle-hash-checkable; the bitmap stays the dense-dictionary fast
+      // path (row-count-independent buffers), the same adaptive-probe
+      // pattern as vec_knn_graph_lsh's dup-ratio gate.
+      val segRows = joined.groupBy(col("c_mktsegment").as("seg"))
+        .agg(countDistinct(col("o_custkey")).as("n_buyers"))
+      val allRow = joined.agg(countDistinct(col("o_custkey")).as("n_buyers"))
+        .select(lit("ALL").as("seg"), col("n_buyers"))
+      segRows.unionAll(allRow).orderBy(col("seg"))
+    }
   }
 
   /** Welch's unequal-variance t-test between two customer segments — the

@@ -141,7 +141,19 @@ object JoinQueries {
   }
 
   /** Non-equi (theta) join → BroadcastNestedLoopJoin. Both sides bounded by
-    * selective predicates so the pair count stays O(small) at any sf. */
+    * selective predicates so the pair count stays O(small) at any sf.
+    *
+    * Scale spelling (r17 100× fix — 696 s → 3.2 s, BASELINE.md): the
+    * nested loop evaluates |stream| × |broadcast| predicates, and BOTH
+    * sides here grow with the corpus (the synth replicas multiply the
+    * date-filtered lineitem AND the p_size≤10 part rows 100×) — ~280 B
+    * evaluations at 100×. The band predicate reads only `l_quantity`,
+    * whose domain is ≤50 distinct values, so the stream side collapses to
+    * DISTINCT (value, count) before the loop and the rollup sums counts —
+    * the same distinct-value principle as `join_range_bucketed` (which
+    * remains the scale path when both sides are fact-sized AND
+    * high-cardinality). Plan shape unchanged: still the
+    * BroadcastNestedLoopJoin exemplar. */
   private val thetaRange = CatalogEntry.ansi(
     "join_theta_range",
     """SELECT p_partkey, COUNT(*) AS n_close
@@ -156,9 +168,9 @@ object JoinQueries {
     val l = Tables.lineitem(spark, sfDir)
       .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
         && col("l_shipdate") < lit("1997-02-01 00:00:00").cast("timestamp"))
-      .select(col("l_quantity"))
+      .groupBy(col("l_quantity")).agg(count(lit(1)).as("nq"))
     l.join(p, col("l_quantity").between(col("p_size") - 5, col("p_size") + 5))
-      .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_close"))
+      .groupBy(col("p_partkey")).agg(sum(col("nq")).as("n_close"))
       .orderBy(col("p_partkey"))
   }
 
@@ -171,7 +183,20 @@ object JoinQueries {
     * into the ≤2 buckets it can overlap, and the residual BETWEEN filters
     * inside each bucket pair. Shuffle on the bucket key, no nested loop, no
     * broadcast — identical result, linear replication factor (PlanShapeSpec
-    * pins the shape). Same oracle text as `join_theta_range` modulo key. */
+    * pins the shape). Same oracle text as `join_theta_range` modulo key.
+    *
+    * Scale spelling (r17 100× fix — >720 s → see BASELINE.md): when the
+    * band-value DOMAIN is much smaller than the row count (quantity has
+    * ≤50 distinct values; every synth replica reuses them), per-bucket
+    * occupancy grows with data on BOTH sides while the bucket count stays
+    * constant — joined rows grow quadratically (≈40 B at 100×). The point
+    * side therefore pre-aggregates to DISTINCT (value, count) before the
+    * grid join — the same distinct-value principle as the simhash/phash
+    * banding — so the join scales with distinct values per bucket, not
+    * rows, and the rollup sums the collapsed counts. With an unbounded
+    * value domain the aggregation is a no-op pass-through and the grid
+    * carries the load exactly as before; either way the plan stays the
+    * keyed shuffle join the spec pins. */
   private val rangeBucketed = CatalogEntry.ansi(
     "join_range_bucketed",
     """SELECT p_partkey, COUNT(*) AS n_close
@@ -189,11 +214,11 @@ object JoinQueries {
     val l = Tables.lineitem(spark, sfDir)
       .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
         && col("l_shipdate") < lit("1997-02-01 00:00:00").cast("timestamp"))
-      .select(col("l_quantity"))
+      .groupBy(col("l_quantity")).agg(count(lit(1)).as("nq"))
       .withColumn("bucket", floor(col("l_quantity") / bw))
     l.join(p.hint("shuffle_hash"), Seq("bucket"))
       .where(col("l_quantity").between(col("p_size") - 5, col("p_size") + 5))
-      .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_close"))
+      .groupBy(col("p_partkey")).agg(sum(col("nq")).as("n_close"))
       .orderBy(col("p_partkey"))
   }
 

@@ -873,7 +873,23 @@ object VectorQueries {
     * top-k row is top-k in its bucket too), but no query ever funnels its
     * full candidate stream through one partition's sort. The oracle
     * restates Hamming distance as the count of sign disagreements on the
-    * raw float arrays — same integers, no packing required in SQL. */
+    * raw float arrays — same integers, no packing required in SQL.
+    *
+    * Scale spelling (r17 100× fix — 98.7 s → see BASELINE.md): the %167
+    * query cut selects a FRACTION, so query×candidate pairs grow
+    * quadratically with the corpus (~238 M at 100×). Hamming distance
+    * depends only on the two packed words, so the scan runs canonicalize-
+    * first over DISTINCT words — the `vec_knn_graph_lsh` pattern: each
+    * candidate word keeps its 5 smallest member ids (only those can ever
+    * reach a global top-5 — cids are unique, so for any value in the true
+    * top-5 its min-cid member ranks at or above the 5th result), value
+    * pairs rank per query word by (hamming, min cid) with rank ≤ 5 (any
+    * value contributing a top-5 member has its (hamming, min_cid) ≤ the
+    * 5th member's pair, and at most 5 such values exist), the ≤25
+    * surviving members re-rank exactly, and per-word results fan out to
+    * the queries sharing the word. On a duplicate-free corpus the
+    * distinct-word scan IS the row scan (value-level never exceeds
+    * row-level work); the tiny distinct-query-word side broadcasts. */
   private val hammingKnn = CatalogEntry.dialect(
     "vec_hamming_knn",
     duckdb = """WITH q AS (
@@ -918,16 +934,23 @@ object VectorQueries {
       .select(col("vec_id").as("qid"), col("w").as("qw"))
     val c = emb.where(col("vec_id") % 167 =!= 0)
       .select(col("vec_id").as("cid"), col("w").as("cw"))
-    val pairs = c.join(broadcast(q))
-      .select(col("qid"), col("cid"),
+    // per distinct candidate word: its 5 smallest member ids — the only
+    // members that can ever appear in any query's exact top-5
+    val cvals = c.groupBy(col("cw"))
+      .agg(slice(sort_array(collect_list(col("cid"))), 1, 5).as("cids"))
+      .withColumn("mincid", element_at(col("cids"), 1))
+    val qvals = q.select(col("qw")).distinct()
+    val vp = cvals.crossJoin(broadcast(qvals))
+      .select(col("qw"), col("cids"), col("mincid"),
         bit_count(col("qw").bitwiseXOR(col("cw"))).cast("long").as("hamming"))
-      .withColumn("salt", pmod(xxhash64(col("cid")), lit(16)))
-    val w1 = Window.partitionBy(col("qid"), col("salt"))
-      .orderBy(col("hamming"), col("cid"))
-    val w2 = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("cid"))
-    pairs
-      .withColumn("rk1", row_number().over(w1)).where(col("rk1") <= 5)
+    // value-level rank-5 cut (exact — see doc), then member-level re-rank
+    val wv = Window.partitionBy(col("qw")).orderBy(col("hamming"), col("mincid"))
+    val w2 = Window.partitionBy(col("qw")).orderBy(col("hamming"), col("cid"))
+    val perWord = vp
+      .withColumn("rv", row_number().over(wv)).where(col("rv") <= 5)
+      .select(col("qw"), col("hamming"), explode(col("cids")).as("cid"))
       .withColumn("rk", row_number().over(w2).cast("long")).where(col("rk") <= 5)
+    q.join(perWord, "qw")
       .select(col("qid"), col("rk"), col("cid"), col("hamming"))
       .orderBy(col("qid"), col("rk"))
   }

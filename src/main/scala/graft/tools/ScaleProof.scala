@@ -70,11 +70,18 @@ object ScaleProof {
         cached.foreach(_.cache())
         cached.foreach(_.count())
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(key)(spark, dir).count()
-        val s = (System.nanoTime() - t0) / 1e9
-        println(f"[scale] $key%-24s ${if (dir == base) "base " else "synth"} " +
-          f"rows=$n%9d $s%8.2f s")
-        s
+        try {
+          val n = SparkEntry.queries(key)(spark, dir).count()
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"[scale] $key%-24s ${if (dir == base) "base " else "synth"} " +
+            f"rows=$n%9d $s%8.2f s")
+          s
+        } catch {
+          case e: Throwable =>
+            println(s"[scale] $key FAILED (${if (dir == base) "base" else "synth"}): " +
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+            Double.NaN
+        }
       }
 
       val rows = args.map { key =>
@@ -102,10 +109,17 @@ object ScaleProof {
           cached.foreach(_.count())
           System.gc()
           val t0 = System.nanoTime()
-          val n = SparkEntry.queries(key)(spark, dir).count()
-          val s = (System.nanoTime() - t0) / 1e9
-          println(f"[scale] $key%-24s $label rows=$n%9d $s%8.2f s")
-          s
+          try {
+            val n = SparkEntry.queries(key)(spark, dir).count()
+            val s = (System.nanoTime() - t0) / 1e9
+            println(f"[scale] $key%-24s $label rows=$n%9d $s%8.2f s")
+            s
+          } catch {
+            case e: Throwable =>
+              println(s"[scale] $key FAILED ($label): " +
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+              Double.NaN
+          }
         }
         val best = args.map { key =>
           val r1 = time(key); val r2 = time(key)
