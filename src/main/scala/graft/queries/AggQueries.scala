@@ -1139,10 +1139,16 @@ object AggQueries {
     val nb = baskets.agg(count(lit(1)).cast("double").as("n"))
     val cnt = baskets.select(explode(col("its")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).cast("double").as("c"))
-    // all x < y combinations of the sorted set, generated map-side
+    // all x < y combinations of the sorted set, generated map-side. The
+    // CASE guard makes the expression total: sequence(0, size-2) steps
+    // BACKWARDS for a 1-item basket ([0,-1] → its[-1] ANSI error), and
+    // relying on the where(size>=2) filter staying beneath the Generate
+    // is a plan-rewrite hazard, not a contract
     val pairExpr = expr(
-      "flatten(transform(sequence(0, size(its) - 2), i -> " +
-        "transform(slice(its, i + 2, size(its)), y -> struct(its[i] AS x, y AS y))))")
+      "CASE WHEN size(its) >= 2 THEN " +
+        "flatten(transform(sequence(0, size(its) - 2), i -> " +
+        "transform(slice(its, i + 2, size(its)), y -> struct(its[i] AS x, y AS y)))) " +
+        "ELSE array() END")
     baskets.where(size(col("its")) >= 2)
       .select(explode(pairExpr).as("p"))
       .groupBy(col("p.x").as("x"), col("p.y").as("y")).agg(count(lit(1)).as("xy"))

@@ -165,10 +165,10 @@ object JoinQueries {
       |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (spark, sfDir) =>
     val p = broadcast(Tables.part(spark, sfDir)
       .where(col("p_size") <= 10).select(col("p_partkey"), col("p_size")))
-    val l = Tables.lineitem(spark, sfDir)
+    val l = DistinctValue.valueCounts(Tables.lineitem(spark, sfDir)
       .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
-        && col("l_shipdate") < lit("1997-02-01 00:00:00").cast("timestamp"))
-      .groupBy(col("l_quantity")).agg(count(lit(1)).as("nq"))
+        && col("l_shipdate") < lit("1997-02-01 00:00:00").cast("timestamp")),
+      "l_quantity", "nq")
     l.join(p, col("l_quantity").between(col("p_size") - 5, col("p_size") + 5))
       .groupBy(col("p_partkey")).agg(sum(col("nq")).as("n_close"))
       .orderBy(col("p_partkey"))
@@ -211,10 +211,10 @@ object JoinQueries {
       .where(col("p_size") <= 10).select(col("p_partkey"), col("p_size"))
       .withColumn("bucket", explode(sequence(
         floor((col("p_size") - 5) / bw), floor((col("p_size") + 5) / bw))))
-    val l = Tables.lineitem(spark, sfDir)
+    val l = DistinctValue.valueCounts(Tables.lineitem(spark, sfDir)
       .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
-        && col("l_shipdate") < lit("1997-02-01 00:00:00").cast("timestamp"))
-      .groupBy(col("l_quantity")).agg(count(lit(1)).as("nq"))
+        && col("l_shipdate") < lit("1997-02-01 00:00:00").cast("timestamp")),
+      "l_quantity", "nq")
       .withColumn("bucket", floor(col("l_quantity") / bw))
     l.join(p.hint("shuffle_hash"), Seq("bucket"))
       .where(col("l_quantity").between(col("p_size") - 5, col("p_size") + 5))

@@ -168,36 +168,21 @@ object MultimodalQueries {
   private val phashDedup = CatalogEntry.noOracle("mm_phash_dedup") { (spark, sfDir) =>
     import org.apache.spark.sql.functions.{abs => _, _}
     val nBands = 8
-    def bandOf(c: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column =
-      shiftrightunsigned(c, b * 8).bitwiseAND(lit(0xFFL))
     // cached: feeds both banded join sides AND the Hamming-0 rollup; the
     // harness sweep (Util.sweepEntryCaches) owns the unpersist
-    val counts = Multimodal.perceptualHash(Multimodal.nearDupAssets(spark, sfDir))
-      .groupBy(col("phash")).agg(count(lit(1)).as("n"))
+    val counts = DistinctValue.valueCounts(
+        Multimodal.perceptualHash(Multimodal.nearDupAssets(spark, sfDir)), "phash", "n")
       .cache()
-    val blocked = counts.select(col("phash"), col("n"),
-      posexplode(array((0 until nBands).map(b => bandOf(col("phash"), b)): _*))
-        .as(Seq("band", "bkey")))
-    val l = blocked.select(col("band"), col("bkey"),
-      col("phash").as("ha"), col("n").as("na"))
-    val r = blocked.select(col("band"), col("bkey"),
-      col("phash").as("hb"), col("n").as("nb"))
-    // emit each qualifying value pair from its FIRST agreeing band only:
-    // for join band b, bands 0..b-1 must disagree
-    val firstAgree = (0 until nBands).map { b =>
-      col("band") === b && (0 until b)
-        .map(j => bandOf(col("ha"), j) =!= bandOf(col("hb"), j))
-        .foldLeft(lit(true))(_ && _)
-    }.reduce(_ || _)
-    val cross = l.join(r, Seq("band", "bkey"))
-      .where(col("ha") < col("hb") && firstAgree)
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    val cross = DistinctValue.bandedValuePairs(counts, "phash", nBands,
+        DistinctValue.bitBlock(8))
+      .withColumn("hamming", bit_count(col("phash_a").bitwiseXOR(col("phash_b"))))
       .where(col("hamming") <= 6)
-      .select(col("hamming"), (col("na") * col("nb")).as("w"))
-    // same-value members pair at Hamming 0: C(n, 2) per distinct value
+      .select(col("hamming"), (col("n_a") * col("n_b")).as("w"))
+    // same-value members pair at Hamming 0: C(n, 2) per distinct value —
+    // integer-safe div (double division loses exactness past n(n-1) > 2^53)
     val within = counts.where(col("n") >= 2)
       .select(lit(0).as("hamming"),
-        ((col("n") * (col("n") - 1)) / 2).cast("long").as("w"))
+        shiftright(col("n") * (col("n") - 1), 1).cast("long").as("w"))
     cross.unionByName(within)
       .groupBy(col("hamming"))
       .agg(sum(col("w")).cast("long").as("n_pairs"))

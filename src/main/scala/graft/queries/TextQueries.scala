@@ -652,25 +652,11 @@ object TextQueries {
       maxHamming: Int): org.apache.spark.sql.DataFrame = {
     val bits = 64
     val nBlocks = maxHamming + 1
-    val blockBits = bits / nBlocks
-    val blockMask = (1L << blockBits) - 1
-    def blockOf(c: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column =
-      shiftright(c, b * blockBits).bitwiseAND(blockMask)
     val vals = sim.select(col("simhash")).distinct()
-    val blocked = vals.select(col("simhash"),
-      posexplode(array((0 until nBlocks).map(b => blockOf(col("simhash"), b)): _*))
-        .as(Seq("block", "key")))
-    val l = blocked.select(col("block"), col("key"), col("simhash").as("sh_a"))
-    val r = blocked.select(col("block"), col("key"), col("simhash").as("sh_b"))
-    val firstAgree = (0 until nBlocks).map { b =>
-      col("block") === b && (0 until b)
-        .map(j => blockOf(col("sh_a"), j) =!= blockOf(col("sh_b"), j))
-        .foldLeft(lit(true))(_ && _)
-    }.reduce(_ || _)
-    l.join(r, Seq("block", "key"))
-      .where(col("sh_a") < col("sh_b") && firstAgree)
-      .select(col("sh_a"), col("sh_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+    DistinctValue.bandedValuePairs(vals, "simhash", nBlocks,
+        DistinctValue.bitBlock(bits / nBlocks))
+      .select(col("simhash_a").as("sh_a"), col("simhash_b").as("sh_b"),
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 

@@ -935,9 +935,10 @@ object VectorQueries {
     val c = emb.where(col("vec_id") % 167 =!= 0)
       .select(col("vec_id").as("cid"), col("w").as("cw"))
     // per distinct candidate word: its 5 smallest member ids — the only
-    // members that can ever appear in any query's exact top-5
-    val cvals = c.groupBy(col("cw"))
-      .agg(slice(sort_array(collect_list(col("cid"))), 1, 5).as("cids"))
+    // members that can ever appear in any query's exact top-5; the helper
+    // window-ranks before collecting, so the aggregation buffer is ≤5 ids
+    // at any clone depth
+    val cvals = DistinctValue.smallestMembers(c, "cw", "cid", 5, "cids")
       .withColumn("mincid", element_at(col("cids"), 1))
     val qvals = q.select(col("qw")).distinct()
     val vp = cvals.crossJoin(broadcast(qvals))

@@ -40,7 +40,9 @@ object CoverageSweep {
         val n = SparkEntry.queries(key)(spark, dir).count()
         println(f"[cov] $key%-28s rows=$n%10d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       } catch {
-        case e: Throwable =>
+        // NonFatal only — a fatal JVM error (OOM) taints every later
+        // same-JVM measurement; crash instead of sweeping on (ADVICE r17)
+        case scala.util.control.NonFatal(e) =>
           println(s"[cov] $key FAILED: ${e.getClass.getSimpleName}: " +
             s"${Option(e.getMessage).getOrElse("").take(200)}")
       }

@@ -77,7 +77,10 @@ object ScaleProof {
             f"rows=$n%9d $s%8.2f s")
           s
         } catch {
-          case e: Throwable =>
+          // NonFatal only: after an OOM or other fatal JVM error the heap
+          // state is suspect and every later timing in this JVM would be
+          // distorted yet reported as valid — let fatals crash the sweep
+          case scala.util.control.NonFatal(e) =>
             println(s"[scale] $key FAILED (${if (dir == base) "base" else "synth"}): " +
               s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
             Double.NaN
