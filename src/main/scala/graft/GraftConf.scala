@@ -53,6 +53,20 @@ object GraftConf {
   def graphMemo(spark: SparkSession): Boolean =
     get(spark, "graft.graph.memo", "true").toBoolean
 
+  /** Storage level for the graph family's cached frames (the shared edge
+    * memos and the entry-local degree / oriented-edge / top-k-neighbor
+    * frames). Default MEMORY_ONLY ≡ `.cache()`, the shipped posture. At
+    * one-box 100× the ~120 M-row cached edge frames are the prime suspect
+    * for the triangle closure's 1.26 wall exponent (GC tax of deserialized
+    * row objects); MEMORY_AND_DISK_SER keeps one compact serialized copy
+    * per block — results identical, CPU-for-heap trade. A knob, not a
+    * constant, because the right posture is deployment-dependent: a fleet
+    * with 1.0 partitions/executor-heap never needs it, a fat one-box run
+    * does. */
+  def graphStorageLevel(spark: SparkSession): org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      get(spark, "graft.graph.storageLevel", "MEMORY_ONLY"))
+
   /** r14 segment-contraction pre-pass toggle for the chain-candidate
     * propagation entries (dedup_minhash_lsh, dedup_cluster_lsh): star
     * verified chain runs to their min node before ccLabels so PATH-shaped

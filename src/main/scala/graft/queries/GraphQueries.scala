@@ -54,7 +54,8 @@ object GraphQueries {
           it.remove()
         }
       }
-      edgeCache.computeIfAbsent((spark, sfDir, kind), _ => build.cache())
+      edgeCache.computeIfAbsent((spark, sfDir, kind),
+        _ => build.persist(graft.GraftConf.graphStorageLevel(spark)))
     } else build
     // memo off (memory-starved diagnostics mode): return UNCACHED — a
     // per-call .cache() with no owner to unpersist it would accumulate a
@@ -165,7 +166,8 @@ object GraphQueries {
     // fresh rank vector (AQE broadcasts the small rank side) and shuffles
     // only the per-destination partial sums
     val withDeg = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("d")).cache()
+      .select(col("src"), col("dst"), col("d"))
+      .persist(graft.GraftConf.graphStorageLevel(spark))
     var r = deg.select(col("src").as("id"), lit(1.0).as("r"))
     // fixed-point scale: contributions are O(rank) ≈ O(1); 1e12 keeps the
     // per-node long sum far from overflow while quantization stays 8
@@ -256,7 +258,8 @@ object GraphQueries {
     // the degree shuffle over 2|E| rows (r13 driver-number work, VERDICT
     // r12 #4: four d-subtree recomputations were the gap between the
     // ~9 s driver number and the ~6 s the closure itself costs)
-    val d = e.groupBy(col("u")).agg(count(lit(1)).as("dg")).cache()
+    val d = e.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      .persist(graft.GraftConf.graphStorageLevel(spark))
     // orient: keep an edge only in its (degree, id)-ascending direction;
     // cached because the closure probes it as both the edge list and the
     // adjacency-array source
@@ -265,7 +268,8 @@ object GraphQueries {
       .join(d.withColumnRenamed("u", "vv").withColumnRenamed("dg", "dv"),
         col("v") === col("vv"))
       .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
-      .select(col("u"), col("v")).cache()
+      .select(col("u"), col("v"))
+      .persist(graft.GraftConf.graphStorageLevel(spark))
     // edge-iterator closure: per-node sorted out-neighbor arrays (order is
     // irrelevant to the intersect size, sort_array just pins determinism of
     // the intermediate), joined to the edge list on plain node keys
@@ -374,7 +378,7 @@ object GraphQueries {
     val wTop = Window.partitionBy(col("u")).orderBy(col("w").desc, col("v"))
     val topw = e.withColumn("rn", row_number().over(wTop))
       .where(col("rn") <= 32).select(col("u"), col("v"))
-      .cache()
+      .persist(graft.GraftConf.graphStorageLevel(spark))
     val d = topw.groupBy(col("v")).agg(count(lit(1)).as("dg"))
     // Wedge enumeration stays the topw⋈topw self-join. The r15 100× leg
     // A/B'd a partition-local array-explode spelling (collect ≤32
@@ -467,7 +471,8 @@ object GraphQueries {
       .distinct()
     // edge list cached: probed once per round plus the seed-label distinct
     val e = pp.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(pp.select(col("b").as("u"), col("a").as("v"))).cache()
+      .unionByName(pp.select(col("b").as("u"), col("a").as("v")))
+      .persist(graft.GraftConf.graphStorageLevel(spark))
     val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))
     var labels = e.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))

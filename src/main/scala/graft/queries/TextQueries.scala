@@ -1642,15 +1642,31 @@ object TextQueries {
       chainEdges.select(col("src").as("a"), col("dst").as("b")))
       .select(col("a").as("src"), col("b").as("dst"))
     // clone members (identical token set ⇒ jaccard exactly 1.0) connect
-    // directly wherever the lang/±20 predicate holds — recall 1.0, no LSH
-    val ma = members.select(col("fp"), col("doc_id").as("src"),
-      col("lang").as("lang_a"), col("n_chars").as("nc_a"))
-    val mb = members.select(col("fp"), col("doc_id").as("dst"),
-      col("lang").as("lang_b"), col("n_chars").as("nc_b"))
-    val intra = ma.join(mb, "fp")
-      .where(col("src") < col("dst") && col("lang_a") === col("lang_b")
+    // directly wherever the lang/±20 predicate holds — recall 1.0, no LSH.
+    // CHAIN spelling, not all-pairs (r18 cliff 8, found by the clique
+    // canary: the fp-keyed self-join emitted C(m,2) edges per clone group
+    // — max node row mass grew n^1.58 on the clique fixture, 3× per depth
+    // doubling). For CONNECTIVITY the sorted chain is exact, not an
+    // approximation: the predicate inside a (fp, lang) group is an
+    // INTERVAL on n_chars, and for points on a line any |a-c| ≤ 20 pair
+    // with b between them has both consecutive gaps ≤ 20 — so
+    // consecutive-neighbor edges (sorted by n_chars) induce EXACTLY the
+    // all-pairs threshold graph's connected components, at m-1 edges per
+    // group instead of C(m,2). CcSpec's cluster floors and the A/B hash
+    // pin output equality.
+    val cloneW = Window.partitionBy(col("fp"), col("lang"))
+      .orderBy(col("nc_a"), col("src"))
+    val intra = members
+      .select(col("fp"), col("lang"), col("doc_id").as("src"), col("n_chars").as("nc_a"))
+      // the all-pairs spelling's lang_a === lang_b was null-rejecting;
+      // the window would GROUP null langs — keep the join semantics
+      .where(col("lang").isNotNull)
+      .withColumn("dst", lead(col("src"), 1).over(cloneW))
+      .withColumn("nc_b", lead(col("nc_a"), 1).over(cloneW))
+      .where(col("dst").isNotNull
         && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
-      .select(col("src"), col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
     ccLabels(intra.unionByName(chainEdges).unionByName(star).distinct())
       .select(col("node").as("doc_id"), col("comp").as("comp_id"))
       .orderBy(col("doc_id"))

@@ -118,7 +118,8 @@ object ScaleProof {
             println(f"[scale] $key%-24s $label rows=$n%9d $s%8.2f s")
             s
           } catch {
-            case e: Throwable =>
+            // NonFatal only — same tainted-JVM rationale as interleaved mode
+            case scala.util.control.NonFatal(e) =>
               println(s"[scale] $key FAILED ($label): " +
                 s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
               Double.NaN
