@@ -55,17 +55,18 @@ object GraftConf {
 
   /** Storage level for the graph family's cached frames (the shared edge
     * memos and the entry-local degree / oriented-edge / top-k-neighbor
-    * frames). Default MEMORY_ONLY ≡ `.cache()`, the shipped posture. At
-    * one-box 100× the ~120 M-row cached edge frames are the prime suspect
-    * for the triangle closure's 1.26 wall exponent (GC tax of deserialized
-    * row objects); MEMORY_AND_DISK_SER keeps one compact serialized copy
-    * per block — results identical, CPU-for-heap trade. A knob, not a
-    * constant, because the right posture is deployment-dependent: a fleet
-    * with 1.0 partitions/executor-heap never needs it, a fat one-box run
-    * does. */
+    * frames). Default MEMORY_AND_DISK_SER — the r18 posture experiment
+    * (ProfileGraphStorage, min-of-2 interleaved reps, one JVM, clean
+    * calib) tested the r17 heap attribution for the one-box 100× graph
+    * residuals and CONFIRMED it: triangle 287.5 → 201.8 s (×0.70),
+    * jaccard 246.8 → 190.1 s (×0.77) at 100×, and neutral-to-faster at
+    * sf0.1 too (label_prop 5.2 → 3.8 s, others −0.3-0.4 s, none slower)
+    * — the serialized blocks relieve exactly the GC tax the exponent was
+    * attributed to, at no small-scale cost. MEMORY_ONLY restores the
+    * plain `.cache()` posture for A/B. Results identical either way. */
   def graphStorageLevel(spark: SparkSession): org.apache.spark.storage.StorageLevel =
     org.apache.spark.storage.StorageLevel.fromString(
-      get(spark, "graft.graph.storageLevel", "MEMORY_ONLY"))
+      get(spark, "graft.graph.storageLevel", "MEMORY_AND_DISK_SER"))
 
   /** r14 segment-contraction pre-pass toggle for the chain-candidate
     * propagation entries (dedup_minhash_lsh, dedup_cluster_lsh): star
