@@ -92,7 +92,7 @@ object Bench {
     if (warmPass) {
       val w0 = System.nanoTime()
       warmSelected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        try fn(spark, warmSfDir).count()
+        try fn(spark, warmSfDir).queryExecution.toRdd.count() // same codegen classes as the timed exec action
         catch { case e: Throwable =>
           System.err.println(s"[bench] warm $name failed (continuing): $e")
         }
@@ -125,9 +125,25 @@ object Bench {
     // between queries makes per-query numbers comparable to isolated runs.
     // SPARK_GRAFT_BENCH_GC=0 disables (measures the raw back-to-back run).
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0"
+    // Timed action (r18): `exec` (default) runs the entry's OWN physical
+    // plan via toRdd.count(). A plain Dataset.count() is rewritten by
+    // Catalyst into a fresh aggregate-only query in which column pruning
+    // and join elimination can drop entire subtrees — measured: the
+    // pre-r18 interval_overlap pair join vanished from the executed
+    // count() plan (its left join carried unique grouped keys and no
+    // projected column survived), so the bench timed a plan the operator
+    // never shipped. toRdd pays every projection and join the consumer
+    // pays, INCLUDING the final presentation orderBy that count() used to
+    // eliminate (EliminateSorts) — output sorts are over result-sized
+    // frames, so the delta is small and honest. SPARK_GRAFT_BENCH_ACTION=
+    // count restores the old action for A/B against pre-r18 numbers.
+    val execAction = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "exec") == "exec"
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        val df = fn(spark, sfDir)
+        if (execAction) df.queryExecution.toRdd.count() else df.count()
+      } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // blocking=true: async unpersist let a heavy entry's blocks survive
       // into the NEXT entry's timed region (r9 gate finding) — the sweep
@@ -158,7 +174,7 @@ object Bench {
       if (acc == 42L) println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"shared_warm":$sharedWarm}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"shared_warm":$sharedWarm,"action":"${if (execAction) "exec" else "count"}"}"""
     // The JSON travels three redundant ways (VERDICT.md r1 #5: the driver
     // parsed nothing from round 1's single println buried in sbt noise):
     // (1) a file the driver can read directly, (2) an early stdout line,
@@ -181,7 +197,7 @@ object Bench {
     // reads first, and the "queries_full" pointer names where the rest is.
     val lastLine = {
       val bySlowest = results.sortBy(-_._2)
-      val head = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","calib_sec":$calib,"shared_warm":$sharedWarm,"n_queries":${results.size},"queries_full":"$outFile","queries":{"""
+      val head = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","calib_sec":$calib,"shared_warm":$sharedWarm,"action":"${if (execAction) "exec" else "count"}","n_queries":${results.size},"queries_full":"$outFile","queries":{"""
       val tailStr = "}}"
       val budget = 1800 - head.length - tailStr.length
       val parts = scala.collection.mutable.ArrayBuffer[String]()

@@ -83,7 +83,8 @@ object Catalog {
     "dedup_containment_prefix", "dedup_exact_substring",
     "dedup_chunk_exact", "text_span_dedup", "mm_phash_dedup",
     "vec_hamming_knn", "vec_lsh_ann", "vec_knn_graph_lsh",
-    "join_theta_range", "join_range_bucketed")
+    "join_theta_range", "join_range_bucketed",
+    "join_spatial_grid", "join_interval_overlap")
 
   lazy val all: Seq[CatalogEntry] =
     graft.queries.ScanQueries.entries ++

@@ -577,23 +577,61 @@ object JoinQueries {
       .select(col("user_id"), col("session_id"),
         unix_micros(col("s_start").cast("timestamp")).as("us_start"),
         unix_micros(col("s_end").cast("timestamp")).as("us_end"))
-      .cache() // both grid sides and the zero-count backfill read this frame
-    val a = s.select(col("user_id").as("a_user"), col("session_id").as("a_sid"),
-      col("us_start").as("a_s"), col("us_end").as("a_e"))
-      .withColumn("bucket", explode(sequence(floor(col("a_s") / W), floor(col("a_e") / W))))
-    val b = s.select(col("user_id").as("b_user"),
-      col("us_start").as("b_s"), col("us_end").as("b_e"))
-      .withColumn("bucket", explode(sequence(floor(col("b_s") / W), floor(col("b_e") / W))))
-    val counts = a.join(b.hint("shuffle_hash"), Seq("bucket"))
-      .where(col("b_user") =!= col("a_user")
-        && col("b_s") <= col("a_e") && col("a_s") <= col("b_e")
-        && col("bucket") === floor(greatest(col("a_s"), col("b_s")) / W))
-      .groupBy(col("a_user"), col("a_sid"))
-      .agg(count(lit(1)).as("n"))
-    s.join(counts,
-        col("user_id") === col("a_user") && col("session_id") === col("a_sid"), "left")
+      .cache() // both sweep streams and the final join read this frame
+    // Sweep-line counting (r18 cliff 9, found by the clique canary): the
+    // former bucket-grid materialized every overlapping PAIR — in a fixed
+    // time window concurrent sessions per bucket grow with data, so the
+    // join output grew quadratically while the OUTPUT (one count per
+    // session) stays linear. No pair is needed: overlap(b, a) ⇔
+    // b.start ≤ a.end AND NOT (b.end < a.start), and the second set is a
+    // subset of the first, so
+    //   n_concurrent(a) = #{b: start ≤ a.end} − #{b: end < a.start} − 1
+    // (the −1 removes a itself; same-user non-self sessions are disjoint
+    // with a >30-min gap BY CONSTRUCTION of the sessionization, so they
+    // never overlap and need no user term). Each count is a rank of a
+    // query point among ~2n sorted endpoints — computed per hour bucket
+    // (one window over the union stream, marker rows sorted before/after
+    // equal-key queries to pin the ≤ / < boundary exactly) plus a
+    // cumulative per-bucket offset over the SMALL bucket frame — the
+    // agg_gini_coefficient prefix-rank pattern: no unpartitioned window
+    // ever touches the session rows, no pair row ever exists.
+    def bucketedRank(markers: org.apache.spark.sql.DataFrame, // (k)
+                     queries: org.apache.spark.sql.DataFrame, // (user_id, session_id, k)
+                     markersFirstOnTie: Boolean): org.apache.spark.sql.DataFrame = {
+      val mTag = if (markersFirstOnTie) 0 else 1
+      val u = markers.select(col("k"), lit(mTag).as("tag"),
+          lit(null).cast("long").as("user_id"), lit(null).cast("long").as("session_id"))
+        .unionByName(queries.select(col("k"), lit(1 - mTag).as("tag"),
+          col("user_id"), col("session_id")))
+        .withColumn("bucket", floor(col("k") / W))
+      val isMarker = when(col("tag") === mTag, 1L).otherwise(0L)
+      val offs = u.groupBy(col("bucket")).agg(sum(isMarker).as("bcnt"))
+        .withColumn("off", coalesce(sum(col("bcnt")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("off"))
+      val wRun = Window.partitionBy(col("bucket"))
+        .orderBy(col("k"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("run", sum(isMarker).over(wRun))
+        .where(col("tag") === 1 - mTag)
+        .join(broadcast(offs), "bucket")
+        .select(col("user_id"), col("session_id"),
+          (col("off") + col("run")).as("rank"))
+    }
+    val startsLe = bucketedRank(
+      s.select(col("us_start").as("k")),
+      s.select(col("user_id"), col("session_id"), col("us_end").as("k")),
+      markersFirstOnTie = true) // start == a.end COUNTS (≤)
+      .withColumnRenamed("rank", "n_start_le")
+    val endsLt = bucketedRank(
+      s.select(col("us_end").as("k")),
+      s.select(col("user_id"), col("session_id"), col("us_start").as("k")),
+      markersFirstOnTie = false) // end == a.start does NOT count (<)
+      .withColumnRenamed("rank", "n_end_lt")
+    startsLe.join(endsLt, Seq("user_id", "session_id"))
       .select(col("user_id"), col("session_id"),
-        coalesce(col("n"), lit(0L)).as("n_concurrent"))
+        (col("n_start_le") - col("n_end_lt") - 1).as("n_concurrent"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -697,10 +735,23 @@ object JoinQueries {
               |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (spark, sfDir) =>
     val R2 = 3600L
     val cell = 60L
-    val c = Tables.customer(spark, sfDir).select(
-      col("c_custkey"),
-      (col("c_custkey") * 7919 % 1000).as("cx_pos"),
-      (col("c_custkey") * 104729 % 1000).as("cy_pos"))
+    // distinct-value collapse on the probe side (r18, same principle as
+    // join_theta_range/range_bucketed): the %1000 modular coordinate
+    // space is CONSTANT, so past 10⁶ customers every (x, y) point holds
+    // clone groups whose per-cell density grows with data — the grid
+    // join goes quadratic while the predicate depends only on the two
+    // COORDINATES. Collapse customers to DISTINCT (x, y) carrying count
+    // + min custkey: n_near = Σ counts, min_d2 unchanged, nearest_cust =
+    // min (d2, min-custkey-of-that-point) — exact, because every member
+    // of a point shares its d2 and the struct-min only ever picks a
+    // point's smallest key. With unbounded real-world coordinates the
+    // collapse is a pass-through aggregation, as in the band twins.
+    val cPts = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        (col("c_custkey") * 7919 % 1000).as("cx_pos"),
+        (col("c_custkey") * 104729 % 1000).as("cy_pos"))
+      .groupBy(col("cx_pos"), col("cy_pos"))
+      .agg(count(lit(1)).as("n_at"), min(col("c_custkey")).as("min_cust"))
     val s = Tables.supplier(spark, sfDir).select(
       col("s_suppkey"),
       ((col("s_suppkey") * 4409 + 137) % 1000).as("sx_pos"),
@@ -713,15 +764,15 @@ object JoinQueries {
         (floor(col("sy_pos") / cell) + col("dy")).as("celly"))
     val d2 = (col("sx_pos") - col("cx_pos")) * (col("sx_pos") - col("cx_pos")) +
       (col("sy_pos") - col("cy_pos")) * (col("sy_pos") - col("cy_pos"))
-    sx.join(c,
+    sx.join(cPts,
         col("cellx") === floor(col("cx_pos") / cell) &&
         col("celly") === floor(col("cy_pos") / cell))
-      .select(col("s_suppkey"), col("c_custkey"), d2.as("d2"))
+      .select(col("s_suppkey"), col("n_at"), col("min_cust"), d2.as("d2"))
       .where(col("d2") <= R2)
       .groupBy(col("s_suppkey"))
-      .agg(count(lit(1)).as("n_near"),
+      .agg(sum(col("n_at")).as("n_near"),
         min(col("d2")).as("min_d2"),
-        min(struct(col("d2").as("d"), col("c_custkey").as("c")))
+        min(struct(col("d2").as("d"), col("min_cust").as("c")))
           .getField("c").as("nearest_cust"))
       .orderBy(col("s_suppkey"))
   }

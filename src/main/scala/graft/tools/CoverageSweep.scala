@@ -37,7 +37,7 @@ object CoverageSweep {
       System.gc()
       val t0 = System.nanoTime()
       try {
-        val n = SparkEntry.queries(key)(spark, dir).count()
+        val n = SparkEntry.queries(key)(spark, dir).queryExecution.toRdd.count()
         println(f"[cov] $key%-28s rows=$n%10d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       } catch {
         // NonFatal only — a fatal JVM error (OOM) taints every later

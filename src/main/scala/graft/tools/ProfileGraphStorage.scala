@@ -63,7 +63,7 @@ object ProfileGraphStorage {
           sweep()
           val t0 = System.nanoTime()
           try {
-            val n = SparkEntry.queries(k)(spark, dir).count()
+            val n = SparkEntry.queries(k)(spark, dir).queryExecution.toRdd.count()
             val s = (System.nanoTime() - t0) / 1e9
             println(f"[gstore] rep$rep $p%-20s $k%-26s rows=$n%8d $s%8.2f s calib=${calib()}%.3f")
             res((k, p)) = s :: res.getOrElse((k, p), Nil)

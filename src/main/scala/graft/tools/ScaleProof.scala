@@ -71,7 +71,7 @@ object ScaleProof {
         cached.foreach(_.count())
         val t0 = System.nanoTime()
         try {
-          val n = SparkEntry.queries(key)(spark, dir).count()
+          val n = SparkEntry.queries(key)(spark, dir).queryExecution.toRdd.count()
           val s = (System.nanoTime() - t0) / 1e9
           println(f"[scale] $key%-24s ${if (dir == base) "base " else "synth"} " +
             f"rows=$n%9d $s%8.2f s")
@@ -113,7 +113,7 @@ object ScaleProof {
           System.gc()
           val t0 = System.nanoTime()
           try {
-            val n = SparkEntry.queries(key)(spark, dir).count()
+            val n = SparkEntry.queries(key)(spark, dir).queryExecution.toRdd.count()
             val s = (System.nanoTime() - t0) / 1e9
             println(f"[scale] $key%-24s $label rows=$n%9d $s%8.2f s")
             s

@@ -69,7 +69,15 @@ class CliffCanarySpec extends SparkSpecBase {
   private def measure(key: String, dir: String): (Long, Long) = {
     graft.queries.Util.sweepEntryCaches(spark)
     listener.reset(); listener.enabled = true
-    val out = Catalog.byKey(key).run(spark, dir).count()
+    // toRdd.count(), NOT count(): Catalyst rewrites a count() into a new
+    // aggregate-only query in which column pruning AND join elimination
+    // can remove entire subtrees (measured: the pre-r18 interval_overlap
+    // pair join — 2060 rows on the d1 fixture — vanished from the
+    // executed count() plan because its left join carried unique grouped
+    // keys and no projected column survived pruning). toRdd executes the
+    // entry's own physical plan in full, so no quadratic subtree can hide
+    // from the canary behind the harness action.
+    val out = Catalog.byKey(key).run(spark, dir).queryExecution.toRdd.count()
     // listener delivery is async: poll until the max is stable
     var last = -1L; var cur = listener.maxNode; var spins = 0
     while (cur != last && spins < 40) {

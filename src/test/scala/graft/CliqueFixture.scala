@@ -99,5 +99,49 @@ object CliqueFixture {
       StructField("l_shipdate", TimestampType)))
     spark.createDataFrame(sc.parallelize(liRows, 4), liSchema)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+
+    // --- customer / supplier: keys scale with the corpus while the
+    // %1000 modular coordinate space join_spatial_grid derives from them
+    // stays FIXED — per-grid-cell density grows with data on both sides
+    val custRows = (0 until nDocs).map { k =>
+      Row(k.toLong, s"cust$k", k % 25, 100.0 + k % 900, "BUILDING")
+    }
+    val custSchema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    spark.createDataFrame(sc.parallelize(custRows, 4), custSchema)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
+    val suppRows = (0 until math.max(nDocs / 10, 1)).map { k =>
+      Row(k.toLong, s"supp$k", k % 25, 500.0 + k % 400)
+    }
+    val suppSchema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+    spark.createDataFrame(sc.parallelize(suppRows, 4), suppSchema)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/supplier.parquet")
+
+    // --- events: sessions ∝ corpus inside a FIXED 24-hour window (the
+    // join_interval_overlap degeneracy: concurrent sessions per hour grow
+    // with data). 4 events per user, 2 sessions (10-min gaps, 2-h jump).
+    val users = nDocs / 4
+    val evRows = (0 until users * 4).map { k =>
+      val u = k / 4; val j = k % 4
+      val usMicros = 800000000000000L + (u % 24) * 3600000000L +
+        (j % 2) * 600000000L + (j / 2) * 7200000000L
+      // ts is TIMESTAMP_NTZ (naive µs) — the encoding Tables.doLoad
+      // requires for events; a session-tz TimestampType is rejected
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        usMicros / 1000000L, ((usMicros % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      Row(k.toLong, ldt, u.toLong,
+        if (j % 2 == 0) "view" else "click", (k % 10).toDouble, "{}")
+    }
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(sc.parallelize(evRows, 4), evSchema)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
   }
 }

@@ -303,11 +303,32 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("bucket"), s"expected the bucket key in:\n$p")
   }
 
-  test("join_interval_overlap grid-joins on the bucket — no nested loop") {
-    val p = planOf("join_interval_overlap")
+  test("join_interval_overlap sweep-counts — no pair join, bucketed windows only") {
+    // r18 shape: n_concurrent comes from two endpoint ranks (A − B − 1),
+    // never from materializing overlapping session pairs (the former grid
+    // join grew quadratically in a fixed time window — cliff 9, caught by
+    // CliffCanarySpec). Pins: no nested loop, the rank windows are
+    // bucket-PARTITIONED (the only unpartitioned window allowed is the
+    // cumulative offset over the small per-bucket aggregate), and no
+    // session-pair equi-join survives anywhere.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val df = Catalog.byKey("join_interval_overlap").run(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"interval overlap must use the bucket grid, not a nested loop:\n$p")
+      s"interval overlap must sweep-count, not nested-loop:\n$p")
     assert(p.contains("bucket"), s"expected the bucket key in:\n$p")
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q => q
+    }
+    plan.collect { case w: WindowExec => w }
+      .filter(_.partitionSpec.isEmpty).foreach { w =>
+        val aggsBelow = w.child.collect { case a: BaseAggregateExec => a }
+        assert(aggsBelow.nonEmpty,
+          s"unpartitioned WindowExec over unaggregated session rows:\n$p")
+      }
   }
 
   test("udf_sql_function inlines to pure expressions — no UDF call in the plan") {
