@@ -2031,11 +2031,14 @@ object TextQueries {
       // group with has_container=true — diverging from the blocked truth
       // (which never flags them) and from the minhash family's null-fp
       // convention (minhashRepStage's md5(array_join) is null on null text)
+      // fp as 16-byte BINARY, not the 32-char hex string (same r15 lesson
+      // as dedup_cluster_lsh: fp rides the widest frames and every window
+      // partition key — the hex spelling doubles those shuffle bytes)
       val t = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("lang"),
           sort_array(array_distinct(split(col("text"), " "))).as("toks"))
-        .withColumn("fp",
-          md5(concat(col("lang"), lit("|"), array_join(col("toks"), " "))))
+        .withColumn("fp", expr(
+          "to_binary(md5(concat(lang, '|', array_join(toks, ' '))), 'hex')"))
         .cache()
       val members = t.select(col("doc_id"), col("lang"), col("fp"))
       // null-fp docs are excluded from the group/rep pipeline entirely —
@@ -2047,23 +2050,43 @@ object TextQueries {
         .join(t.select(col("doc_id").as("rep_id"), col("toks")), "rep_id")
         .select(col("lang"), col("fp"), col("toks"), size(col("toks")).as("n"))
         .cache()
-      // global rarest-first token order: df over REPS per lang
+      // global rarest-first token order: df over REPS per lang. Tokens
+      // ride as 64-bit xxhash64(lang, token) keys, never strings: the
+      // key only ever JOINS prefix↔index (exact verification reads the
+      // full toks arrays later), folding lang into the key makes every
+      // downstream key single-column, and a 64-bit collision (odds
+      // ~|vocab|²/2⁶⁴) merely merges two posting lists — spurious
+      // candidates are removed by the exact verify, true matches are
+      // always preserved, and the prefix-filter completeness argument
+      // holds under ANY consistent global token order (df asc, hk asc
+      // here), so correctness is collision-immune.
       val df = reps.select(col("lang"), explode(col("toks")).as("t"))
-        .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("df"))
-      val tok = reps.select(col("lang"), col("fp"), col("n"), explode(col("toks")).as("t"))
-        .join(df, Seq("lang", "t"))
+        .select(xxhash64(col("lang"), col("t")).as("hk"))
+        .groupBy(col("hk")).agg(count(lit(1)).as("df"))
+      // cached: BOTH the prefix extraction and the inverted index read
+      // this frame, and it is the entry's widest intermediate (|reps| ×
+      // tokens-per-doc rows) — uncached, Spark recomputes the explode +
+      // df join once per reference (~2× the index-build cost, measured
+      // r18 at 100×: 116 → 90 s from the cache alone; binary fp + hashed
+      // token keys take it further — see BASELINE.md round-18 addendum).
+      // Harness sweep owns the unpersist.
+      val tok = reps.select(col("fp"), col("n"), col("lang"), explode(col("toks")).as("t"))
+        .select(col("fp"), col("n"), xxhash64(col("lang"), col("t")).as("hk"))
+        .join(df, Seq("hk"))
+        .cache()
       // prefix = the (floor(0.05 n) + 2) rarest tokens per rep, over the
       // FULL token set (+2: +1 pigeonhole, +1 absorbs the double-compare
       // boundary of the verify's inter/n >= 0.95). Never df-filtered: a
       // fully-templated doc whose every token is common must still get
       // candidates (a dropped-prefix variant measured recall 0.68 at
       // sf0.001 - the misses were exactly the all-common-token docs).
-      val rankW = Window.partitionBy(col("lang"), col("fp"))
-        .orderBy(col("df"), col("t"))
+      // fp is lang-scoped 1:1, so partitioning by fp alone is lang-safe
+      val rankW = Window.partitionBy(col("fp"))
+        .orderBy(col("df"), col("hk"))
       val prefix = tok
         .withColumn("r", row_number().over(rankW))
         .where(col("r") <= floor(col("n") * (1 - theta)) + 2)
-        .select(col("lang"), col("t"), col("fp").as("fp_a"), col("n").as("n_a"))
+        .select(col("hk"), col("fp").as("fp_a"), col("n").as("n_a"))
       // inverted index with CAPPED posting lists: each (lang, token)
       // lists at most verifyMaxBucket reps, BIGGEST first (a container
       // must hold >=0.95 of the probe's vocabulary, so large supersets
@@ -2071,12 +2094,12 @@ object TextQueries {
       // (pigeonhole bound intact), stop-token postings are truncated
       // rather than dropped, bounding candidates per prefix token while
       // keeping template-heavy docs reachable
-      val postW = Window.partitionBy(col("lang"), col("t"))
+      val postW = Window.partitionBy(col("hk"))
         .orderBy(col("n").desc, col("fp"))
       val index = tok
         .withColumn("pr", row_number().over(postW))
         .where(col("pr") <= dfCap)
-        .select(col("lang"), col("t"), col("fp").as("fp_b"), col("n").as("n_b"))
+        .select(col("hk"), col("fp").as("fp_b"), col("n").as("n_b"))
       // candidates: share a prefix token, container at least θ× the size;
       // capped per contained rep, biggest container first (deterministic)
       val capW = Window.partitionBy(col("fp_a"))
@@ -2084,7 +2107,7 @@ object TextQueries {
       // size prune epsilon-slackened: the verify compares inter/n_a in
       // double arithmetic, so the prune must not drop a boundary
       // container the verify would keep (n_b >= inter always)
-      val cand = prefix.join(index, Seq("lang", "t"))
+      val cand = prefix.join(index, Seq("hk"))
         .where(col("fp_a") =!= col("fp_b") && col("n_b") >= col("n_a") * (theta - 1e-9))
         .select(col("fp_a"), col("n_a"), col("fp_b"), col("n_b"))
         .distinct()
