@@ -143,7 +143,13 @@ object Bench {
       try {
         val df = fn(spark, sfDir)
         if (execAction) df.queryExecution.toRdd.count() else df.count()
-      } catch { case _: Throwable => -1L }
+      } catch {
+        // NonFatal only (ADVICE r18): a fatal JVM error (OOM) taints every
+        // later same-JVM timing — crash the bench rather than report a
+        // distorted-but-"valid" total (same rationale as CoverageSweep/
+        // ScaleProof, tightened in the same r18 diff)
+        case scala.util.control.NonFatal(_) => -1L
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // blocking=true: async unpersist let a heavy entry's blocks survive
       // into the NEXT entry's timed region (r9 gate finding) — the sweep

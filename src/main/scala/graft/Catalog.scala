@@ -51,13 +51,17 @@ object Catalog {
 
   /** Machine-readable scale-path routing (the 100-TB consumer's map):
     * key → the twin entry that carries the family's 100× scale number.
-    * Two reasons an entry routes here, both documented in its scaladoc:
+    * Three reasons an entry routes here, each documented in its scaladoc:
     *   - documented-quadratic ground-truth twin (its OUTPUT or verify
     *     step is quadratic by contract; the twin is the candidate-driven
     *     spelling) — these are the CoverageSweep exemptions, now derived
     *     from the catalog instead of a hand-maintained list;
     *   - pair-output contract entry (dedup_simhash: output grows with
-    *     true near-dup pair mass; the cluster spelling is linear).
+    *     true near-dup pair mass; the cluster spelling is linear);
+    *   - deliberate-redundancy spec pin (src_xml_extract: the 7-parse
+    *     xpath battery pins XPath semantics; the parse-once from_xml
+    *     twin is the identical-output spelling a wide extraction runs
+    *     at scale — r18 VERDICT #4).
     * Validated against the key set at catalog build. */
   val scalePaths: Map[String, String] = Map(
     "dedup_cluster_cc"       -> "dedup_cluster_lsh",
@@ -65,6 +69,7 @@ object Catalog {
     "dedup_containment"      -> "dedup_containment_prefix",
     "dedup_embedding_cosine" -> "vec_lsh_ann",
     "dedup_simhash"          -> "dedup_simhash_cluster",
+    "src_xml_extract"        -> "src_xml_extract_once",
     "text_jaccard_tokens"    -> "dedup_minhash_lsh",
     "text_levenshtein_block" -> "text_levenshtein_lsh",
     "vec_knn_graph"          -> "vec_knn_graph_lsh",

