@@ -72,15 +72,18 @@ object GraftConf {
     * the oriented-edge / top-w-neighbor frames instead of persist-with-
     * lineage, truncating the lineage that keeps the upstream wide frames
     * (union'd edge list, degree joins) referenced through the closure's
-    * heavy phase. Default FALSE — measured NEGATIVE at 100×
-    * (ProfileGraphStorage, same-JVM interleaved vs the SER control:
-    * triangle 213.6 → 233.5 s (×1.09), jaccard 199.6 → 195.7 s (×0.98) —
-    * inside the noise band on the win side, a real loss on triangle:
-    * localCheckpoint pins deserialized MEMORY_AND_DISK blocks, surrendering
-    * exactly the serialized-block GC relief the shipped SER default buys;
-    * the lineage itself holds plans, not rows, so there was no liveness to
-    * reclaim). Knob retained for re-testing on true multi-executor
-    * deployments, where checkpoint also shortens recovery lineage. */
+    * heavy phase. Default FALSE — measured NEGATIVE-to-neutral at 100×
+    * (ProfileGraphStorage, best-of-2 interleaved reps in one JVM, with
+    * the r19 memo-eviction fix so each measurement rebuilds the shared
+    * memo at its own posture: triangle 248.6 → 299.9 s (×1.21 worse),
+    * jaccard 268.7 → 251.0 s (×0.93, inside the window's noise — rep
+    * calibs swung 0.065-0.123 across the leg): localCheckpoint pins
+    * deserialized MEMORY_AND_DISK blocks, surrendering exactly the
+    * serialized-block GC relief the shipped SER default buys, and the
+    * lineage it truncates holds plans, not rows, so there was no
+    * liveness to reclaim on one box. Knob retained for true
+    * multi-executor deployments, where checkpoint also shortens recovery
+    * lineage. Full leg in BASELINE.md round-19 addendum. */
   def graphCheckpoint(spark: SparkSession): Boolean =
     get(spark, "graft.graph.checkpoint", "false").toBoolean
 
