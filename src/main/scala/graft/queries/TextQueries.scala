@@ -199,8 +199,14 @@ object TextQueries {
     a.join(b, Seq("lang", "bucket"))
       .where(col("doc_a") < col("doc_b")
         && col("nc_b").between(col("nc_a") - 20, col("nc_a") + 20))
-      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")).cast("long"))
-      .where(col("dist") <= 10)
+      // threshold form (r19): Spark's bounded Levenshtein abandons the DP
+      // once distance must exceed 10 and returns -1 there — exact for
+      // kept pairs (≤ threshold ⇒ the same value the unbounded DP yields),
+      // so the ≤10 filter's output is bit-identical while distant pairs
+      // (the vast majority of the block) cost a fraction of the full
+      // 40×40 table
+      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b"), 10).cast("long"))
+      .where(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -1058,8 +1064,10 @@ object TextQueries {
     // candidate ids ARE the prefixes — verification needs no extra join
     val repPairs = lshCandidates(reps, "prefix", "qgrams", nHashes, bands,
         graft.GraftConf.verifyMaxBucket(spark))
-      .withColumn("dist", levenshtein(col("id_a"), col("id_b")).cast("long"))
-      .where(col("dist") <= 10)
+      // same bounded-DP threshold form as the blocked twin (exact ≤ 10,
+      // -1 above — filtered identically)
+      .withColumn("dist", levenshtein(col("id_a"), col("id_b"), 10).cast("long"))
+      .where(col("dist") >= 0)
     val ma = members.select(col("prefix"), col("doc_id").as("doc_a"),
       col("lang").as("lang_a"), col("n_chars").as("nc_a"))
     val mb = members.select(col("prefix"), col("doc_id").as("doc_b"),
